@@ -1,0 +1,51 @@
+"""Parquet/CSV source readers.
+
+The synthetic benchmark tables (`/root/testdata/sf*/`) store timestamps as
+INT64 TIMESTAMP(NANOS), which vanilla Spark rejects at scan time
+(PARQUET_TYPE_ILLEGAL). With ``spark.sql.legacy.parquet.nanosAsLong=true``
+(set in :mod:`foresttime_builder_spark.session`) the column arrives as a
+LongType of nanoseconds; :func:`load_table` converts it back to a proper
+timestamp using *integer* division (nanosecond epochs exceed 2^53, so a
+float roundtrip would corrupt the low digits).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# timestamp-typed columns per synthetic table (stored as nanos)
+_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
