@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship annualization query (dense year-grid
+expansion + distributed linear interpolation) on sf0.001.
+``queries()``/``oracle_sql()`` expose the engine's operator inventory with
+DuckDB oracles — see ``foresttime_builder_spark/plans/benchmark_queries.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from foresttime_builder_spark.plans.benchmark_queries import QUERIES  # noqa: E402
+
+
+def _ensure_nanos_ok(spark: SparkSession) -> None:
+    # the testdata parquet stores INT64 TIMESTAMP(NANOS); read as long and
+    # convert in sources.readers.load_table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_nanos_ok(spark)
+    return QUERIES["q08_linear_interp"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(name):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_nanos_ok(spark)
+            return QUERIES[name].fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(name) for name in QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted → rows-only)."""
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

@@ -1,0 +1,375 @@
+"""Deduplication operators for large-scale document pipelines.
+
+All hashing is md5-derived (:func:`hash60`) so results are reproducible in
+any engine (the DuckDB oracles use the same construction) — Spark's murmur
+``F.hash`` has no cross-engine twin.
+
+Scale design notes:
+
+- ``exact_dedup``: one hash-shuffle on the content hash; linear.
+- ``token_jaccard_pairs``: exact set-similarity self-join with *prefix
+  filtering* (Chaudhuri et al.'s SSJoin / Bayardo et al.'s All-Pairs): a pair
+  with Jaccard >= t must share at least one token among the first
+  ``L - ceil(t*L) + 1`` of each document's tokens when ordered rarest-first.
+  Only prefix tokens enter the self-join, which collapses the quadratic
+  blowup from ubiquitous tokens (the naive inverted-index join is kept as the
+  test oracle). Verification is exact via ``array_intersect`` on the full
+  token sets.
+- ``minhash_signatures`` / ``minhash_lsh_pairs``: banded MinHash-LSH
+  candidate generation, verified with exact Jaccard — the sub-quadratic path
+  when even prefix filtering is too dense.
+- ``simhash``: 60-bit SimHash per document for Hamming-distance near-dup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def hash60(col: Column | str) -> Column:
+    """First 15 hex digits of md5 as a non-negative 60-bit bigint.
+
+    DuckDB twin: ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column | str, distinct: bool = True) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    arr = F.split(c, " ")
+    return F.array_distinct(arr) if distinct else arr
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Group identical content; emit (content_hash, keep_id, n_copies)."""
+    return df.groupBy(F.md5(F.col(content_col)).alias("content_hash")).agg(
+        F.min(id_col).alias(f"keep_{id_col}"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    strategy: str = "auto",
+) -> DataFrame:
+    """All pairs of documents with token-set Jaccard >= threshold (exact).
+
+    Returns columns (doc_a, doc_b, n_common, jaccard) with doc_a < doc_b and
+    jaccard rounded to 4 decimals.
+
+    Strategies (all lossless — they produce identical results):
+
+    - ``bitmask``: for small vocabularies (<= 64 distinct tokens): encode
+      each document's token set as one 64-bit mask, collapse documents with
+      identical sets, compare *distinct sets* pairwise with popcount
+      arithmetic, then expand back to document pairs. The pairwise
+      comparison is a broadcast nested-loop self-join on the distinct-set
+      table — tiny vocabularies collapse billions of documents into at most
+      ``2^V`` (in practice ~thousands of) distinct sets.
+    - ``prefix``: general vocabularies: All-Pairs/SSJoin prefix filtering —
+      only each document's ``L - ceil(t*L) + 1`` globally-rarest tokens
+      enter the self-join; exact verification via ``array_intersect``.
+      Correct at any vocabulary size; efficient when token document
+      frequencies are small relative to the corpus (real text).
+    - ``naive``: full inverted-index self-join (the test oracle's shape).
+    - ``auto``: ``bitmask`` if the vocabulary fits in 64 bits else
+      ``prefix`` (costs one tiny count() action to decide).
+    """
+    docsets = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).withColumn("sz", F.size("toks"))
+
+    if strategy == "auto":
+        vocab_size = (
+            docsets.select(F.explode("toks").alias("token"))
+            .select("token")
+            .distinct()
+            .count()
+        )
+        strategy = "bitmask" if vocab_size <= 64 else "prefix"
+
+    if strategy == "bitmask":
+        return _jaccard_bitmask(docsets, threshold)
+
+    if strategy == "prefix":
+        tok = docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
+        # rarest-first global order; ties broken by token text for determinism
+        dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            tok.join(F.broadcast(dfreq), "token")
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "token")
+                ),
+            )
+            # prefix length L - ceil(t*L) + 1
+            .filter(
+                F.col("rnk")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select("doc_id", "token")
+        )
+        a, b = ranked.alias("a"), ranked.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+    elif strategy == "naive":
+        tok = docsets.select("doc_id", F.explode("toks").alias("token"))
+        a, b = tok.alias("a"), tok.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+    else:
+        raise ValueError(f"bad strategy {strategy!r}")
+
+    sa = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def _doc_masks(docsets: DataFrame) -> DataFrame:
+    """(doc_id, mask): each document's token set as one 64-bit bitmask.
+
+    Only valid when the corpus vocabulary has <= 64 distinct tokens; bit
+    positions are assigned lexicographically for determinism.
+    """
+    tok = docsets.select("doc_id", F.explode("toks").alias("token"))
+    vocab = (
+        tok.select("token")
+        .distinct()
+        .withColumn("pos", F.row_number().over(Window.orderBy("token")) - 1)
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        # arithmetic sum == bitwise OR for distinct bit positions (the sign
+        # bit for pos 63 wraps but stays a valid mask in two's complement)
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).alias("mask"))
+    )
+
+
+def _jaccard_bitmask(docsets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs for vocabularies that fit one 64-bit mask.
+
+    docsets: (doc_id, toks array, sz). See :func:`token_jaccard_pairs`.
+    """
+    masks = _doc_masks(docsets)
+
+    # identical-set pairs: join on equal mask (Jaccard exactly 1)
+    ma, mb = masks.alias("a"), masks.alias("b")
+    intra = (
+        ma.join(
+            mb,
+            (F.col("a.mask") == F.col("b.mask"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.mask")).cast("int").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    # distinct-set pairwise comparison (broadcast nested-loop self-join),
+    # then expand each qualifying set pair back to its documents
+    sets = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("members"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter_bits = F.bit_count(F.col("sa.mask").bitwiseAND(F.col("sb.mask")))
+    union_bits = F.bit_count(F.col("sa.mask").bitwiseOR(F.col("sb.mask")))
+    set_pairs = (
+        sa.join(F.broadcast(sb), F.col("sa.mask") < F.col("sb.mask"))
+        .withColumn("n_common", inter_bits.cast("int"))
+        .withColumn("jaccard", F.round(inter_bits / union_bits, 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    inter = (
+        set_pairs.select(
+            F.explode("sa.members").alias("x"),
+            F.col("sb.members").alias("ys"),
+            "n_common",
+            "jaccard",
+        )
+        .select(
+            "x", F.explode("ys").alias("y"), "n_common", "jaccard"
+        )
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    return intra.unionByName(inter)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: n_hashes min-of-seeded-hash columns
+    (mh_00 .. mh_NN), engine-portable via md5."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{i}|"), F.col("token")))).alias(f"mh_{i:02d}")
+        for i in range(n_hashes)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    verify: str = "auto",
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified with exact Jaccard.
+
+    Signature rows are banded (``n_hashes / band_size`` bands); documents
+    colliding in any band become candidates; candidates are verified against
+    the exact token-set Jaccard so the output has no false positives (recall
+    depends on banding parameters, as usual for LSH). ``verify`` picks the
+    verification representation: 'bitmask' (vocab <= 64, popcount
+    arithmetic), 'arrays' (general, ``array_intersect``), or 'auto'.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * band_size + j:02d}") for j in range(band_size)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(n_bands)])).alias(
+            "band_key"
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docsets = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).withColumn("sz", F.size("toks"))
+    if verify == "auto":
+        vocab_size = (
+            docsets.select(F.explode("toks").alias("token")).distinct().count()
+        )
+        verify = "bitmask" if vocab_size <= 64 else "arrays"
+    if verify == "bitmask":
+        masks = _doc_masks(docsets)
+        va = masks.select(F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"))
+        vb = masks.select(F.col("doc_id").alias("doc_b"), F.col("mask").alias("mask_b"))
+        inter_bits = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+        union_bits = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+        return (
+            cand.join(va, "doc_a")
+            .join(vb, "doc_b")
+            .withColumn("n_common", inter_bits.cast("int"))
+            .withColumn("jaccard", F.round(inter_bits / union_bits, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "jaccard")
+        )
+    sa = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 60) -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token hash bits.
+
+    Bit k of the fingerprint is 1 iff the majority of the document's distinct
+    tokens have bit k set in their 60-bit hash. Emitted as a bigint
+    ``simhash`` plus the token count.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    ).withColumn("h", hash60(F.col("token")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1))).alias(f"b{k}")
+            for k in range(n_bits)
+        ],
+    )
+    fp = None
+    for k in range(n_bits):
+        bit = (F.col(f"b{k}") * 2 > F.col("n_tokens")).cast("long") * F.lit(2**k).cast(
+            "long"
+        )
+        fp = bit if fp is None else fp + bit
+    return bit_sums.select("doc_id", fp.alias("simhash"), "n_tokens")

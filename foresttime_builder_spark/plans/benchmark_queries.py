@@ -1,0 +1,864 @@
+"""Benchmark / correctness-gate queries over the synthetic star schema.
+
+Each entry pairs an idiomatic-PySpark query (DataFrame API, Catalyst-friendly)
+with an equivalent ANSI-SQL oracle that DuckDB runs on the same parquet
+tables. The driver compares row counts, schemas, and order-insensitive value
+hashes — so every computed column is aliased identically on both sides, and
+every float that passes through an order-dependent aggregate is rounded to a
+fixed scale on both sides (per-row IEEE arithmetic is deterministic and needs
+no rounding; cross-partition summation order is not).
+
+Query → reference-operator map (SURVEY.md §2): see each docstring.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from foresttime_builder_spark.operators import (
+    expand_grid,
+    fill_gaps,
+    linear_interpolate,
+    step_interpolate,
+)
+from foresttime_builder_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash,
+    token_jaccard_pairs,
+)
+from foresttime_builder_spark.sources import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+
+
+def _hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash shared with the DuckDB oracle: first 15 hex
+    digits of md5, as a bigint. (Spark's murmur ``F.hash`` has no DuckDB
+    twin, so engine-portable operators hash via md5.)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_HASH60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Relational core
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with scalar expressions (SURVEY §2.4 A2; TPC-H Q1 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast dimension join + aggregate (SURVEY §2.3 J7)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.year("o_orderdate").alias("year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q02 = """
+SELECT r_name AS region, year(o_orderdate) AS year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, year(o_orderdate)
+"""
+
+
+def q03_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving unmatched left rows (SURVEY §2.3 J1-J3 shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+ORACLE_Q03 = """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def q04_snapshot_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two yearly snapshots (SURVEY §2.3 J4)."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_1995"))
+    )
+    y96 = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_1996"))
+    )
+    return (
+        y95.join(y96, "custkey", "full")
+        .select(
+            "custkey",
+            F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+            F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+        )
+    )
+
+
+ORACLE_Q04 = """
+SELECT coalesce(a.custkey, b.custkey) AS custkey,
+       coalesce(n_1995, 0) AS n_1995,
+       coalesce(n_1996, 0) AS n_1996
+FROM (SELECT o_custkey AS custkey, count(*) AS n_1995 FROM orders
+      WHERE year(o_orderdate) = 1995 GROUP BY 1) a
+FULL OUTER JOIN
+     (SELECT o_custkey AS custkey, count(*) AS n_1996 FROM orders
+      WHERE year(o_orderdate) = 1996 GROUP BY 1) b
+USING (custkey)
+"""
+
+
+_QTY_BANDS = [("tiny", 0.0, 10.0), ("small", 10.0, 25.0), ("mid", 25.0, 40.0), ("large", 40.0, 1e9)]
+
+
+def q05_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range/band theta-join, interval [lo, hi) (SURVEY §2.3 J6 —
+    the DESIGNCD×DIA TPA-rules join, re-expressed on l_quantity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo double, hi double")
+    joined = li.join(
+        F.broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        "left",
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("band_price"),
+    )
+
+
+ORACLE_Q05 = """
+SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS band_price
+FROM lineitem
+LEFT JOIN (VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
+                  ('mid', 25.0, 40.0), ('large', 40.0, 1e9)) bands(band, lo, hi)
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+"""
+
+
+def q06_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the most recent prior click's
+    value (SURVEY §2.3 J13, the interval/as-of join, as a window as-of)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_value", F.round(last_click, 4))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.round("value", 4).alias("purchase_value"), "last_click_value")
+    )
+
+
+ORACLE_Q06 = """
+SELECT event_id, user_id, round(value, 4) AS purchase_value, last_click_value
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4)
+           AS last_click_value
+  FROM events
+) t
+WHERE event_type = 'purchase'
+"""
+
+
+def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation sweep in one pass (SURVEY §2.4 A7 → GROUPING SETS)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q19_manual_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshape via conditional aggregation (SURVEY §2.6 O5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = F.col("l_returnflag")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(F.when(flag == "A", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_A"),
+        F.round(F.sum(F.when(flag == "N", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_N"),
+        F.round(F.sum(F.when(flag == "R", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_R"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END), 2) AS qty_A,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END), 2) AS qty_N,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 2) AS qty_R
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def q20_yearly_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup + ratio — the population-scaling query shape
+    (SURVEY §3.3: per-plot totals → per-year totals → ratio; here per-customer
+    totals → per-year revenue per active customer)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust_year = o.groupBy(
+        F.col("o_custkey").alias("custkey"), F.year("o_orderdate").alias("year")
+    ).agg(F.sum("o_totalprice").alias("cust_total"))
+    return (
+        per_cust_year.groupBy("year")
+        .agg(
+            F.round(F.sum("cust_total"), 2).alias("total_revenue"),
+            F.countDistinct("custkey").alias("n_customers"),
+        )
+        .withColumn(
+            "revenue_per_customer",
+            F.round(F.col("total_revenue") / F.col("n_customers"), 4),
+        )
+    )
+
+
+ORACLE_Q20 = """
+WITH per_cust_year AS (
+  SELECT o_custkey AS custkey, year(o_orderdate) AS year,
+         sum(o_totalprice) AS cust_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT year, round(sum(cust_total), 2) AS total_revenue,
+       count(DISTINCT custkey) AS n_customers,
+       round(round(sum(cust_total), 2) / count(DISTINCT custkey), 4)
+         AS revenue_per_customer
+FROM per_cust_year GROUP BY year
+"""
+
+
+def q21_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/lead transition windows (SURVEY §2.5 W9)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.year("l_shipdate").alias("year"),
+        F.month("l_shipdate").alias("month"),
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    w = W.partitionBy("suppkey").orderBy("year", "month")
+    return monthly.select(
+        "suppkey",
+        "year",
+        "month",
+        "qty",
+        F.lag("qty", 1).over(w).alias("prev_qty"),
+        F.round(F.col("qty") - F.lag("qty", 1).over(w), 2).alias("qty_delta"),
+    )
+
+
+ORACLE_Q21 = """
+WITH monthly AS (
+  SELECT l_suppkey AS suppkey, year(l_shipdate) AS year,
+         month(l_shipdate) AS month, round(sum(l_quantity), 2) AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT suppkey, year, month, qty,
+       lag(qty, 1) OVER w AS prev_qty,
+       round(qty - lag(qty, 1) OVER w, 2) AS qty_delta
+FROM monthly
+WINDOW w AS (PARTITION BY suppkey ORDER BY year, month)
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-series / annualization operators on the synthetic panel
+# --------------------------------------------------------------------------
+
+# Deterministic hole-punching so the dense grid has real gaps to interpolate.
+_PANEL_FILTER = "((o_custkey + year(o_orderdate)) % 3) != 0"
+
+
+def _orders_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"), F.year("o_orderdate").alias("year")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("val"),
+            F.min("o_orderpriority").alias("prio"),
+        )
+        .filter(F.expr("((custkey + year) % 3) != 0"))
+    )
+
+
+_PANEL_SQL = f"""
+  SELECT o_custkey AS custkey, year(o_orderdate) AS year,
+         round(sum(o_totalprice), 4) AS val, min(o_orderpriority) AS prio
+  FROM orders GROUP BY 1, 2
+  HAVING {_PANEL_FILTER}
+"""
+
+_GRID_SQL = f"""
+  panel AS ({_PANEL_SQL}),
+  bounds AS (SELECT custkey, min(year) lo, max(year) hi FROM panel GROUP BY 1),
+  grid AS (SELECT custkey, unnest(generate_series(lo, hi)) AS year FROM bounds),
+  joined AS (
+    SELECT grid.custkey, grid.year, panel.val, panel.prio,
+           panel.custkey IS NULL AS interpolated
+    FROM grid LEFT JOIN panel
+      ON grid.custkey = panel.custkey AND grid.year = panel.year
+  )
+"""
+
+
+def q07_expand_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense year-grid expansion with provenance flag (SURVEY §2.5 W10 +
+    §2.3 J5 — ``expand_data``'s sequence/explode + flagged join)."""
+    panel = _orders_panel(spark, sf_dir)
+    return expand_grid(panel, ["custkey"], "year").select(
+        "custkey", "year", "val", "interpolated"
+    )
+
+
+ORACLE_Q07 = f"""
+WITH {_GRID_SQL}
+SELECT custkey, year, val, interpolated FROM joined
+"""
+
+
+def q08_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear interpolation over the dense grid (SURVEY §2.5 W4)."""
+    panel = _orders_panel(spark, sf_dir)
+    g = expand_grid(panel, ["custkey"], "year")
+    out = linear_interpolate(g, ["custkey"], "year", ["val"])
+    return out.select(
+        "custkey", "year", F.round("val", 4).alias("val"), "interpolated"
+    )
+
+
+ORACLE_Q08 = f"""
+WITH {_GRID_SQL},
+w AS (
+  SELECT custkey, year, val, interpolated,
+    last_value(val IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY year
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN val IS NOT NULL THEN year END IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY year
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_x,
+    first_value(val IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY year
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN val IS NOT NULL THEN year END IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY year
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
+  FROM joined
+)
+SELECT custkey, year,
+  round(CASE
+    WHEN val IS NOT NULL THEN val
+    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+      THEN prev_v + (next_v - prev_v) / (next_x - prev_x) * (year - prev_x)
+    ELSE NULL END, 4) AS val,
+  interpolated
+FROM w
+"""
+
+
+def q09_step_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Midpoint-switch categorical interpolation (SURVEY §2.5 W5)."""
+    panel = _orders_panel(spark, sf_dir)
+    g = expand_grid(panel, ["custkey"], "year")
+    out = step_interpolate(g, ["custkey"], "year", ["prio"])
+    return out.select("custkey", "year", "prio", "interpolated")
+
+
+ORACLE_Q09 = f"""
+WITH {_GRID_SQL},
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY custkey ORDER BY year) AS i
+  FROM joined
+),
+w AS (
+  SELECT custkey, year, prio, interpolated, i,
+    last_value(prio IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY i
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN prio IS NOT NULL THEN i END IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY i
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_i,
+    first_value(prio IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY i
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN prio IS NOT NULL THEN i END IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY i
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+  FROM idx
+)
+SELECT custkey, year,
+  CASE
+    WHEN prio IS NOT NULL THEN prio
+    WHEN prev_v IS NULL THEN NULL
+    WHEN next_v IS NULL THEN prev_v
+    WHEN i < prev_i + ceil((next_i - prev_i) / 2.0) THEN prev_v
+    ELSE next_v
+  END AS prio,
+  interpolated
+FROM w
+"""
+
+
+def q10_fill_downup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-then-up gap fill of group-invariant columns (SURVEY §2.5 W1/W3)."""
+    panel = _orders_panel(spark, sf_dir)
+    g = expand_grid(panel, ["custkey"], "year")
+    out = fill_gaps(g, ["custkey"], "year", ["prio"], direction="downup")
+    return out.select("custkey", "year", F.col("prio").alias("prio_filled"))
+
+
+ORACLE_Q10 = f"""
+WITH {_GRID_SQL}
+SELECT custkey, year,
+  coalesce(
+    last_value(prio IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY year
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    first_value(prio IGNORE NULLS) OVER
+      (PARTITION BY custkey ORDER BY year
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  ) AS prio_filled
+FROM joined
+"""
+
+
+def q11_first_flag_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group first-year-where-condition broadcast to all rows
+    (SURVEY §2.5 W6/W7 — the first-dead-year window)."""
+    o = load_table(spark, sf_dir, "orders")
+    w_all = W.partitionBy("o_custkey")
+    first_f = F.min(
+        F.when(F.col("o_orderstatus") == "F", F.year("o_orderdate"))
+    ).over(w_all)
+    return (
+        o.withColumn("first_f_year", first_f)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.min("first_f_year").alias("first_f_year"))
+    )
+
+
+ORACLE_Q11 = """
+SELECT o_custkey AS custkey,
+       min(CASE WHEN o_orderstatus = 'F' THEN year(o_orderdate) END)
+         AS first_f_year
+FROM orders GROUP BY 1
+"""
+
+
+def q22_expns_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expansion-factor pattern: constant / countDistinct per group
+    (SURVEY §2.4 A5 — EXPNS = area / n_plots)."""
+    o = load_table(spark, sf_dir, "orders")
+    area = 1_000_000.0
+    return (
+        o.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .withColumn("expns", F.round(F.lit(area) / F.col("n_customers"), 4))
+    )
+
+
+ORACLE_Q22 = """
+SELECT year(o_orderdate) AS year,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(1000000.0 / count(DISTINCT o_custkey), 4) AS expns
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Text / dedup / similarity (LLM-data-pipeline operators)
+# --------------------------------------------------------------------------
+
+
+def q12_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: survivor id + group size per distinct
+    text (dedup operator family, BASELINE.json north star)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_Q12 = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q13_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token count, mean word length, stopword ratio
+    (text-analysis operator family)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array([F.lit(s) for s in ["the", "a", "of", "and", "to"]])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, stop))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(F.length("text") / n_tok, 4).alias("mean_tok_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tok, 4
+        ).alias("stopword_ratio"),
+        (n_stop > 0).alias("has_stopword"),
+    )
+
+
+ORACLE_Q13 = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(length(text) / len(string_split(text, ' ')), 4) AS mean_tok_len,
+       round(len(list_filter(string_split(text, ' '),
+                             t -> list_contains(['the','a','of','and','to'], t)))
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       len(list_intersect(string_split(text, ' '),
+                          ['the','a','of','and','to'])) > 0 AS has_stopword
+FROM documents
+"""
+
+
+def q14_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency table over distinct tokens (inverted-index /
+    fingerprinting building block)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 10)
+    )
+
+
+ORACLE_Q14 = """
+SELECT token, count(*) AS df
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents) t
+GROUP BY token HAVING count(*) >= 10
+"""
+
+
+def q15_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit-ish content fingerprint from the document's token multiset
+    (engine-portable md5-based hashing)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return toks.groupBy("doc_id").agg(
+        F.min(_hash60(F.col("token"))).alias("min_token_hash"),
+        F.max(_hash60(F.col("token"))).alias("max_token_hash"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+ORACLE_Q15 = f"""
+SELECT doc_id,
+       min({_HASH60_SQL.format(x='token')}) AS min_token_hash,
+       max({_HASH60_SQL.format(x='token')}) AS max_token_hash,
+       count(*) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY doc_id
+"""
+
+
+def q16_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-duplicate pairs with prefix filtering
+    (n-gram dedup family). The oracle is the naive quadratic inverted-index
+    join — prefix filtering is lossless, so results are identical while the
+    Spark plan only self-joins each document's rarest-token prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    return token_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+ORACLE_Q16 = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.8
+"""
+
+
+def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column for a probe subset
+    (similarity-search baseline; the IVF/LSH variants prune the same plan)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    )
+    probes = base.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec")
+    )
+    dot = F.aggregate(
+        F.zip_with("probe_vec", "vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    pairs = probes.join(base, F.col("probe_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot / (norm(F.col("probe_vec")) * norm(F.col("vec"))), 6).alias("cosine"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+ORACLE_Q17 = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(p.vec, b.vec)
+               / (sqrt(list_dot_product(p.vec, p.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM base p JOIN base b ON p.vec_id != b.vec_id
+  WHERE p.vec_id % 25 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup candidates verified with exact Jaccard
+    (the sub-quadratic dedup path). Oracle replicates the identical banding
+    construction, so candidate recall is bit-for-bit reproducible."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=_MH_N, band_size=_MH_BAND, threshold=0.5
+    )
+
+
+_MH_N, _MH_BAND = 16, 2
+
+
+def _minhash_lsh_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min({_HASH60_SQL.format(x=repr(str(i) + '|') + ' || token')}) AS mh_{i:02d}"
+        for i in range(_MH_N)
+    )
+    n_bands = _MH_N // _MH_BAND
+    bands = ",\n         ".join(
+        "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * _MH_BAND + j:02d} AS VARCHAR)"
+                for j in range(_MH_BAND)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    band_list = ", ".join(f"band_{b}" for b in range(n_bands))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM tok GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         {bands}
+  FROM sigs
+),
+stacked AS (
+  SELECT doc_id, unnest([{band_list}]) AS band_key FROM banded
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+docsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         len(list_distinct(string_split(text, ' '))) AS sz
+  FROM documents
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(sa.toks, sb.toks)) AS n_common,
+       round(len(list_intersect(sa.toks, sb.toks))
+             / (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))), 4)
+         AS jaccard
+FROM cand
+JOIN docsets sa ON sa.doc_id = doc_a
+JOIN docsets sb ON sb.doc_id = doc_b
+WHERE round(len(list_intersect(sa.toks, sb.toks))
+            / (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))), 4) >= 0.5
+"""
+
+
+def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (Hamming-distance near-dup family)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", n_bits=_SH_BITS)
+
+
+_SH_BITS = 60
+
+
+def _simhash_oracle() -> str:
+    h = _HASH60_SQL.format(x="token")
+    bits = " + ".join(
+        f"(CASE WHEN sum((h >> {k}) & 1) * 2 > count(*) THEN CAST({2**k} AS BIGINT) ELSE 0 END)"
+        for k in range(_SH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents) t
+)
+SELECT doc_id, {bits} AS simhash, count(*) AS n_tokens
+FROM tok GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
+    "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
+    "q03_customer_order_counts": QuerySpec(q03_customer_order_counts, ORACLE_Q03),
+    "q04_snapshot_full_outer": QuerySpec(q04_snapshot_full_outer, ORACLE_Q04),
+    "q05_range_band_join": QuerySpec(q05_range_band_join, ORACLE_Q05),
+    "q06_asof_last_click": QuerySpec(q06_asof_last_click, ORACLE_Q06),
+    "q07_expand_grid": QuerySpec(q07_expand_grid, ORACLE_Q07),
+    "q08_linear_interp": QuerySpec(q08_linear_interp, ORACLE_Q08),
+    "q09_step_interp": QuerySpec(q09_step_interp, ORACLE_Q09),
+    "q10_fill_downup": QuerySpec(q10_fill_downup, ORACLE_Q10),
+    "q11_first_flag_year": QuerySpec(q11_first_flag_year, ORACLE_Q11),
+    "q12_dedup_exact": QuerySpec(q12_dedup_exact, ORACLE_Q12),
+    "q13_text_quality": QuerySpec(q13_text_quality, ORACLE_Q13),
+    "q14_token_df": QuerySpec(q14_token_df, ORACLE_Q14),
+    "q15_doc_fingerprint": QuerySpec(q15_doc_fingerprint, ORACLE_Q15),
+    "q16_jaccard_pairs": QuerySpec(q16_jaccard_pairs, ORACLE_Q16),
+    "q17_cosine_topk": QuerySpec(q17_cosine_topk, ORACLE_Q17),
+    "q18_grouping_sets": QuerySpec(q18_grouping_sets, ORACLE_Q18),
+    "q19_manual_pivot": QuerySpec(q19_manual_pivot, ORACLE_Q19),
+    "q20_yearly_ratio": QuerySpec(q20_yearly_ratio, ORACLE_Q20),
+    "q21_monthly_lag": QuerySpec(q21_monthly_lag, ORACLE_Q21),
+    "q22_expns_per_year": QuerySpec(q22_expns_per_year, ORACLE_Q22),
+    "q23_minhash_lsh": QuerySpec(q23_minhash_lsh, _minhash_lsh_oracle()),
+    "q24_simhash": QuerySpec(q24_simhash, _simhash_oracle()),
+}
