@@ -1,0 +1,338 @@
+"""The FIA annualization pipeline, Spark-first.
+
+Stage-for-stage capability parity with the reference pipeline
+(``fia_tidy → expand_data → interpolate_data → adjust_mortality``; reference
+``R/fia_tidy.R``, ``R/expand_data.R``, ``R/interpolate_data.R``,
+``R/adjust_mortality.R``), re-expressed as one lazy DataFrame plan:
+
+- the reference's per-group R vector functions become the window operators in
+  :mod:`foresttime_builder_spark.operators.timeseries`;
+- the TPA assignment (``R/interpolate_data.R:70-77``) is a broadcast band
+  join;
+- mortality masks are pure column algebra with R NA semantics via
+  :mod:`foresttime_builder_spark.functions.helpers`.
+
+Scale notes: after :func:`fia_tidy` everything partitions by
+``(plot_ID, tree_ID)``; one exchange covers every window in expand /
+interpolate / adjust (Catalyst collapses same-partitioning Window nodes).
+The only other shuffles are the three tidy joins. Reference tables are all
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from foresttime_builder_spark.functions import r_if_else, r_isin
+from foresttime_builder_spark.operators import (
+    expand_grid,
+    fill_gaps,
+    linear_interpolate,
+    step_interpolate,
+)
+from foresttime_builder_spark.sources import ref_tables
+
+GROUP = ["plot_ID", "tree_ID"]
+
+# categorical columns that temporarily hold 999 instead of NA so the
+# midpoint-switch interpolation treats "measured as NA" as a real level
+# (reference R/expand_data.R:25-39)
+SENTINEL_COLS = (
+    "STATUSCD",
+    "RECONCILECD",
+    "DECAYCD",
+    "STANDING_DEAD_CD",
+    "STDORGCD",
+    "CONDID",
+    "COND_STATUS_CD",
+)
+
+LINEAR_COLS = ("ACTUALHT", "DIA", "HT", "CULL", "CR", "CONDPROP_UNADJ")
+STEP_COLS = ("PLT_CN",) + SENTINEL_COLS
+INVARIANT_COLS = (
+    "INTENSITY",
+    "SPCD",
+    "ECOSUBCD",
+    "DESIGNCD",
+    "PROP_BASIS",
+    "MORTYR",
+)
+
+
+def add_composite_ids(df: DataFrame) -> DataFrame:
+    """plot_ID / tree_ID as underscore-joined composite keys
+    (reference ``R/fia_ids.R:24-26``)."""
+    cols = set(df.columns)
+    out = df
+    if {"STATECD", "UNITCD", "COUNTYCD", "PLOT"} <= cols:
+        out = out.withColumn(
+            "plot_ID", F.concat_ws("_", "STATECD", "UNITCD", "COUNTYCD", "PLOT")
+        )
+    if {"SUBP", "TREE"} <= cols:
+        out = out.withColumn(
+            "tree_ID",
+            F.concat_ws("_", "STATECD", "UNITCD", "COUNTYCD", "PLOT", "SUBP", "TREE"),
+        )
+    return out
+
+
+def split_composite_ids(df: DataFrame, id_col: str = "tree_ID") -> DataFrame:
+    """Inverse of :func:`add_composite_ids` (reference ``R/fia_ids.R:59-77``)."""
+    parts = ["STATECD", "UNITCD", "COUNTYCD", "PLOT"]
+    if id_col == "tree_ID":
+        parts += ["SUBP", "TREE"]
+    split = F.split(F.col(id_col), "_")
+    out = df
+    for i, name in enumerate(parts):
+        out = out.withColumn(name, split.getItem(i))
+    return out
+
+
+def fia_tidy(db: dict[str, DataFrame]) -> DataFrame:
+    """Join PLOT ⋈ TREE ⋈ PLOTGEOM ⋈ COND into the tree-panel table
+    (reference ``R/fia_tidy.R:19-142``): prune to the column contract,
+    filter INVYR >= 2000, composite IDs, MORTYR fill / last-SPCD windows,
+    re-attach empty plots."""
+    plotgeom = (
+        db["PLOTGEOM"]
+        .filter(F.col("INVYR") >= 2000)
+        .select(
+            F.col("CN").cast("string").alias("PLT_CN"), "INVYR", "ECOSUBCD"
+        )
+    )
+    plot = (
+        add_composite_ids(db["PLOT"].filter(F.col("INVYR") >= 2000))
+        .select(
+            "plot_ID",
+            F.col("CN").cast("string").alias("PLT_CN"),
+            "INVYR",
+            "DESIGNCD",
+            "INTENSITY",
+        )
+    )
+    cond = (
+        add_composite_ids(db["COND"].filter(F.col("INVYR") >= 2000))
+        .select(
+            "plot_ID",
+            F.col("PLT_CN").cast("string").alias("PLT_CN"),
+            "INVYR",
+            "CONDID",
+            "CONDPROP_UNADJ",
+            "PROP_BASIS",
+            "COND_STATUS_CD",
+            "STDORGCD",
+        )
+    )
+    tree = (
+        add_composite_ids(db["TREE"].filter(F.col("INVYR") >= 2000))
+        .select(
+            "plot_ID",
+            "tree_ID",
+            "INVYR",
+            F.col("PLT_CN").cast("string").alias("PLT_CN"),
+            "CONDID",
+            "MORTYR",
+            "STATUSCD",
+            "RECONCILECD",
+            "DECAYCD",
+            "STANDING_DEAD_CD",
+            "DIA",
+            "CR",
+            "HT",
+            "ACTUALHT",
+            "CULL",
+            "SPCD",
+        )
+    )
+
+    data = (
+        plot.join(tree, on=["plot_ID", "PLT_CN", "INVYR"], how="left")
+        .join(plotgeom, on=["INVYR", "PLT_CN"], how="left")
+        .join(cond, on=["plot_ID", "INVYR", "PLT_CN", "CONDID"], how="left")
+    )
+
+    # MORTYR becomes a tree property; SPCD pinned to the most recent record
+    w = Window.partitionBy("tree_ID").orderBy("INVYR")
+    w_all = Window.partitionBy("tree_ID")
+    data = data.withColumn("MORTYR", F.max("MORTYR").over(w_all)).withColumn(
+        "SPCD",
+        F.last("SPCD", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+
+    # snapshot of every plot-year before any row-dropping cleaning, then
+    # full-join back so "empty" plots survive the pipeline
+    all_plots = (
+        data.select("plot_ID", "INVYR").distinct().join(plot, ["plot_ID", "INVYR"])
+    )
+
+    data = data.withColumn("ACTUALHT", F.coalesce("ACTUALHT", "HT"))
+
+    data = data.join(
+        all_plots,
+        on=["plot_ID", "PLT_CN", "INVYR", "DESIGNCD", "INTENSITY"],
+        how="full",
+    )
+    return data
+
+
+def expand_data(data: DataFrame) -> DataFrame:
+    """Densify each tree's INVYR axis to every year (reference
+    ``R/expand_data.R:18-88``): 999-sentinel swap, CULL NA→0, per-tree year
+    grid with ``interpolated`` provenance flag, downup fill of
+    time-invariant columns."""
+    cols = set(data.columns)
+    for c in SENTINEL_COLS:
+        if c in cols:
+            data = data.withColumn(
+                c, F.when(F.col(c).isNull(), 999).otherwise(F.col(c))
+            )
+    if "CULL" in cols:
+        data = data.withColumn("CULL", F.coalesce("CULL", F.lit(0.0)))
+
+    expanded = expand_grid(
+        data, GROUP, "INVYR", out_col="YEAR", flag_col="interpolated"
+    )
+    fill_cols = [c for c in INVARIANT_COLS if c in cols]
+    return fill_gaps(expanded, GROUP, "YEAR", fill_cols, direction="downup")
+
+
+def interpolate_data(data_expanded: DataFrame) -> DataFrame:
+    """Fill the dense grid (reference ``R/interpolate_data.R:34-111``):
+    linear interpolation/extrapolation for measurements, midpoint switch for
+    categoricals, de-sentinel, CULL-only-when-measurable rule, broadcast TPA
+    band join, below-threshold ⇒ fallen-dead rules."""
+    spark = data_expanded.sparkSession
+    cols = set(data_expanded.columns)
+
+    out = linear_interpolate(
+        data_expanded, GROUP, "YEAR", [c for c in LINEAR_COLS if c in cols]
+    )
+    out = step_interpolate(out, GROUP, "YEAR", [c for c in STEP_COLS if c in cols])
+    for c in SENTINEL_COLS:
+        if c in cols:
+            out = out.withColumn(
+                c, F.when(F.col(c) == 999, None).otherwise(F.col(c))
+            )
+
+    # CULL is only measured for trees with DIA >= 5 (R if_else: unknown DIA
+    # → unknown CULL)
+    if "CULL" in cols:
+        out = out.withColumn(
+            "CULL", r_if_else(F.col("DIA") < 5, None, F.col("CULL"))
+        )
+
+    # TPA assignment: DESIGNCD × DIA ∈ [min_DIA, max_DIA) band rules
+    rules = ref_tables.tpa_rules(spark)
+    out = out.join(
+        F.broadcast(rules),
+        on=(
+            (out["DESIGNCD"] == rules["DESIGNCD"])
+            & (out["DIA"] >= rules["min_DIA"])
+            & (out["DIA"] < rules["max_DIA"])
+        ),
+        how="left",
+    ).drop(rules["DESIGNCD"]).drop("min_DIA", "max_DIA")
+
+    # below measurement thresholds ⇒ fallen dead (woodland species
+    # JENKINS_SPGRPCD == 10 use a 1 ft height threshold instead of 4.5)
+    species = ref_tables.ref_species(spark).select("SPCD", "JENKINS_SPGRPCD")
+    out = out.join(F.broadcast(species), on="SPCD", how="left")
+    dia, ht, aht = F.col("DIA"), F.col("HT"), F.col("ACTUALHT")
+    j = F.col("JENKINS_SPGRPCD")
+    below_normal = (j < 10) & ((dia < 1) | (ht < 4.5) | (aht < 4.5))
+    below_woodland = (j == 10) & ((dia < 1) | (ht < 1) | (aht < 1))
+    out = (
+        out.withColumn(
+            "STATUSCD",
+            F.when(below_normal | below_woodland, 2).otherwise(F.col("STATUSCD")),
+        )
+        .withColumn(
+            "STANDING_DEAD_CD",
+            F.when(below_normal | below_woodland, 0).otherwise(
+                F.col("STANDING_DEAD_CD")
+            ),
+        )
+        .drop("JENKINS_SPGRPCD")
+    )
+    return out
+
+
+def adjust_mortality(
+    data_interpolated: DataFrame, use_mortyr: bool = True
+) -> DataFrame:
+    """Mortality masks (reference ``R/adjust_mortality.R:24-130``): optional
+    recorded-MORTYR override of the interpolated death midpoint, then
+    applicability rules (standing-dead only for dead trees, decay only for
+    standing dead, no measurements for fallen trees / non-sampled
+    conditions)."""
+    df = data_interpolated
+    w_all = Window.partitionBy("tree_ID")
+    w = Window.partitionBy("tree_ID").orderBy("YEAR")
+
+    if use_mortyr:
+        # reference warns + downgrades when no MORTYR is recorded at all
+        any_mortyr = (
+            df.filter(F.col("MORTYR").isNotNull()).limit(1).count() > 0
+        )
+        use_mortyr = any_mortyr
+
+    if use_mortyr:
+        # tree alive in its recorded MORTYR → effective death the year after;
+        # R max() without na.rm poisons the whole tree when any row is NA
+        year_eq = (F.col("YEAR") == F.col("MORTYR")) & (F.col("STATUSCD") == 1)
+        df = df.withColumn(
+            "_eff", r_if_else(year_eq, F.col("MORTYR") + 1, F.col("MORTYR"))
+        )
+        n_null = F.sum(F.col("_eff").isNull().cast("int")).over(w_all)
+        df = df.withColumn(
+            "MORTYR_eff",
+            F.when(n_null > 0, None).otherwise(F.max("_eff").over(w_all)),
+        ).drop("_eff")
+        df = df.withColumn(
+            "first_dead",
+            F.min(F.when(F.col("STATUSCD") == 2, F.col("YEAR"))).over(w_all),
+        )
+        eff, fd, yr = F.col("MORTYR_eff"), F.col("first_dead"), F.col("YEAR")
+        df = df.withColumn(
+            "STATUSCD",
+            F.when(eff.isNull(), F.col("STATUSCD"))
+            .when(eff == fd, F.col("STATUSCD"))
+            .when((eff < fd) & (yr >= eff) & (yr < fd), 2)
+            .when((eff > fd) & (yr < eff) & (yr >= fd), 1)
+            .otherwise(F.col("STATUSCD")),
+        )
+        df = fill_gaps(
+            df, ["tree_ID"], "YEAR", ["DECAYCD", "STANDING_DEAD_CD"], direction="up"
+        )
+        df = df.drop("first_dead", "MORTYR_eff")
+
+    # STANDING_DEAD_CD only applies to dead trees; DECAYCD only to standing
+    # dead (when/otherwise(None) matches R if_else NA-condition → NA here)
+    df = df.withColumn(
+        "STANDING_DEAD_CD",
+        F.when(F.col("STATUSCD") == 2, F.col("STANDING_DEAD_CD")).otherwise(None),
+    ).withColumn(
+        "DECAYCD",
+        F.when(F.col("STANDING_DEAD_CD") == 1, F.col("DECAYCD")).otherwise(None),
+    )
+
+    # fallen trees and trees in non-sampled conditions have no measurements
+    # (missing = keep, hence when(cond, NULL).otherwise(x))
+    fallen = F.col("STANDING_DEAD_CD") == 0
+    nonsampled = (
+        (F.col("STATUSCD") == 0) & r_isin(F.col("RECONCILECD"), [5, 6, 9])
+    ) | (F.col("COND_STATUS_CD") != 1)
+    for c in ("DIA", "HT", "ACTUALHT", "CULL", "CR"):
+        df = df.withColumn(c, F.when(fallen, None).otherwise(F.col(c)))
+        df = df.withColumn(c, F.when(nonsampled, None).otherwise(F.col(c)))
+    return df
+
+
+def fia_annualize(data_tidy: DataFrame, use_mortyr: bool = True) -> DataFrame:
+    """expand → interpolate → adjust_mortality (reference
+    ``R/fia_annualize.R:29-34``)."""
+    return adjust_mortality(
+        interpolate_data(expand_data(data_tidy)), use_mortyr=use_mortyr
+    )
