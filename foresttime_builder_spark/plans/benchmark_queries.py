@@ -836,6 +836,22 @@ FROM tok GROUP BY doc_id
 """
 
 
+def q25_fia_annualize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end pipeline: panel → dense grid → linear +
+    midpoint-switch interpolation → TPA band join → mortality masks
+    (SURVEY §3.1 — the full ``fia_annualize`` chain), value-hash-gated
+    stage-for-stage against a DuckDB SQL twin."""
+    from foresttime_builder_spark.plans.fia_on_synthetic import annualize_panel
+
+    return annualize_panel(spark, sf_dir)
+
+
+def _annualize_oracle() -> str:
+    from foresttime_builder_spark.plans.fia_on_synthetic import ORACLE_ANNUALIZE
+
+    return ORACLE_ANNUALIZE
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -861,4 +877,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q22_expns_per_year": QuerySpec(q22_expns_per_year, ORACLE_Q22),
     "q23_minhash_lsh": QuerySpec(q23_minhash_lsh, _minhash_lsh_oracle()),
     "q24_simhash": QuerySpec(q24_simhash, _simhash_oracle()),
+    "q25_fia_annualize": QuerySpec(q25_fia_annualize, _annualize_oracle()),
 }

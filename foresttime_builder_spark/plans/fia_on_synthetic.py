@@ -23,20 +23,20 @@ _PANEL_SQL = """
   SELECT * FROM (
     WITH per AS (
       SELECT o_custkey AS ck, year(o_orderdate) AS yr,
-             round(sum(o_totalprice), 4) AS base
+             floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS base
       FROM orders GROUP BY 1, 2
       HAVING ((o_custkey + year(o_orderdate)) % 3) != 0
     ),
     mx AS (SELECT *, max(yr) OVER (PARTITION BY ck) AS max_yr FROM per)
     SELECT
-      CAST(ck % 50 AS VARCHAR) AS plot_ID,
-      CAST(ck AS VARCHAR) AS tree_ID,
+      CAST(ck % 50 AS STRING) AS plot_ID,
+      CAST(ck AS STRING) AS tree_ID,
       yr AS INVYR,
       concat(ck, '_', yr) AS PLT_CN,
-      round(base / 100000, 4) AS DIA,
-      round(base / 20000, 4) AS HT,
-      CASE WHEN ck % 6 = 0 THEN round(base / 20000 * 0.9, 4)
-           ELSE round(base / 20000, 4) END AS ACTUALHT,
+      floor(base / 100000 * 10000 + 0.5) / 10000 AS DIA,
+      floor(base / 20000 * 10000 + 0.5) / 10000 AS HT,
+      CASE WHEN ck % 6 = 0 THEN floor(base / 20000 * 0.9 * 10000 + 0.5) / 10000
+           ELSE floor(base / 20000 * 10000 + 0.5) / 10000 END AS ACTUALHT,
       CASE WHEN (ck + yr) % 5 = 0 THEN NULL
            ELSE CAST((ck * 7 + yr) % 80 AS DOUBLE) END AS CR,
       CASE WHEN (ck + yr) % 4 = 0 THEN NULL
@@ -64,6 +64,14 @@ _PANEL_SQL = """
 """
 
 
+def _r4(c) -> F.Column:
+    """Engine-portable 4-decimal rounding: identical IEEE ops in Spark and
+    DuckDB (their native ``round`` implementations disagree on exact-tie
+    doubles like interpolated midpoints ``(a+b)/2``)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
 def synthetic_tree_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PANEL_SQL)
@@ -78,17 +86,17 @@ def annualize_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tree_ID",
         "YEAR",
         "interpolated",
-        F.round("DIA", 4).alias("dia"),
-        F.round("HT", 4).alias("ht"),
-        F.round("ACTUALHT", 4).alias("actualht"),
-        F.round("CULL", 4).alias("cull"),
-        F.round("CR", 4).alias("cr"),
+        _r4("DIA").alias("dia"),
+        _r4("HT").alias("ht"),
+        _r4("ACTUALHT").alias("actualht"),
+        _r4("CULL").alias("cull"),
+        _r4("CR").alias("cr"),
         F.col("STATUSCD").cast("int").alias("statuscd"),
         F.col("STANDING_DEAD_CD").cast("int").alias("standing_dead_cd"),
         F.col("DECAYCD").cast("int").alias("decaycd"),
         F.col("RECONCILECD").cast("int").alias("reconcilecd"),
         F.col("COND_STATUS_CD").cast("int").alias("cond_status_cd"),
-        F.round("TPA_UNADJ", 4).alias("tpa_unadj"),
+        _r4("TPA_UNADJ").alias("tpa_unadj"),
         "PLT_CN",
     )
 
@@ -356,15 +364,17 @@ final AS (
   FROM masks3
 )
 SELECT tree_ID, YEAR, interpolated,
-       round(DIA, 4) AS dia, round(HT, 4) AS ht,
-       round(ACTUALHT, 4) AS actualht, round(CULL, 4) AS cull,
-       round(CR, 4) AS cr,
+       floor(DIA * 10000 + 0.5) / 10000 AS dia,
+       floor(HT * 10000 + 0.5) / 10000 AS ht,
+       floor(ACTUALHT * 10000 + 0.5) / 10000 AS actualht,
+       floor(CULL * 10000 + 0.5) / 10000 AS cull,
+       floor(CR * 10000 + 0.5) / 10000 AS cr,
        CAST(STATUSCD AS INT) AS statuscd,
        CAST(STANDING_DEAD_CD AS INT) AS standing_dead_cd,
        CAST(DECAYCD AS INT) AS decaycd,
        CAST(RECONCILECD AS INT) AS reconcilecd,
        CAST(COND_STATUS_CD AS INT) AS cond_status_cd,
-       round(TPA_UNADJ, 4) AS tpa_unadj,
+       floor(TPA_UNADJ * 10000 + 0.5) / 10000 AS tpa_unadj,
        PLT_CN
 FROM final
 """

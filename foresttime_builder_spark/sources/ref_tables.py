@@ -40,12 +40,14 @@ def _read_csv(spark: SparkSession, name: str, schema: str | None = None) -> Data
 def ref_species(spark: SparkSession) -> DataFrame:
     """SPCD-keyed species properties (subset of REF_SPECIES consumed by the
     pipeline: reference ``R/prep_carbon.R:14-22``, ``R/interpolate_data.R:85``)."""
+    # JENKINS_SPGRPCD is stored as "7.0"-style floats; an INT schema would
+    # silently null it under PERMISSIVE csv parsing
     return _read_csv(
         spark,
         "REF_SPECIES.csv",
-        "SPCD INT, JENKINS_SPGRPCD INT, SFTWD_HRDWD STRING, WOODLAND STRING, "
+        "SPCD INT, JENKINS_SPGRPCD DOUBLE, SFTWD_HRDWD STRING, WOODLAND STRING, "
         "CARBON_RATIO_LIVE DOUBLE, WOOD_SPGR_GREENVOL_DRYWT DOUBLE",
-    )
+    ).withColumn("JENKINS_SPGRPCD", F.col("JENKINS_SPGRPCD").cast("int"))
 
 
 def tpa_rules(spark: SparkSession) -> DataFrame:
