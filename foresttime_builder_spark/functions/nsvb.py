@@ -1,0 +1,278 @@
+"""NSVB (National Scale Volume & Biomass) estimation primitives, Spark-first.
+
+The reference evaluates the NSVB equation system (Westfall et al. 2024) with
+per-equation ``eval(parse())`` over row splits and ~14 merge-by-ID passes
+(reference ``R/predictCRM2.R``).  Here the same math is expressed as native
+Column algebra so the whole stage compiles into one WholeStageCodegen span:
+
+- coefficient resolution (reference ``applyAllLevels``/``combineLevels2``,
+  ``R/predictCRM2.R:628-721``): three broadcast left joins (SPCD_DIVISION →
+  SPCD → JENKINS_SPGRPCD) + a matched-level pick, instead of row-splitting
+  and rbind;
+- equation forms (``data-raw/equation_forms_and_calls.csv`` + the two forms
+  appended in ``R/estimate_carbon.R:64-72``): pre-built Column expressions
+  dispatched with chained ``F.when`` on the equation id — no runtime eval;
+- ``findVol`` (``R/predictCRM2.R:767-785``): closed-form column algebra;
+- ``findHT`` (``R/predictCRM2.R:729-765``): the reference runs a per-row
+  ``stats::optimise``; here a 48-iteration vectorized bisection in an
+  Arrow-batched pandas UDF (the profile ``pd(h)`` decreases monotonically in
+  ``h`` for the NSVB rcum coefficient ranges — alpha > 1, beta < 1 — so the
+  bisection converges to the same root, to ~1e-12 ft instead of optimise's
+  ~1e-4 tolerance).
+
+Scale notes: every coefficient table is tiny (≤ 424 rows) and explicitly
+broadcast, so resolution adds no shuffle at any data scale; the single
+pandas UDF is applied only to the merchantability subset (DBH >= 5) and is
+the one deliberate exit from codegen in the whole carbon stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from foresttime_builder_spark.functions.helpers import r_if_else
+
+#: all coefficient columns that may appear in a coef table
+#: (reference ``applyAllLevels``'s ``ccs``, ``R/predictCRM2.R:633-646``)
+COEF_COLS = ("a", "a0", "a1", "alpha", "beta", "b", "b0", "b1", "b2", "c", "c1", "equation")
+
+#: resolution precedence, finest first (``R/predictCRM2.R:38``)
+LEVELS = ("SPCD_DIVISION", "SPCD", "JENKINS_SPGRPCD")
+
+BISECT_ITERS = 48
+
+
+def _level_slice(coef_df: DataFrame, level: str) -> DataFrame:
+    """Rows of a coef table keyed at `level` with only key + coef columns
+    (reference ``getLevel``, ``R/predictCRM2.R:631-650``)."""
+    keep = [c for c in COEF_COLS if c in coef_df.columns]
+    return coef_df.filter(F.col(level).isNotNull()).select(
+        F.col(level).alias("_key"), *keep
+    )
+
+
+def merge_coef_pair(t1: DataFrame, t2: DataFrame, level: str) -> DataFrame:
+    """Inner-join two coef tables at one level (reference ``myMerge`` applied
+    to the (rcumob, volob) pair for HT4/HTSAW, ``R/predictCRM2.R:723-727``);
+    returns a level-sliced frame with the union of coef columns keyed ``_key``."""
+    a, b = _level_slice(t1, level), _level_slice(t2, level)
+    dup = [c for c in b.columns if c != "_key" and c in a.columns]
+    return a.join(b.drop(*dup), on="_key", how="inner")
+
+
+def resolve_coefs(
+    df: DataFrame,
+    coef_source,
+    prefix: str,
+    keys: Sequence[str] = ("SPCD_DIVISION", "SPCD", "JENKINS_SPGRPCD"),
+) -> DataFrame:
+    """Attach one coef table (or a pre-merged pair) to ``df`` with
+    finest-level-wins precedence.
+
+    ``coef_source`` is either a DataFrame or a callable ``level -> DataFrame``
+    returning the level slice (used for merged pairs).  Adds columns
+    ``{prefix}_{coef}`` for every coef column present and ``{prefix}_level``
+    (1/2/3, null when no level matched — the reference *drops* such rows via
+    its inner merge-by-ID, which is equivalent because every downstream value
+    derives from the resolved coefficients and nulls propagate).
+    """
+    if callable(coef_source):
+        slices = [coef_source(lv) for lv in LEVELS]
+    else:
+        slices = [_level_slice(coef_source, lv) for lv in LEVELS]
+
+    out = df
+    present: list[str] = []
+    for i, (lv, sl) in enumerate(zip(LEVELS, slices), start=1):
+        cols = [c for c in sl.columns if c != "_key"]
+        present = sorted(set(present) | set(cols))
+        ren = sl.select(
+            F.col("_key").alias(f"_{prefix}{i}_key"),
+            *[F.col(c).alias(f"_{prefix}{i}_{c}") for c in cols],
+        )
+        key = F.col(keys[i - 1])
+        if lv == "JENKINS_SPGRPCD":
+            key = key.cast("int")
+        else:
+            key = key.cast("string")
+        out = out.join(
+            F.broadcast(ren), on=key == ren[f"_{prefix}{i}_key"], how="left"
+        )
+
+    level = (
+        F.when(F.col(f"_{prefix}1_key").isNotNull(), 1)
+        .when(F.col(f"_{prefix}2_key").isNotNull(), 2)
+        .when(F.col(f"_{prefix}3_key").isNotNull(), 3)
+    )
+    out = out.withColumn(f"{prefix}_level", level)
+    for c in present:
+        picks = F.when(F.lit(False), None)
+        for i in range(1, 4):
+            name = f"_{prefix}{i}_{c}"
+            if name in out.columns:
+                picks = picks.when(F.col(f"{prefix}_level") == i, F.col(name))
+        out = out.withColumn(f"{prefix}_{c}", picks)
+    drop = [
+        f"_{prefix}{i}_{c}"
+        for i in range(1, 4)
+        for c in ["key", *present]
+        if f"_{prefix}{i}_{c}" in out.columns
+    ]
+    return out.drop(*drop)
+
+
+def cf(prefix: str, name: str) -> Column:
+    return F.col(f"{prefix}_{name}")
+
+
+#: coefficient columns each equation form reads (dispatch branches are only
+#: emitted when the table actually carries them)
+EQUATION_REQUIRES: dict[float, frozenset[str]] = {
+    3: frozenset({"a", "b", "c"}),
+    4: frozenset({"a0", "b0", "b1", "c"}),
+    5: frozenset({"a", "a1", "b1", "c1", "c"}),
+    50: frozenset({"a", "b", "c", "b2"}),
+    3.1: frozenset({"a", "b", "c"}),
+}
+
+
+def available_coefs(df: DataFrame, prefix: str) -> frozenset[str]:
+    """Coefficient names attached by :func:`resolve_coefs` under ``prefix``."""
+    tag = f"{prefix}_"
+    return frozenset(
+        c[len(tag):] for c in df.columns if c.startswith(tag) and c != f"{prefix}_level"
+    )
+
+
+def equation_value(
+    prefix: str,
+    dbh: Column,
+    tht: Column,
+    wdsg: Column,
+    k: Column,
+    equation: Column | None = None,
+    available: frozenset[str] | None = None,
+) -> Column:
+    """The allometric prediction for one response: dispatch over equation ids
+    3 / 4 / 5 / 50 / 3.1 (forms from ``data-raw/equation_forms_and_calls.csv``
+    and ``R/estimate_carbon.R:64-72``; ids 7-14 and 6.1 are handled by
+    :func:`find_ht` / :func:`find_vol` / the HT_RAT_ADJ algebra instead).
+
+    ``available`` restricts the dispatch to forms whose coefficients the
+    table actually carries (e.g. bark_biomass has no eq-5 columns)."""
+    a, a0, a1 = cf(prefix, "a"), cf(prefix, "a0"), cf(prefix, "a1")
+    b, b0, b1 = cf(prefix, "b"), cf(prefix, "b0"), cf(prefix, "b1")
+    b2, c, c1 = cf(prefix, "b2"), cf(prefix, "c"), cf(prefix, "c1")
+    eq = equation if equation is not None else cf(prefix, "equation")
+
+    def forms():
+        # eq 4 uses R ifelse: null DBH<k condition must yield null, not the else
+        yield 3, lambda: a * F.pow(dbh, b) * F.pow(tht, c)
+        yield 4, lambda: r_if_else(
+            dbh < k,
+            a0 * F.pow(dbh, b0) * F.pow(tht, c),
+            a0 * F.pow(k, b0 - b1) * F.pow(dbh, b1) * F.pow(tht, c),
+        )
+        yield 5, lambda: a * F.pow(dbh, a1 * F.pow(1 - F.exp(-b1 * dbh), c1)) * F.pow(tht, c)
+        yield 50, lambda: a * F.pow(dbh, b) * F.pow(tht, c) * F.exp(-(b2 * dbh))
+        yield 3.1, lambda: a * F.pow(dbh, b) * F.pow(tht, c) * wdsg
+
+    out = None
+    for eid, build in forms():
+        if available is not None and not EQUATION_REQUIRES[eid] <= available:
+            continue
+        if out is None:
+            out = F.when(eq == eid, build())
+        else:
+            out = out.when(eq == eid, build())
+    return out
+
+
+def find_vol(
+    alpha: Column, beta: Column, tht: Column, hl, hu, vtot: Column
+) -> Column:
+    """Stem-section volume between heights ``hl`` and ``hu`` via the
+    cumulative-volume ratio ``(1-(1-h/H)^alpha)^beta`` (reference ``findVol``,
+    ``R/predictCRM2.R:767-785``).  Association kept exactly as the reference
+    (each ratio multiplied by the total before subtracting) for bit-parity
+    with the SQL oracle."""
+    hl = hl if isinstance(hl, Column) else F.lit(float(hl))
+    hu = hu if isinstance(hu, Column) else F.lit(float(hu))
+    vl = F.pow(1 - F.pow(1 - hl / tht, alpha), beta) * vtot
+    vu = F.pow(1 - F.pow(1 - hu / tht, alpha), beta) * vtot
+    return vu - vl
+
+
+@pandas_udf(DoubleType())
+def _bisect_ht(
+    dbh: pd.Series,
+    tht: pd.Series,
+    dlim: pd.Series,
+    a: pd.Series,
+    b: pd.Series,
+    c: pd.Series,
+    alpha: pd.Series,
+    beta: pd.Series,
+) -> pd.Series:
+    """Height where stem diameter tapers to ``dlim`` inches: 48-iteration
+    vectorized bisection of the NSVB diameter profile
+    ``pd(h)^2 = K * (1-h/H)^(alpha-1) * (1-(1-h/H)^alpha)^(beta-1)`` with
+    ``K = a*D^b*H^c / 0.005454154 / H * alpha * beta`` (reference ``findHT``'s
+    objective, ``R/predictCRM2.R:737-751``).  ``pd`` falls from +inf at the
+    butt to 0 at the tip, so the crossing is unique.  Saplings (D < 5) and
+    rows with missing coefficients return null (reference :735)."""
+    import numpy as np
+
+    D = dbh.to_numpy(dtype="float64", na_value=np.nan)
+    H = tht.to_numpy(dtype="float64", na_value=np.nan)
+    d = dlim.to_numpy(dtype="float64", na_value=np.nan)
+    A = a.to_numpy(dtype="float64", na_value=np.nan)
+    B = b.to_numpy(dtype="float64", na_value=np.nan)
+    C = c.to_numpy(dtype="float64", na_value=np.nan)
+    AL = alpha.to_numpy(dtype="float64", na_value=np.nan)
+    BE = beta.to_numpy(dtype="float64", na_value=np.nan)
+
+    with np.errstate(all="ignore"):
+        K = A * D**B * H**C / 0.005454154 / H * AL * BE
+        d2 = d * d
+        lo = np.zeros_like(H)
+        hi = np.where(np.isnan(H), 0.0, H)
+        for _ in range(BISECT_ITERS):
+            mid = (lo + hi) * 0.5
+            x = mid / H
+            q = K * (1 - x) ** (AL - 1) * (1 - (1 - x) ** AL) ** (BE - 1)
+            up = q > d2
+            lo = np.where(up, mid, lo)
+            hi = np.where(up, hi, mid)
+        res = (lo + hi) * 0.5
+        bad = (
+            np.isnan(D)
+            | (D < 5.0)
+            | np.isnan(H)
+            | np.isnan(d)
+            | np.isnan(K)
+        )
+        res = np.where(bad, np.nan, res)
+    return pd.Series(res)
+
+
+def find_ht(
+    dbh: Column, tht: Column, dlim: Column, a: Column, b: Column, c: Column,
+    alpha: Column, beta: Column,
+) -> Column:
+    """Merchantable-height root find (see :func:`_bisect_ht`)."""
+    return _bisect_ht(
+        dbh.cast("double"),
+        tht.cast("double"),
+        dlim.cast("double"),
+        a.cast("double"),
+        b.cast("double"),
+        c.cast("double"),
+        alpha.cast("double"),
+        beta.cast("double"),
+    )

@@ -852,6 +852,22 @@ def _annualize_oracle() -> str:
     return ORACLE_ANNUALIZE
 
 
+def q26_nsvb_carbon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full NSVB carbon/biomass estimation chain on the annualized synthetic
+    panel (SURVEY §2.8 / §3.2): three-level coefficient resolution, equation
+    dispatch, bisection merch heights, volume deduction + harmonization —
+    value-hash-gated against a generated stage-by-stage DuckDB twin."""
+    from foresttime_builder_spark.plans.carbon_on_synthetic import estimate_panel
+
+    return estimate_panel(spark, sf_dir)
+
+
+def _carbon_oracle() -> str:
+    from foresttime_builder_spark.plans.carbon_on_synthetic import ORACLE_CARBON
+
+    return ORACLE_CARBON
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -878,4 +894,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q23_minhash_lsh": QuerySpec(q23_minhash_lsh, _minhash_lsh_oracle()),
     "q24_simhash": QuerySpec(q24_simhash, _simhash_oracle()),
     "q25_fia_annualize": QuerySpec(q25_fia_annualize, _annualize_oracle()),
+    "q26_nsvb_carbon": QuerySpec(q26_nsvb_carbon, _carbon_oracle()),
 }

@@ -124,8 +124,15 @@ _SENTINEL = [
 _INVARIANT = ["INTENSITY", "SPCD", "ECOSUBCD", "DESIGNCD", "PROP_BASIS", "MORTYR"]
 
 
-def _oracle() -> str:
-    """Generate the stage-by-stage SQL twin of the pipeline."""
+_DEFAULT_JCASE = "CASE WHEN SPCD = 475 THEN 10 ELSE 7 END"
+
+
+def annualize_cte(panel_sql: str, jcase: str = _DEFAULT_JCASE) -> str:
+    """Generate the stage-by-stage SQL twin of the annualization pipeline as
+    a CTE chain ``panel AS (...) ... final AS (...)`` (no leading WITH, no
+    final SELECT) so downstream oracles (the NSVB carbon chain) can extend
+    it.  ``jcase`` is the SQL expression giving JENKINS_SPGRPCD for the
+    panel's species (the Spark side joins REF_SPECIES instead)."""
     pg = "PARTITION BY plot_ID, tree_ID"
     before = f"{pg} ORDER BY YEAR ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     after = f"{pg} ORDER BY YEAR ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
@@ -207,7 +214,7 @@ def _oracle() -> str:
     )
 
     return f"""
-WITH panel AS ({_PANEL_SQL}),
+panel AS ({panel_sql}),
 s0 AS (
   SELECT plot_ID, tree_ID, INVYR, PLT_CN, DIA, HT, ACTUALHT, CR,
       coalesce(CULL, 0.0) AS CULL,
@@ -261,7 +268,8 @@ interp AS (
 ),
 desent AS (
   SELECT plot_ID, tree_ID, YEAR, interpolated, MORTYR, SPCD, DESIGNCD,
-      INTENSITY, PLT_CN, DIA, HT, ACTUALHT, CR, CULL, CONDPROP_UNADJ,
+      INTENSITY, ECOSUBCD, PROP_BASIS, PLT_CN, DIA, HT, ACTUALHT, CR, CULL,
+      CONDPROP_UNADJ,
       {desent}
   FROM interp
 ),
@@ -280,10 +288,10 @@ tpa AS (
 ),
 thresh AS (
   SELECT *,
-    CASE WHEN SPCD = 475 THEN 10 ELSE 7 END AS J,
-    (CASE WHEN SPCD = 475 THEN 10 ELSE 7 END) < 10
+    ({jcase}) AS J,
+    ({jcase}) < 10
       AND (DIA < 1 OR HT < 4.5 OR ACTUALHT < 4.5) AS below_n,
-    (CASE WHEN SPCD = 475 THEN 10 ELSE 7 END) = 10
+    ({jcase}) = 10
       AND (DIA < 1 OR HT < 1 OR ACTUALHT < 1) AS below_w
   FROM tpa
 ),
@@ -362,7 +370,12 @@ final AS (
     CASE WHEN is_nonsampled THEN NULL
          WHEN is_fallen THEN NULL ELSE CR END AS CR)
   FROM masks3
-)
+)"""
+
+
+def _oracle() -> str:
+    return f"""
+WITH {annualize_cte(_PANEL_SQL)}
 SELECT tree_ID, YEAR, interpolated,
        floor(DIA * 10000 + 0.5) / 10000 AS dia,
        floor(HT * 10000 + 0.5) / 10000 AS ht,

@@ -29,7 +29,7 @@ COEF_NAMES = (
 
 def _read_csv(spark: SparkSession, name: str, schema: str | None = None) -> DataFrame:
     path = os.path.join(_RES, name)
-    reader = spark.read.option("header", True)
+    reader = spark.read.option("header", True).option("nullValue", "NA")
     if schema:
         reader = reader.schema(schema)
     else:
@@ -102,8 +102,11 @@ def coef_table(spark: SparkSession, name: str) -> DataFrame:
     as string because planted loblolly/slash pine rows use '1_131'-style
     keys."""
     assert name in COEF_NAMES, name
-    df = spark.read.option("header", True).option("inferSchema", True).csv(
-        os.path.join(_RES, "coefs", f"{name}_coefs.csv")
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("nullValue", "NA")
+        .csv(os.path.join(_RES, "coefs", f"{name}_coefs.csv"))
     )
     for c in df.columns:
         if c == "SPCD_DIVISION":
