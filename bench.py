@@ -26,6 +26,8 @@ HEADLINE = [
     "q17_cosine_topk",
     "q20_yearly_ratio",
     "q21_monthly_lag",
+    "q25_fia_annualize",
+    "q26_nsvb_carbon",
 ]
 
 

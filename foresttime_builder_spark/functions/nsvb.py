@@ -104,26 +104,30 @@ def resolve_coefs(
             F.broadcast(ren), on=key == ren[f"_{prefix}{i}_key"], how="left"
         )
 
-    level = (
-        F.when(F.col(f"_{prefix}1_key").isNotNull(), 1)
-        .when(F.col(f"_{prefix}2_key").isNotNull(), 2)
-        .when(F.col(f"_{prefix}3_key").isNotNull(), 3)
-    )
-    out = out.withColumn(f"{prefix}_level", level)
+    hits = [F.col(f"_{prefix}{i}_key").isNotNull() for i in range(1, 4)]
+    new_cols = {
+        f"{prefix}_level": (
+            F.when(hits[0], 1).when(hits[1], 2).when(hits[2], 3)
+        )
+    }
     for c in present:
-        picks = F.when(F.lit(False), None)
+        picks = None
         for i in range(1, 4):
             name = f"_{prefix}{i}_{c}"
             if name in out.columns:
-                picks = picks.when(F.col(f"{prefix}_level") == i, F.col(name))
-        out = out.withColumn(f"{prefix}_{c}", picks)
+                branch = (hits[i - 1], F.col(name))
+                picks = (
+                    F.when(*branch) if picks is None else picks.when(*branch)
+                )
+        new_cols[f"{prefix}_{c}"] = picks
     drop = [
         f"_{prefix}{i}_{c}"
         for i in range(1, 4)
         for c in ["key", *present]
         if f"_{prefix}{i}_{c}" in out.columns
     ]
-    return out.drop(*drop)
+    # one projection for level + all coefficient picks
+    return out.withColumns(new_cols).drop(*drop)
 
 
 def cf(prefix: str, name: str) -> Column:

@@ -42,22 +42,22 @@ def fill_gaps(
     w = Window.partitionBy(*_group(group_cols)).orderBy(order_col)
     w_down = w.rowsBetween(Window.unboundedPreceding, 0)
     w_up = w.rowsBetween(0, Window.unboundedFollowing)
-    out = df
+    filled = {}
     for c in cols:
         down = F.last(F.col(c), ignorenulls=True).over(w_down)
         up = F.first(F.col(c), ignorenulls=True).over(w_up)
         if direction == "down":
-            filled = down
+            filled[c] = down
         elif direction == "up":
-            filled = up
+            filled[c] = up
         elif direction == "downup":
-            filled = F.coalesce(down, up)
+            filled[c] = F.coalesce(down, up)
         elif direction == "updown":
-            filled = F.coalesce(up, down)
+            filled[c] = F.coalesce(up, down)
         else:
             raise ValueError(f"bad direction {direction!r}")
-        out = out.withColumn(c, filled)
-    return out
+    # one projection for every column: N analyzer passes -> 1
+    return df.withColumns(filled)
 
 
 def expand_grid(
@@ -135,83 +135,94 @@ def linear_interpolate(
     w_all = Window.partitionBy(*gcols)
 
     x = F.col(x_col).cast("double")
-    out = df
-    for c in cols:
-        y = F.col(c).cast("double")
-        known_x = F.when(y.isNotNull(), x)
 
-        prev_y = F.last(y, ignorenulls=True).over(w_before)
-        prev_x = F.last(known_x, ignorenulls=True).over(w_before)
-        next_y = F.first(y, ignorenulls=True).over(w_after)
-        next_x = F.first(known_x, ignorenulls=True).over(w_after)
-
-        interp = prev_y + (next_y - prev_y) / (next_x - prev_x) * (x - prev_x)
-
-        if extrapolate:
-            # Boundary lines are group constants: the two known points nearest
-            # each end. Materialize the nearest point first (pass 1) so the
-            # second-nearest (pass 2) can mask against it — a group-constant
-            # column is safe to reference inside another window aggregate,
-            # unlike a per-row window expression (no nesting allowed).
-            t = f"_li_{c}"
-            out = (
-                out.withColumn(f"{t}_n", F.count(y).over(w_all))
-                .withColumn(f"{t}_lx", F.last(known_x, ignorenulls=True).over(w_full))
-                .withColumn(f"{t}_ly", F.last(y, ignorenulls=True).over(w_full))
-                .withColumn(f"{t}_fx", F.first(known_x, ignorenulls=True).over(w_full))
-                .withColumn(f"{t}_fy", F.first(y, ignorenulls=True).over(w_full))
-            )
-            lx, ly = F.col(f"{t}_lx"), F.col(f"{t}_ly")
-            fx, fy = F.col(f"{t}_fx"), F.col(f"{t}_fy")
-            out = (
-                out.withColumn(
-                    f"{t}_l2x",
-                    F.last(F.when(y.isNotNull() & (x < lx), x), ignorenulls=True).over(w_full),
-                )
-                .withColumn(
-                    f"{t}_l2y",
-                    F.last(F.when(y.isNotNull() & (x < lx), y), ignorenulls=True).over(w_full),
-                )
-                .withColumn(
-                    f"{t}_f2x",
-                    F.first(F.when(y.isNotNull() & (x > fx), x), ignorenulls=True).over(w_full),
-                )
-                .withColumn(
-                    f"{t}_f2y",
-                    F.first(F.when(y.isNotNull() & (x > fx), y), ignorenulls=True).over(w_full),
-                )
-            )
-            l2x, l2y = F.col(f"{t}_l2x"), F.col(f"{t}_l2y")
-            f2x, f2y = F.col(f"{t}_f2x"), F.col(f"{t}_f2y")
-            n_known = F.col(f"{t}_n")
-            fwd = ly + (ly - l2y) / (lx - l2x) * (x - lx)
-            bwd = fy + (fy - f2y) / (fx - f2x) * (x - fx)
-            filled = (
-                F.when(y.isNotNull(), y)
-                .when(n_known == 0, F.lit(None).cast("double"))
-                # single known value: carry forward only (leading rows null)
-                .when(n_known == 1, prev_y)
-                # interior gap
-                .when(prev_y.isNotNull() & next_y.isNotNull(), interp)
-                # trailing gap: extend line through last two known points
-                .when(x > lx, fwd)
-                # leading gap: extend line through first two known points
-                .otherwise(bwd)
-            )
-            out = out.withColumn(c, filled).drop(
-                f"{t}_n", f"{t}_lx", f"{t}_ly", f"{t}_fx", f"{t}_fy",
-                f"{t}_l2x", f"{t}_l2y", f"{t}_f2x", f"{t}_f2y",
-            )
-        else:
+    if not extrapolate:
+        filled = {}
+        for c in cols:
+            y = F.col(c).cast("double")
+            known_x = F.when(y.isNotNull(), x)
+            prev_y = F.last(y, ignorenulls=True).over(w_before)
+            prev_x = F.last(known_x, ignorenulls=True).over(w_before)
+            next_y = F.first(y, ignorenulls=True).over(w_after)
+            next_x = F.first(known_x, ignorenulls=True).over(w_after)
+            interp = prev_y + (next_y - prev_y) / (next_x - prev_x) * (x - prev_x)
             n_known = F.count(y).over(w_all)
-            filled = (
+            filled[c] = (
                 F.when(y.isNotNull(), y)
                 .when(n_known <= 1, y)
                 .when(prev_y.isNotNull() & next_y.isNotNull(), interp)
                 .otherwise(F.lit(None).cast("double"))
             )
-            out = out.withColumn(c, filled)
-    return out
+        return df.withColumns(filled)
+
+    # Boundary lines are group constants: the two known points nearest each
+    # end. Materialize the nearest point first (pass 1) so the second-nearest
+    # (pass 2) can mask against it — a group-constant column is safe to
+    # reference inside another window aggregate, unlike a per-row window
+    # expression (no nesting allowed). Each pass is ONE projection over all
+    # columns — the analyzer cost is 3 layers total, not 10 per column.
+    pass1, pass2, final = {}, {}, {}
+    for c in cols:
+        y = F.col(c).cast("double")
+        known_x = F.when(y.isNotNull(), x)
+        t = f"_li_{c}"
+        pass1[f"{t}_n"] = F.count(y).over(w_all)
+        pass1[f"{t}_lx"] = F.last(known_x, ignorenulls=True).over(w_full)
+        pass1[f"{t}_ly"] = F.last(y, ignorenulls=True).over(w_full)
+        pass1[f"{t}_fx"] = F.first(known_x, ignorenulls=True).over(w_full)
+        pass1[f"{t}_fy"] = F.first(y, ignorenulls=True).over(w_full)
+    out = df.withColumns(pass1)
+    for c in cols:
+        y = F.col(c).cast("double")
+        t = f"_li_{c}"
+        lx, fx = F.col(f"{t}_lx"), F.col(f"{t}_fx")
+        pass2[f"{t}_l2x"] = F.last(
+            F.when(y.isNotNull() & (x < lx), x), ignorenulls=True
+        ).over(w_full)
+        pass2[f"{t}_l2y"] = F.last(
+            F.when(y.isNotNull() & (x < lx), y), ignorenulls=True
+        ).over(w_full)
+        pass2[f"{t}_f2x"] = F.first(
+            F.when(y.isNotNull() & (x > fx), x), ignorenulls=True
+        ).over(w_full)
+        pass2[f"{t}_f2y"] = F.first(
+            F.when(y.isNotNull() & (x > fx), y), ignorenulls=True
+        ).over(w_full)
+    out = out.withColumns(pass2)
+    drops = []
+    for c in cols:
+        y = F.col(c).cast("double")
+        known_x = F.when(y.isNotNull(), x)
+        t = f"_li_{c}"
+        prev_y = F.last(y, ignorenulls=True).over(w_before)
+        next_y = F.first(y, ignorenulls=True).over(w_after)
+        prev_x = F.last(known_x, ignorenulls=True).over(w_before)
+        next_x = F.first(known_x, ignorenulls=True).over(w_after)
+        interp = prev_y + (next_y - prev_y) / (next_x - prev_x) * (x - prev_x)
+        lx, ly = F.col(f"{t}_lx"), F.col(f"{t}_ly")
+        fx, fy = F.col(f"{t}_fx"), F.col(f"{t}_fy")
+        l2x, l2y = F.col(f"{t}_l2x"), F.col(f"{t}_l2y")
+        f2x, f2y = F.col(f"{t}_f2x"), F.col(f"{t}_f2y")
+        n_known = F.col(f"{t}_n")
+        fwd = ly + (ly - l2y) / (lx - l2x) * (x - lx)
+        bwd = fy + (fy - f2y) / (fx - f2x) * (x - fx)
+        final[c] = (
+            F.when(y.isNotNull(), y)
+            .when(n_known == 0, F.lit(None).cast("double"))
+            # single known value: carry forward only (leading rows null)
+            .when(n_known == 1, prev_y)
+            # interior gap
+            .when(prev_y.isNotNull() & next_y.isNotNull(), interp)
+            # trailing gap: extend line through last two known points
+            .when(x > lx, fwd)
+            # leading gap: extend line through first two known points
+            .otherwise(bwd)
+        )
+        drops += [
+            f"{t}_n", f"{t}_lx", f"{t}_ly", f"{t}_fx", f"{t}_fy",
+            f"{t}_l2x", f"{t}_l2y", f"{t}_f2x", f"{t}_f2y",
+        ]
+    return out.withColumns(final).drop(*drops)
 
 
 def step_interpolate(
@@ -241,6 +252,7 @@ def step_interpolate(
     idx = F.row_number().over(w)
     out = df.withColumn("_sg_i", idx)
     i = F.col("_sg_i")
+    filled = {}
     for c in cols:
         v = F.col(c)
         known_i = F.when(v.isNotNull(), i)
@@ -249,12 +261,11 @@ def step_interpolate(
         next_v = F.first(v, ignorenulls=True).over(w_after)
         next_i = F.first(known_i, ignorenulls=True).over(w_after)
         switch_at = prev_i + F.ceil((next_i - prev_i) / F.lit(2.0))
-        filled = (
+        filled[c] = (
             F.when(v.isNotNull(), v)
             .when(prev_v.isNull(), F.lit(None))  # leading: stay null
             .when(next_v.isNull(), prev_v)  # trailing: last value
             .when(i < switch_at, prev_v)
             .otherwise(next_v)
         )
-        out = out.withColumn(c, filled)
-    return out.drop("_sg_i")
+    return out.withColumns(filled).drop("_sg_i")

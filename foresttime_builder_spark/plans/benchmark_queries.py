@@ -868,6 +868,40 @@ def _carbon_oracle() -> str:
     return ORACLE_CARBON
 
 
+def q27_population_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population/area scaling over the estimated panel: EXPNS, domain
+    indicators, plot totals, per-year ratio (SURVEY §3.3, §2.4 A2-A5)."""
+    from foresttime_builder_spark.plans.carbon_on_synthetic import population_panel
+
+    return population_panel(spark, sf_dir)
+
+
+def q28_grain_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation sweep via one GROUPING SETS pass
+    (SURVEY §2.4 A7)."""
+    from foresttime_builder_spark.plans.carbon_on_synthetic import grain_sweep_panel
+
+    return grain_sweep_panel(spark, sf_dir)
+
+
+def _pop_oracle() -> str:
+    from foresttime_builder_spark.plans.carbon_on_synthetic import (
+        ORACLE_POPULATION,
+        carbon_cte,
+    )
+
+    return ORACLE_POPULATION.format(chain=carbon_cte())
+
+
+def _grain_oracle() -> str:
+    from foresttime_builder_spark.plans.carbon_on_synthetic import (
+        ORACLE_GRAIN_SWEEP,
+        carbon_cte,
+    )
+
+    return ORACLE_GRAIN_SWEEP.format(chain=carbon_cte())
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -895,4 +929,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q24_simhash": QuerySpec(q24_simhash, _simhash_oracle()),
     "q25_fia_annualize": QuerySpec(q25_fia_annualize, _annualize_oracle()),
     "q26_nsvb_carbon": QuerySpec(q26_nsvb_carbon, _carbon_oracle()),
+    "q27_population_scaling": QuerySpec(q27_population_scaling, _pop_oracle()),
+    "q28_grain_sweep": QuerySpec(q28_grain_sweep, _grain_oracle()),
 }

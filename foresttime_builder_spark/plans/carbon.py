@@ -60,30 +60,24 @@ def prep_carbon(df: DataFrame) -> DataFrame:
     )
 
     live = F.col("STATUSCD") == 1
-    out = (
-        out.withColumn(
-            "CULL_DECAY_RATIO", r_if_else(live, F.col("CULL_DECAY_RATIO"), 1.0)
-        )
-        .withColumn(
-            "STANDING_DEAD_CD", r_if_else(live, 0, F.col("STANDING_DEAD_CD"))
-        )
-        .withColumn("DECAYCD", r_if_else(live, 0, F.col("DECAYCD")))
-        .withColumn("DECAY_WD", r_if_else(live, 1.0, F.col("DENSITY_PROP")))
-        .withColumn("DECAY_BK", r_if_else(live, 1.0, F.col("BARK_LOSS_PROP")))
-        .withColumn("DECAY_BR", r_if_else(live, 1.0, F.col("BRANCH_LOSS_PROP")))
-        .withColumn(
-            "C_FRAC",
-            r_if_else(
+    return out.withColumns(
+        {
+            "CULL_DECAY_RATIO": r_if_else(live, F.col("CULL_DECAY_RATIO"), 1.0),
+            "STANDING_DEAD_CD": r_if_else(live, 0, F.col("STANDING_DEAD_CD")),
+            "DECAYCD": r_if_else(live, 0, F.col("DECAYCD")),
+            "DECAY_WD": r_if_else(live, 1.0, F.col("DENSITY_PROP")),
+            "DECAY_BK": r_if_else(live, 1.0, F.col("BARK_LOSS_PROP")),
+            "DECAY_BR": r_if_else(live, 1.0, F.col("BRANCH_LOSS_PROP")),
+            "C_FRAC": r_if_else(
                 live,
                 F.col("CARBON_RATIO_LIVE") * 100,
                 F.col("CARBON_RATIO") * 100,
             ),
-        )
-        .withColumn("PROVINCE", get_province(F.col("ECOSUBCD")))
-        .withColumn("DIVISION", get_division(F.col("ECOSUBCD")))
-        .withColumn("CULL", F.coalesce(F.col("CULL"), F.lit(0.0)))
+            "PROVINCE": get_province(F.col("ECOSUBCD")),
+            "DIVISION": get_division(F.col("ECOSUBCD")),
+            "CULL": F.coalesce(F.col("CULL"), F.lit(0.0)),
+        }
     )
-    return out
 
 
 def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
@@ -108,22 +102,23 @@ def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
     fiadb = (
         df_prepped.filter((F.col("JENKINS_SPGRPCD") < 10) & F.col("HT").isNotNull())
         .join(F.broadcast(cr_dim), on=["SFTWD_HRDWD", "PROVINCE"], how="left")
-        .withColumn(
-            "CRmn",
-            F.coalesce(
-                F.col("CRmn"),
-                F.when(F.col("SFTWD_HRDWD") == "S", F.lit(undef.get("S")))
-                .when(F.col("SFTWD_HRDWD") == "H", F.lit(undef.get("H"))),
-            ),
+        .withColumns(
+            {
+                "CRmn": F.coalesce(
+                    F.col("CRmn"),
+                    F.when(F.col("SFTWD_HRDWD") == "S", F.lit(undef.get("S")))
+                    .when(F.col("SFTWD_HRDWD") == "H", F.lit(undef.get("H"))),
+                ),
+                "BROKEN_TOP": ~(F.col("HT") == F.col("ACTUALHT")),
+                "CR": r_if_else(
+                    F.col("CR").isNull() & (F.col("STATUSCD") == 1),
+                    0.0,
+                    F.col("CR"),
+                ),
+                "STDORGCD": F.coalesce(F.col("STDORGCD"), F.lit(0)),
+                "CULL": F.coalesce(F.col("CULL"), F.lit(0.0)),
+            }
         )
-        .withColumn("BROKEN_TOP", ~(F.col("HT") == F.col("ACTUALHT")))
-        .withColumn(
-            "CR",
-            r_if_else(
-                F.col("CR").isNull() & (F.col("STATUSCD") == 1), 0.0, F.col("CR")
-            ),
-        )
-        .withColumn("STDORGCD", F.coalesce(F.col("STDORGCD"), F.lit(0)))
         .withColumn(
             "SPCD",
             F.when(
@@ -131,7 +126,6 @@ def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
                 F.concat(F.lit("1_"), F.col("SPCD").cast("string")),
             ).otherwise(F.col("SPCD").cast("string")),
         )
-        .withColumn("CULL", F.coalesce(F.col("CULL"), F.lit(0.0)))
         .withColumn(
             "SPCD_DIVISION", F.concat_ws(" ", F.col("SPCD"), F.col("DIVISION"))
         )
@@ -153,7 +147,12 @@ def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
 
 def predict_crm2(data: DataFrame) -> DataFrame:
     """The NSVB 40-column prediction/deduction/harmonization DAG
-    (reference ``R/predictCRM2.R:4-626``), as one lazy column plan."""
+    (reference ``R/predictCRM2.R:4-626``), as one lazy column plan.
+
+    Columns are added in dependency-ordered ``withColumns`` batches — one
+    analyzer pass per *layer* instead of one per column (a sequential
+    ``withColumn`` chain over this ~150-column plan costs tens of seconds of
+    driver-side analysis before a single task runs)."""
     spark = data.sparkSession
     coefs = ref_tables.all_coef_tables(spark)
 
@@ -161,21 +160,59 @@ def predict_crm2(data: DataFrame) -> DataFrame:
         "SPCD_NUMERIC",
         F.regexp_replace(F.col("SPCD"), "^1_", "").cast("double"),
     )
-    d = d.withColumn("k", F.when(F.col("SPCD_NUMERIC") < 300, 9.0).otherwise(11.0))
-    d = d.withColumn("saw", F.when(F.col("SPCD_NUMERIC") < 300, 7.0).otherwise(9.0))
     # var_names mapping (R/predictCRM2.R:29): DBH<-DIA, THT<-HT
-    d = d.withColumn("DBH", F.col("DIA")).withColumn("THT", F.col("HT"))
+    d = d.withColumns(
+        {
+            "k": F.when(F.col("SPCD_NUMERIC") < 300, 9.0).otherwise(11.0),
+            "saw": F.when(F.col("SPCD_NUMERIC") < 300, 7.0).otherwise(9.0),
+            "DBH": F.col("DIA"),
+            "THT": F.col("HT"),
+        }
+    )
     dbh, tht, wdsg = F.col("DBH"), F.col("THT"), F.col("WDSG")
 
-    # ---- gross volume predictions (coef resolution per response) ----
-    d = nsvb.resolve_coefs(d, coefs["volib"], "vib")
+    # ---- coefficient resolution against the DISTINCT key space ----
+    # Resolving each of the 8 coef sources directly against the tree frame
+    # would be 24 broadcast joins over a growing 150-column plan (quadratic
+    # analyzer cost, 24 probe passes at execution). The key space is tiny
+    # (|species × division| combos actually present), so resolve once there
+    # and attach everything with ONE broadcast join.
+    key_cols = ["SPCD_DIVISION", "SPCD", "JENKINS_SPGRPCD"]
+    keys = data.select(
+        F.col("SPCD_DIVISION").cast("string").alias("SPCD_DIVISION"),
+        F.col("SPCD").cast("string").alias("SPCD"),
+        F.col("JENKINS_SPGRPCD").cast("int").alias("JENKINS_SPGRPCD"),
+    ).distinct()
+    pair = lambda lv: nsvb.merge_coef_pair(coefs["rcumob"], coefs["volob"], lv)
+    resolved = keys
+    for prefix, source in (
+        ("vib", coefs["volib"]),
+        ("vbk", coefs["volbk"]),
+        ("mh", pair),
+        ("rib", coefs["rcumib"]),
+        ("tb", coefs["total_biomass"]),
+        ("bb", coefs["bark_biomass"]),
+        ("br", coefs["branch_biomass"]),
+        ("fo", coefs["foliage"]),
+    ):
+        resolved = nsvb.resolve_coefs(resolved, source, prefix)
+    join_cond = [
+        d[k].cast(t).eqNullSafe(resolved[k])
+        for k, t in zip(key_cols, ("string", "string", "int"))
+    ]
+    d = d.join(
+        F.broadcast(resolved),
+        on=join_cond[0] & join_cond[1] & join_cond[2],
+        how="left",
+    ).drop(*[resolved[k] for k in key_cols])
+
+    # ---- gross volume predictions ----
     d = d.withColumn(
         "VTOTIB_GROSS",
         nsvb.equation_value(
             "vib", dbh, tht, wdsg, F.col("k"), available=nsvb.available_coefs(d, "vib")
         ),
     )
-    d = nsvb.resolve_coefs(d, coefs["volbk"], "vbk")
     d = d.withColumn(
         "VTOTBK_GROSS",
         nsvb.equation_value(
@@ -185,287 +222,291 @@ def predict_crm2(data: DataFrame) -> DataFrame:
     d = d.withColumn("VTOTOB_GROSS", F.col("VTOTIB_GROSS") + F.col("VTOTBK_GROSS"))
 
     # merch/sawlog heights: (rcumob ⋈ volob) coefs + bisection, floor at 5 ft
-    pair = lambda lv: nsvb.merge_coef_pair(coefs["rcumob"], coefs["volob"], lv)
-    d = nsvb.resolve_coefs(d, pair, "mh")
+    heights = {}
     for name, dlim in (("HT4", F.lit(4.0)), ("HTSAW", F.col("saw"))):
         root = nsvb.find_ht(
             dbh, tht, dlim,
             cf("mh", "a"), cf("mh", "b"), cf("mh", "c"),
             cf("mh", "alpha"), cf("mh", "beta"),
         )
-        d = d.withColumn(
-            name,
-            F.when(root.isNull(), None).otherwise(F.greatest(root, F.lit(5.0))),
+        heights[name] = F.when(root.isNull(), None).otherwise(
+            F.greatest(root, F.lit(5.0))
         )
+    d = d.withColumns(heights)
 
     # section volumes from the rcumib ratio profile
-    d = nsvb.resolve_coefs(d, coefs["rcumib"], "rib")
     al, be = cf("rib", "alpha"), cf("rib", "beta")
     vib, vob = F.col("VTOTIB_GROSS"), F.col("VTOTOB_GROSS")
-    d = (
-        d.withColumn("VMERIB_GROSS", nsvb.find_vol(al, be, tht, 1.0, F.col("HT4"), vib))
-        .withColumn("VMEROB_GROSS", nsvb.find_vol(al, be, tht, 1.0, F.col("HT4"), vob))
-        .withColumn("VMERBK_GROSS", F.col("VMEROB_GROSS") - F.col("VMERIB_GROSS"))
-        .withColumn("VSTPIB_GROSS", nsvb.find_vol(al, be, tht, 0.0, 1.0, vib))
-        .withColumn("VSTPOB_GROSS", nsvb.find_vol(al, be, tht, 0.0, 1.0, vob))
+    sap = F.col("DIA") < 5.0  # no stump volumes for saplings (R:162)
+    d = d.withColumns(
+        {
+            "VMERIB_GROSS": nsvb.find_vol(al, be, tht, 1.0, F.col("HT4"), vib),
+            "VMEROB_GROSS": nsvb.find_vol(al, be, tht, 1.0, F.col("HT4"), vob),
+            "VSTPIB_GROSS": F.when(sap, None).otherwise(
+                nsvb.find_vol(al, be, tht, 0.0, 1.0, vib)
+            ),
+            "VSTPOB_GROSS": F.when(sap, None).otherwise(
+                nsvb.find_vol(al, be, tht, 0.0, 1.0, vob)
+            ),
+            "VSAWIB_GROSS": nsvb.find_vol(al, be, tht, 1.0, F.col("HTSAW"), vib),
+            "VSAWOB_GROSS": nsvb.find_vol(al, be, tht, 1.0, F.col("HTSAW"), vob),
+            # broken-top height ratio (equation 6.1, rcumib coefs)
+            "HT_RAT_ADJ": r_if_else(
+                F.col("ACTUALHT") < tht,
+                F.pow(1 - F.pow(1 - F.col("ACTUALHT") / tht, al), be),
+                1.0,
+            ),
+        }
     )
-    # no stump volumes for saplings (R/predictCRM2.R:162)
-    for c in ("VSTPIB_GROSS", "VSTPOB_GROSS"):
-        d = d.withColumn(c, F.when(F.col("DIA") < 5.0, None).otherwise(F.col(c)))
-    d = (
-        d.withColumn("VSTPBK_GROSS", F.col("VSTPOB_GROSS") - F.col("VSTPIB_GROSS"))
-        .withColumn(
-            "VTOPIB_GROSS", vib - F.col("VMERIB_GROSS") - F.col("VSTPIB_GROSS")
-        )
-        .withColumn(
-            "VTOPOB_GROSS", vob - F.col("VMEROB_GROSS") - F.col("VSTPOB_GROSS")
-        )
-        .withColumn("VTOPBK_GROSS", F.col("VTOPOB_GROSS") - F.col("VTOPIB_GROSS"))
-        .withColumn("VSAWIB_GROSS", nsvb.find_vol(al, be, tht, 1.0, F.col("HTSAW"), vib))
-        .withColumn("VSAWOB_GROSS", nsvb.find_vol(al, be, tht, 1.0, F.col("HTSAW"), vob))
-        .withColumn("VSAWBK_GROSS", F.col("VSAWOB_GROSS") - F.col("VSAWIB_GROSS"))
+    d = d.withColumns(
+        {
+            "VMERBK_GROSS": F.col("VMEROB_GROSS") - F.col("VMERIB_GROSS"),
+            "VSTPBK_GROSS": F.col("VSTPOB_GROSS") - F.col("VSTPIB_GROSS"),
+            "VTOPIB_GROSS": vib - F.col("VMERIB_GROSS") - F.col("VSTPIB_GROSS"),
+            "VTOPOB_GROSS": vob - F.col("VMEROB_GROSS") - F.col("VSTPOB_GROSS"),
+            "VSAWBK_GROSS": F.col("VSAWOB_GROSS") - F.col("VSAWIB_GROSS"),
+        }
     )
-
-    # broken-top height ratio (equation 6.1, rcumib coefs)
     d = d.withColumn(
-        "HT_RAT_ADJ",
-        F.pow(1 - F.pow(1 - F.col("ACTUALHT") / tht, al), be),
-    )
-    d = d.withColumn(
-        "HT_RAT_ADJ",
-        r_if_else(F.col("ACTUALHT") < tht, F.col("HT_RAT_ADJ"), 1.0),
+        "VTOPBK_GROSS", F.col("VTOPOB_GROSS") - F.col("VTOPIB_GROSS")
     )
 
     # ---- present (broken-top adjusted) volumes (R/predictCRM2.R:244-288) ----
     adj = F.col("HT_RAT_ADJ")
-    d = (
-        d.withColumn("VTOTIB_PRESENT", vib * adj)
-        .withColumn("VTOTBK_PRESENT", F.col("VTOTBK_GROSS") * adj)
-        .withColumn(
-            "VTOTOB_PRESENT", F.col("VTOTIB_PRESENT") + F.col("VTOTBK_PRESENT")
-        )
-        .withColumn(
-            "VMERIB_PRESENT",
-            r_if_else(
+    d = d.withColumns(
+        {
+            "VTOTIB_PRESENT": vib * adj,
+            "VTOTBK_PRESENT": F.col("VTOTBK_GROSS") * adj,
+            "VMERIB_PRESENT": r_if_else(
                 F.col("ACTUALHT") < F.col("HT4"),
                 vib * adj - F.col("VSTPIB_GROSS"),
                 F.col("VMERIB_GROSS"),
             ),
-        )
-        .withColumn(
-            "VMERBK_PRESENT",
-            r_if_else(
+            "VMERBK_PRESENT": r_if_else(
                 F.col("ACTUALHT") < F.col("HT4"),
                 F.col("VTOTBK_GROSS") * adj - F.col("VSTPBK_GROSS"),
                 F.col("VMERBK_GROSS"),
             ),
-        )
-        .withColumn(
-            "VMEROB_PRESENT", F.col("VMERIB_PRESENT") + F.col("VMERBK_PRESENT")
-        )
-        .withColumn(
-            "VSAWIB_PRESENT",
-            r_if_else(
+            "VSAWIB_PRESENT": r_if_else(
                 F.col("ACTUALHT") < F.col("HTSAW"),
                 vib * adj - F.col("VSTPIB_GROSS"),
                 F.col("VSAWIB_GROSS"),
             ),
-        )
-        .withColumn(
-            "VSAWBK_PRESENT",
-            r_if_else(
+            "VSAWBK_PRESENT": r_if_else(
                 F.col("ACTUALHT") < F.col("HTSAW"),
                 F.col("VTOTBK_GROSS") * adj - F.col("VSTPBK_GROSS"),
                 F.col("VSAWBK_GROSS"),
             ),
-        )
-        .withColumn(
-            "VSAWOB_PRESENT", F.col("VSAWIB_PRESENT") + F.col("VSAWBK_PRESENT")
-        )
-        .withColumn("VSTPIB_PRESENT", F.col("VSTPIB_GROSS"))
-        .withColumn("VSTPBK_PRESENT", F.col("VSTPBK_GROSS"))
-        .withColumn("VSTPOB_PRESENT", F.col("VSTPOB_GROSS"))
-        .withColumn(
-            "VTOPIB_PRESENT",
-            F.col("VTOTIB_PRESENT") - F.col("VMERIB_PRESENT") - F.col("VSTPIB_PRESENT"),
-        )
-        .withColumn(
-            "VTOPBK_PRESENT",
-            F.col("VTOTBK_PRESENT") - F.col("VMERBK_PRESENT") - F.col("VSTPBK_PRESENT"),
-        )
-        .withColumn(
-            "VTOPOB_PRESENT", F.col("VTOPIB_PRESENT") + F.col("VTOPBK_PRESENT")
-        )
+            "VSTPIB_PRESENT": F.col("VSTPIB_GROSS"),
+            "VSTPBK_PRESENT": F.col("VSTPBK_GROSS"),
+            "VSTPOB_PRESENT": F.col("VSTPOB_GROSS"),
+        }
     )
     # broken top below bole height → zero top volumes (null-guarded as in R)
     top_zero = (F.col("ACTUALHT") < F.col("HT4")) & F.col("HT4").isNotNull()
-    for c in ("VTOPIB_PRESENT", "VTOPBK_PRESENT", "VTOPOB_PRESENT"):
-        d = d.withColumn(c, F.when(top_zero, 0.0).otherwise(F.col(c)))
-
-    # ---- sound volumes: cull/decay deductions (R/predictCRM2.R:292-321) ----
-    d = d.withColumn(
-        "SND_WOOD_DECAY",
-        r_if_else(F.col("CULL") < 99, 1 - F.col("CULL") / 100, 0.0),
+    d = d.withColumns(
+        {
+            "VTOTOB_PRESENT": F.col("VTOTIB_PRESENT") + F.col("VTOTBK_PRESENT"),
+            "VMEROB_PRESENT": F.col("VMERIB_PRESENT") + F.col("VMERBK_PRESENT"),
+            "VSAWOB_PRESENT": F.col("VSAWIB_PRESENT") + F.col("VSAWBK_PRESENT"),
+            "VTOPIB_PRESENT": F.when(top_zero, 0.0).otherwise(
+                F.col("VTOTIB_PRESENT")
+                - F.col("VMERIB_PRESENT")
+                - F.col("VSTPIB_PRESENT")
+            ),
+            "VTOPBK_PRESENT": F.when(top_zero, 0.0).otherwise(
+                F.col("VTOTBK_PRESENT")
+                - F.col("VMERBK_PRESENT")
+                - F.col("VSTPBK_PRESENT")
+            ),
+        }
     )
-    for sec in ("VTOT", "VMER", "VSTP", "VTOP", "VSAW"):
-        d = d.withColumn(
-            f"{sec}IB_SOUND", F.col(f"{sec}IB_PRESENT") * F.col("SND_WOOD_DECAY")
-        )
-        d = d.withColumn(
-            f"{sec}BK_SOUND", F.col(f"{sec}BK_PRESENT") * F.col("DECAY_BK")
-        )
-        d = d.withColumn(
-            f"{sec}OB_SOUND", F.col(f"{sec}IB_SOUND") + F.col(f"{sec}BK_SOUND")
-        )
+    d = d.withColumns(
+        {
+            "VTOPOB_PRESENT": F.when(top_zero, 0.0).otherwise(
+                F.col("VTOPIB_PRESENT") + F.col("VTOPBK_PRESENT")
+            ),
+            # ---- sound volumes: cull/decay (R/predictCRM2.R:292-321) ----
+            "SND_WOOD_DECAY": r_if_else(
+                F.col("CULL") < 99, 1 - F.col("CULL") / 100, 0.0
+            ),
+        }
+    )
+    secs = ("VTOT", "VMER", "VSTP", "VTOP", "VSAW")
+    d = d.withColumns(
+        {
+            **{
+                f"{sec}IB_SOUND": F.col(f"{sec}IB_PRESENT") * F.col("SND_WOOD_DECAY")
+                for sec in secs
+            },
+            **{
+                f"{sec}BK_SOUND": F.col(f"{sec}BK_PRESENT") * F.col("DECAY_BK")
+                for sec in secs
+            },
+        }
+    )
+    d = d.withColumns(
+        {
+            f"{sec}OB_SOUND": F.col(f"{sec}IB_SOUND") + F.col(f"{sec}BK_SOUND")
+            for sec in secs
+        }
+    )
 
     # sawlog DBH thresholds: 9" softwood / 11" hardwood, else null
-    saw_cols = [
-        f"VSAW{x}_{y}" for x in ("IB", "OB", "BK") for y in ("GROSS", "PRESENT", "SOUND")
-    ]
     below_saw = (
         ((F.col("SFTWD_HRDWD") == "S") & (dbh < 9.0))
         | ((F.col("SFTWD_HRDWD") == "H") & (dbh < 11.0))
     ) & dbh.isNotNull()
-    for c in saw_cols:
-        d = d.withColumn(c, F.when(below_saw, None).otherwise(F.col(c)))
+    d = d.withColumns(
+        {
+            c: F.when(below_saw, None).otherwise(F.col(c))
+            for x in ("IB", "OB", "BK")
+            for y in ("GROSS", "PRESENT", "SOUND")
+            for c in (f"VSAW{x}_{y}",)
+        }
+    )
 
     # ---- biomass predictions (R/predictCRM2.R:358-417) ----
     # Total and Branch switch to equation 3.1 at the Jenkins level
-    for prefix, table, outcol, jenkins31 in (
-        ("tb", "total_biomass", "Total", True),
-        ("bb", "bark_biomass", "Bark", False),
-        ("br", "branch_biomass", "Branch", True),
-        ("fo", "foliage", "FOLIAGE", False),
+    bio = {}
+    for prefix, outcol, jenkins31 in (
+        ("tb", "Total", True),
+        ("bb", "Bark", False),
+        ("br", "Branch", True),
+        ("fo", "FOLIAGE", False),
     ):
-        d = nsvb.resolve_coefs(d, coefs[table], prefix)
         eq = cf(prefix, "equation")
         if jenkins31:
             eq = F.when(F.col(f"{prefix}_level") == 3, F.lit(3.1)).otherwise(eq)
-        d = d.withColumn(
-            outcol,
-            nsvb.equation_value(
-                prefix, dbh, tht, wdsg, F.col("k"), eq,
-                available=nsvb.available_coefs(d, prefix),
-            ),
+        bio[outcol] = nsvb.equation_value(
+            prefix, dbh, tht, wdsg, F.col("k"), eq,
+            available=nsvb.available_coefs(d, prefix),
         )
-
-    d = d.withColumn("Wood", vib * wdsg * LB_PER_FT3)
+    d = d.withColumns(bio)
 
     # ---- reductions (R/predictCRM2.R:425-466) ----
-    d = d.withColumn(
-        "CULL_REDUCTION",
-        r_if_else(
-            F.col("STANDING_DEAD_CD") < 1,
-            1 - (1 - F.col("CULL_DECAY_RATIO")) * F.col("CULL") / 100,
-            1.0,
-        ),
+    d = d.withColumns(
+        {
+            "Wood": vib * wdsg * LB_PER_FT3,
+            "CULL_REDUCTION": r_if_else(
+                F.col("STANDING_DEAD_CD") < 1,
+                1 - (1 - F.col("CULL_DECAY_RATIO")) * F.col("CULL") / 100,
+                1.0,
+            ),
+            "BARK_REDUCTION": adj * F.col("DECAY_BK") * F.col("DECAY_WD"),
+            # R pmax propagates NA; Spark greatest ignores nulls — guard
+            "CR": F.when(F.col("CR").isNull(), None).otherwise(
+                F.greatest(F.col("CR"), F.lit(1.0))
+            ),
+        }
     )
-    d = d.withColumn(
-        "WOOD_REDUCTION", adj * F.col("CULL_REDUCTION") * F.col("DECAY_WD")
-    )
-    d = d.withColumn("BARK_REDUCTION", adj * F.col("DECAY_BK") * F.col("DECAY_WD"))
-
-    # R pmax propagates NA; Spark greatest ignores nulls — guard explicitly
-    d = d.withColumn(
-        "CR",
-        F.when(F.col("CR").isNull(), None).otherwise(
-            F.greatest(F.col("CR"), F.lit(1.0))
-        ),
-    )
-    d = d.withColumn(
-        "CRprop_HT",
-        1 - F.col("ACTUALHT") / tht * (1 - F.col("CR") / 100),
-    )
-    d = d.withColumn(
-        "CRprop_HT",
-        r_if_else(
-            F.col("STANDING_DEAD_CD") == 1, F.col("CRmn") / 100, F.col("CRprop_HT")
-        ),
+    d = d.withColumns(
+        {
+            "WOOD_REDUCTION": adj * F.col("CULL_REDUCTION") * F.col("DECAY_WD"),
+            "CRprop_HT": r_if_else(
+                F.col("STANDING_DEAD_CD") == 1,
+                F.col("CRmn") / 100,
+                1 - F.col("ACTUALHT") / tht * (1 - F.col("CR") / 100),
+            ),
+        }
     )
     bcp_raw = (F.col("ACTUALHT") - (1 - F.col("CRprop_HT")) * tht) / F.nullif(
         F.col("CRprop_HT") * tht, F.lit(0.0)
     )
+    bcp0 = F.when(bcp_raw.isNull(), None).otherwise(F.greatest(bcp_raw, F.lit(0.0)))
     d = d.withColumn(
         "broken_crn_prop",
-        F.when(bcp_raw.isNull(), None).otherwise(F.greatest(bcp_raw, F.lit(0.0))),
-    )
-    d = d.withColumn(
-        "broken_crn_prop",
-        r_if_else(F.col("broken_crn_prop") < 0.01, 0.0, F.col("broken_crn_prop")),
-    )
-    d = d.withColumn(
-        "broken_crn_prop",
-        F.when(~F.col("BROKEN_TOP"), 1.0).otherwise(F.col("broken_crn_prop")),
-    )
-    d = d.withColumn(
-        "BRANCH_REDUCTION",
-        F.col("broken_crn_prop") * F.col("DECAY_BR") * F.col("DECAY_WD"),
-    )
-    d = d.withColumn(
-        "FOLIAGE_REDUCTION",
-        r_if_else(
-            F.col("STANDING_DEAD_CD") == 1, 0.0, F.col("broken_crn_prop")
+        F.when(~F.col("BROKEN_TOP"), 1.0).otherwise(
+            r_if_else(bcp0 < 0.01, 0.0, bcp0)
         ),
     )
-
-    d = (
-        d.withColumn("Wood_Reduced", F.col("Wood") * F.col("WOOD_REDUCTION"))
-        .withColumn("Bark_Reduced", F.col("Bark") * F.col("BARK_REDUCTION"))
-        .withColumn("Branch_Reduced", F.col("Branch") * F.col("BRANCH_REDUCTION"))
-        .withColumn("Foliage_Reduced", F.col("FOLIAGE") * F.col("FOLIAGE_REDUCTION"))
-        .withColumn(
-            "AGB_Reduction_Factor",
-            (F.col("Wood_Reduced") + F.col("Bark_Reduced") + F.col("Branch_Reduced"))
-            / F.nullif(F.col("Wood") + F.col("Bark") + F.col("Branch"), F.lit(0.0)),
-        )
-        .withColumn("Total_Reduced", F.col("Total") * F.col("AGB_Reduction_Factor"))
+    d = d.withColumns(
+        {
+            "BRANCH_REDUCTION": F.col("broken_crn_prop")
+            * F.col("DECAY_BR")
+            * F.col("DECAY_WD"),
+            "FOLIAGE_REDUCTION": r_if_else(
+                F.col("STANDING_DEAD_CD") == 1, 0.0, F.col("broken_crn_prop")
+            ),
+        }
     )
-
+    d = d.withColumns(
+        {
+            "Wood_Reduced": F.col("Wood") * F.col("WOOD_REDUCTION"),
+            "Bark_Reduced": F.col("Bark") * F.col("BARK_REDUCTION"),
+            "Branch_Reduced": F.col("Branch") * F.col("BRANCH_REDUCTION"),
+            "Foliage_Reduced": F.col("FOLIAGE") * F.col("FOLIAGE_REDUCTION"),
+        }
+    )
     # ---- harmonization (R/predictCRM2.R:485-534) ----
-    d = (
-        d.withColumn(
-            "TotalC",
-            F.col("Wood_Reduced") + F.col("Bark_Reduced") + F.col("Branch_Reduced"),
-        )
-        .withColumn("Diff", F.col("Total_Reduced") - F.col("TotalC"))
+    d = d.withColumns(
+        {
+            "AGB_Reduction_Factor": (
+                F.col("Wood_Reduced") + F.col("Bark_Reduced") + F.col("Branch_Reduced")
+            )
+            / F.nullif(F.col("Wood") + F.col("Bark") + F.col("Branch"), F.lit(0.0)),
+            "TotalC": F.col("Wood_Reduced")
+            + F.col("Bark_Reduced")
+            + F.col("Branch_Reduced"),
+        }
     )
-    for comp in ("Wood", "Bark", "Branch"):
-        d = d.withColumn(
-            f"{comp}R",
-            F.col(f"{comp}_Reduced") / F.nullif(F.col("TotalC"), F.lit(0.0)),
-        )
-        d = d.withColumn(f"{comp}Add", F.col("Diff") * F.col(f"{comp}R"))
-        d = d.withColumn(
-            f"{comp}F", F.col(f"{comp}Add") + F.col(f"{comp}_Reduced")
-        )
-
-    d = d.withColumn(
-        "WDSGAdj",
-        F.col("WoodF") / F.nullif(F.col("VTOTIB_PRESENT"), F.lit(0.0)) / LB_PER_FT3,
-    ).withColumn(
-        "BKSGAdj",
-        F.col("BarkF") / F.nullif(F.col("VTOTBK_PRESENT"), F.lit(0.0)) / LB_PER_FT3,
+    d = d.withColumn("Total_Reduced", F.col("Total") * F.col("AGB_Reduction_Factor"))
+    d = d.withColumns(
+        {
+            "Diff": F.col("Total_Reduced") - F.col("TotalC"),
+            **{
+                f"{comp}R": F.col(f"{comp}_Reduced")
+                / F.nullif(F.col("TotalC"), F.lit(0.0))
+                for comp in ("Wood", "Bark", "Branch")
+            },
+        }
     )
-
-    for sec in ("MER", "STP", "TOP", "SAW"):
-        d = d.withColumn(
-            f"W{sec}IB", F.col(f"V{sec}IB_PRESENT") * F.col("WDSGAdj") * LB_PER_FT3
-        )
-        d = d.withColumn(
-            f"W{sec}BK", F.col(f"V{sec}BK_PRESENT") * F.col("BKSGAdj") * LB_PER_FT3
-        )
-        d = d.withColumn(f"W{sec}OB", F.col(f"W{sec}IB") + F.col(f"W{sec}BK"))
-
-    d = (
-        d.withColumn("WTOTIB", F.col("WoodF"))
-        .withColumn("WTOTBK", F.col("BarkF"))
-        .withColumn("WTOTOB", F.col("WoodF") + F.col("BarkF"))
-        .withColumn("WTOTBCH", F.col("BranchF"))
-        .withColumn("WMERBCH", F.col("WTOTBCH") + F.col("WTOPOB"))
-        .withColumn("FOLIAGE", F.col("Foliage_Reduced"))
-        .withColumn("BIOMASS", F.col("Total_Reduced"))
-        .withColumn("CARBON", F.col("BIOMASS") * (F.col("C_FRAC") / 100))
-        .withColumn("AGB", F.col("BIOMASS") + F.col("FOLIAGE"))
+    d = d.withColumns(
+        {
+            f"{comp}F": F.col("Diff") * F.col(f"{comp}R") + F.col(f"{comp}_Reduced")
+            for comp in ("Wood", "Bark", "Branch")
+        }
+    )
+    d = d.withColumns(
+        {
+            "WDSGAdj": F.col("WoodF")
+            / F.nullif(F.col("VTOTIB_PRESENT"), F.lit(0.0))
+            / LB_PER_FT3,
+            "BKSGAdj": F.col("BarkF")
+            / F.nullif(F.col("VTOTBK_PRESENT"), F.lit(0.0))
+            / LB_PER_FT3,
+        }
+    )
+    wsecs = ("MER", "STP", "TOP", "SAW")
+    d = d.withColumns(
+        {
+            **{
+                f"W{sec}IB": F.col(f"V{sec}IB_PRESENT") * F.col("WDSGAdj") * LB_PER_FT3
+                for sec in wsecs
+            },
+            **{
+                f"W{sec}BK": F.col(f"V{sec}BK_PRESENT") * F.col("BKSGAdj") * LB_PER_FT3
+                for sec in wsecs
+            },
+            "WTOTIB": F.col("WoodF"),
+            "WTOTBK": F.col("BarkF"),
+            "WTOTOB": F.col("WoodF") + F.col("BarkF"),
+            "WTOTBCH": F.col("BranchF"),
+            "FOLIAGE": F.col("Foliage_Reduced"),
+            "BIOMASS": F.col("Total_Reduced"),
+        }
+    )
+    d = d.withColumns(
+        {
+            **{f"W{sec}OB": F.col(f"W{sec}IB") + F.col(f"W{sec}BK") for sec in wsecs},
+            "CARBON": F.col("BIOMASS") * (F.col("C_FRAC") / 100),
+        }
+    )
+    d = d.withColumns(
+        {
+            "WMERBCH": F.col("WTOTBCH") + F.col("WTOPOB"),
+            "AGB": F.col("BIOMASS") + F.col("FOLIAGE"),
+        }
     )
 
     # sapling rule: merch/sawlog/stump/top details are not reported
@@ -477,6 +518,7 @@ def predict_crm2(data: DataFrame) -> DataFrame:
         "VTOPBK_GROSS", "VTOPBK_SOUND", "VTOPIB_GROSS", "VTOPIB_SOUND",
         "WMERBK", "WMERIB", "WSTPBK", "WSTPIB", "WTOPBK", "WTOPIB",
     )
-    for c in sapling_na:
-        d = d.withColumn(c, F.when(dbh < 5.0, None).otherwise(F.col(c)))
+    d = d.withColumns(
+        {c: F.when(dbh < 5.0, None).otherwise(F.col(c)) for c in sapling_na}
+    )
     return d

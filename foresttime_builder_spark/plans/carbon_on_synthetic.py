@@ -331,7 +331,18 @@ bz{i} AS (
     return ",\n".join(parts)
 
 
+def carbon_cte() -> str:
+    """The full panel → annualize → NSVB-estimate oracle chain as a CTE
+    string ending with ``carbonout`` (keyed plot_ID/tree_ID/YEAR with every
+    estimated response) — reused by the population-scaling oracles."""
+    return _chain()
+
+
 def _oracle() -> str:
+    return "WITH " + _chain() + "\n" + _final_select()
+
+
+def _chain() -> str:
     ann = annualize_cte(_CPANEL_SQL, _JCASE)
 
     refsp = f"""refsp AS (
@@ -721,13 +732,25 @@ est AS (
   FROM est
 )"""
 
-    def r4(x: str) -> str:
-        return (
-            f"CASE WHEN isnan({x}) THEN NULL"
-            f" ELSE floor({x} * 10000 + 0.5) / 10000 END"
-        )
+    pieces = [
+        ann, refsp, prep, elig,
+        ",\n".join(coef_ctes), ",\n".join(resolves),
+        gross, bisect, vol1, present, sound, biomass,
+        reductions, harmonize, weights, out_sel,
+    ]
+    return ",\n".join(pieces)
 
-    final_sel = f"""SELECT f.tree_ID, f.YEAR,
+
+def _sql_r4(x: str) -> str:
+    return (
+        f"CASE WHEN isnan({x}) THEN NULL"
+        f" ELSE floor({x} * 10000 + 0.5) / 10000 END"
+    )
+
+
+def _final_select() -> str:
+    r4 = _sql_r4
+    return f"""SELECT f.tree_ID, f.YEAR,
   CAST(f.STATUSCD AS INT) AS statuscd,
   c.spcd_est AS spcd,
   {r4('f.DIA')} AS dia,
@@ -747,13 +770,126 @@ FROM final f
 LEFT JOIN carbonout c
   ON f.plot_ID = c.plot_ID AND f.tree_ID = c.tree_ID AND f.YEAR = c.YEAR"""
 
-    pieces = [
-        ann, refsp, prep, elig,
-        ",\n".join(coef_ctes), ",\n".join(resolves),
-        gross, bisect, vol1, present, sound, biomass,
-        reductions, harmonize, weights, out_sel,
-    ]
-    return "WITH " + ",\n".join(pieces) + "\n" + final_sel
-
 
 ORACLE_CARBON = _oracle()
+
+
+# ---------------------------------------------------------------------------
+# population scaling over the estimated panel (SURVEY §3.3) — q27/q28
+# ---------------------------------------------------------------------------
+
+_POP_AREA = 1_000_000.0
+
+
+def population_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year carbon totals + tons/acre over the estimated synthetic panel
+    (the vignette pop-scaling query, ``vignettes/pop_scaling.qmd:100-166``)."""
+    from foresttime_builder_spark.plans.population import estimate_population
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    panel = spark.sql(_CPANEL_SQL)
+    ann = fia.adjust_mortality(
+        fia.interpolate_data(fia.expand_data(panel)), use_mortyr=True
+    )
+    est = carbon.estimate_carbon(carbon.prep_carbon(ann))
+    pop = estimate_population(est, area=_POP_AREA)
+    return pop.select(
+        "YEAR",
+        (F.floor(F.col("total_tons") * 100 + F.lit(0.5)) / 100).alias("total_tons"),
+        (F.floor(F.col("total_area") * 100 + F.lit(0.5)) / 100).alias("total_area"),
+        (F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "tons_per_acre"
+        ),
+    )
+
+
+ORACLE_POPULATION = f"""WITH {{chain}},
+annest AS (
+  SELECT f.*, c.CARBON AS CARBON_AG
+  FROM final f
+  LEFT JOIN carbonout c
+    ON f.plot_ID = c.plot_ID AND f.tree_ID = c.tree_ID AND f.YEAR = c.YEAR
+),
+expns AS (
+  SELECT YEAR, {_POP_AREA} / count(DISTINCT plot_ID) AS EXPNS
+  FROM annest GROUP BY YEAR
+),
+d AS (
+  SELECT a.*, e.EXPNS,
+    CASE WHEN a.COND_STATUS_CD = 1 AND a.INTENSITY = 1 THEN 1.0 ELSE 0.0 END AS aDI,
+    (CASE WHEN a.STATUSCD = 1 THEN 1.0 ELSE 0.0 END)
+      * (CASE WHEN a.COND_STATUS_CD = 1 AND a.INTENSITY = 1 THEN 1.0 ELSE 0.0 END)
+      AS tDI
+  FROM annest a LEFT JOIN expns e ON a.YEAR = e.YEAR
+),
+tree_tot AS (
+  SELECT plot_ID, YEAR,
+    sum(coalesce(CARBON_AG, 0.0) * coalesce(TPA_UNADJ, 0.0) * EXPNS * tDI / 2000.0)
+      AS _plot_tons
+  FROM d GROUP BY 1, 2
+),
+conds AS (
+  SELECT DISTINCT plot_ID, YEAR, CONDID, CONDPROP_UNADJ, EXPNS, aDI FROM d
+),
+area_tot AS (
+  SELECT plot_ID, YEAR,
+    sum(coalesce(CONDPROP_UNADJ, 0.0) * EXPNS * aDI) AS _plot_area
+  FROM conds GROUP BY 1, 2
+),
+yearly AS (
+  SELECT t.YEAR, sum(t._plot_tons) AS total_tons, sum(a._plot_area) AS total_area
+  FROM tree_tot t JOIN area_tot a ON t.plot_ID = a.plot_ID AND t.YEAR = a.YEAR
+  GROUP BY 1
+)
+SELECT YEAR,
+  floor(total_tons * 100 + 0.5) / 100 AS total_tons,
+  floor(total_area * 100 + 0.5) / 100 AS total_area,
+  floor(total_tons / total_area * 1000000 + 0.5) / 1000000 AS tons_per_acre
+FROM yearly
+"""
+
+
+def grain_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation sweep in one GROUPING SETS pass
+    (SURVEY §2.4 A7; the reference loops ~14 separate summaries)."""
+    from foresttime_builder_spark.plans.population import multi_grain_sweep
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    panel = spark.sql(_CPANEL_SQL)
+    ann = fia.adjust_mortality(
+        fia.interpolate_data(fia.expand_data(panel)), use_mortyr=True
+    )
+    est = carbon.estimate_carbon(carbon.prep_carbon(ann))
+    out = multi_grain_sweep(
+        est, grains=[["SPCD"], ["YEAR"], ["SPCD", "YEAR"], []]
+    )
+    return out.select(
+        F.col("SPCD").cast("int").alias("spcd"),
+        F.col("YEAR").cast("int").alias("year"),
+        "grain",
+        (F.floor(F.col("weighted_value") * 100 + F.lit(0.5)) / 100).alias(
+            "weighted_value"
+        ),
+        "n_rows",
+    )
+
+
+ORACLE_GRAIN_SWEEP = """WITH {chain},
+annest AS (
+  SELECT f.*, c.CARBON AS CARBON_AG
+  FROM final f
+  LEFT JOIN carbonout c
+    ON f.plot_ID = c.plot_ID AND f.tree_ID = c.tree_ID AND f.YEAR = c.YEAR
+),
+d AS (
+  SELECT *, coalesce(CARBON_AG, 0.0) * coalesce(TPA_UNADJ, 0.0) AS _wv
+  FROM annest
+)
+SELECT CAST(SPCD AS INT) AS spcd, CAST(YEAR AS INT) AS year,
+  concat_ws('|', CASE WHEN grouping(SPCD) = 0 THEN 'SPCD' END,
+                 CASE WHEN grouping(YEAR) = 0 THEN 'YEAR' END) AS grain,
+  floor(sum(_wv) * 100 + 0.5) / 100 AS weighted_value,
+  count(*) AS n_rows
+FROM d
+GROUP BY GROUPING SETS ((SPCD), (YEAR), (SPCD, YEAR), ())
+"""

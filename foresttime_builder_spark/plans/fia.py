@@ -183,13 +183,14 @@ def expand_data(data: DataFrame) -> DataFrame:
     grid with ``interpolated`` provenance flag, downup fill of
     time-invariant columns."""
     cols = set(data.columns)
-    for c in SENTINEL_COLS:
-        if c in cols:
-            data = data.withColumn(
-                c, F.when(F.col(c).isNull(), 999).otherwise(F.col(c))
-            )
+    swaps = {
+        c: F.when(F.col(c).isNull(), 999).otherwise(F.col(c))
+        for c in SENTINEL_COLS
+        if c in cols
+    }
     if "CULL" in cols:
-        data = data.withColumn("CULL", F.coalesce("CULL", F.lit(0.0)))
+        swaps["CULL"] = F.coalesce("CULL", F.lit(0.0))
+    data = data.withColumns(swaps)
 
     expanded = expand_grid(
         data, GROUP, "INVYR", out_col="YEAR", flag_col="interpolated"
@@ -210,11 +211,13 @@ def interpolate_data(data_expanded: DataFrame) -> DataFrame:
         data_expanded, GROUP, "YEAR", [c for c in LINEAR_COLS if c in cols]
     )
     out = step_interpolate(out, GROUP, "YEAR", [c for c in STEP_COLS if c in cols])
-    for c in SENTINEL_COLS:
-        if c in cols:
-            out = out.withColumn(
-                c, F.when(F.col(c) == 999, None).otherwise(F.col(c))
-            )
+    out = out.withColumns(
+        {
+            c: F.when(F.col(c) == 999, None).otherwise(F.col(c))
+            for c in SENTINEL_COLS
+            if c in cols
+        }
+    )
 
     # CULL is only measured for trees with DIA >= 5 (R if_else: unknown DIA
     # → unknown CULL)
@@ -243,40 +246,41 @@ def interpolate_data(data_expanded: DataFrame) -> DataFrame:
     j = F.col("JENKINS_SPGRPCD")
     below_normal = (j < 10) & ((dia < 1) | (ht < 4.5) | (aht < 4.5))
     below_woodland = (j == 10) & ((dia < 1) | (ht < 1) | (aht < 1))
-    out = (
-        out.withColumn(
-            "STATUSCD",
-            F.when(below_normal | below_woodland, 2).otherwise(F.col("STATUSCD")),
-        )
-        .withColumn(
-            "STANDING_DEAD_CD",
-            F.when(below_normal | below_woodland, 0).otherwise(
+    out = out.withColumns(
+        {
+            "STATUSCD": F.when(below_normal | below_woodland, 2).otherwise(
+                F.col("STATUSCD")
+            ),
+            "STANDING_DEAD_CD": F.when(below_normal | below_woodland, 0).otherwise(
                 F.col("STANDING_DEAD_CD")
             ),
-        )
-        .drop("JENKINS_SPGRPCD")
-    )
+        }
+    ).drop("JENKINS_SPGRPCD")
     return out
 
 
 def adjust_mortality(
-    data_interpolated: DataFrame, use_mortyr: bool = True
+    data_interpolated: DataFrame, use_mortyr: bool | str = "auto"
 ) -> DataFrame:
     """Mortality masks (reference ``R/adjust_mortality.R:24-130``): optional
     recorded-MORTYR override of the interpolated death midpoint, then
     applicability rules (standing-dead only for dead trees, decay only for
     standing dead, no measurements for fallen trees / non-sampled
-    conditions)."""
+    conditions).
+
+    ``use_mortyr="auto"`` reproduces the reference's runtime downgrade (warn
+    + skip when no MORTYR is recorded anywhere) via a probe job; pass
+    ``True``/``False`` to skip the probe — the probe executes the whole
+    upstream plan once, which matters when this is mid-pipeline."""
     df = data_interpolated
     w_all = Window.partitionBy("tree_ID")
     w = Window.partitionBy("tree_ID").orderBy("YEAR")
 
-    if use_mortyr:
+    if use_mortyr == "auto":
         # reference warns + downgrades when no MORTYR is recorded at all
-        any_mortyr = (
+        use_mortyr = (
             df.filter(F.col("MORTYR").isNotNull()).limit(1).count() > 0
         )
-        use_mortyr = any_mortyr
 
     if use_mortyr:
         # tree alive in its recorded MORTYR → effective death the year after;
@@ -324,10 +328,14 @@ def adjust_mortality(
     nonsampled = (
         (F.col("STATUSCD") == 0) & r_isin(F.col("RECONCILECD"), [5, 6, 9])
     ) | (F.col("COND_STATUS_CD") != 1)
-    for c in ("DIA", "HT", "ACTUALHT", "CULL", "CR"):
-        df = df.withColumn(c, F.when(fallen, None).otherwise(F.col(c)))
-        df = df.withColumn(c, F.when(nonsampled, None).otherwise(F.col(c)))
-    return df
+    return df.withColumns(
+        {
+            c: F.when(nonsampled, None).otherwise(
+                F.when(fallen, None).otherwise(F.col(c))
+            )
+            for c in ("DIA", "HT", "ACTUALHT", "CULL", "CR")
+        }
+    )
 
 
 def fia_annualize(data_tidy: DataFrame, use_mortyr: bool = True) -> DataFrame:

@@ -1,0 +1,141 @@
+"""Population / area scaling of per-tree estimates, Spark-first.
+
+The reference documents this as the canonical downstream analytic query over
+the annualized + estimated table (``vignettes/pop_scaling.qmd:100-166``) and
+a legacy multi-grain aggregation sweep (``carbon_code/R/07_aggregateFIADB.R``,
+SURVEY §2.4 A7).  Both are textbook shuffle aggregations:
+
+- :func:`estimate_population`: two grouped sums (tree totals, deduped
+  condition/area totals) joined per (plot, year), then a per-year rollup and
+  ratio — exactly the vignette's EXPNS / aDI / tDI algebra;
+- :func:`multi_grain_sweep`: the reference loops one aggregation per grain
+  (~14 passes over the data); here a single ``GROUPING SETS`` pass computes
+  every grain in one shuffle (SURVEY §2.4 A7 mapping).
+
+Scale notes: plot-level aggregation shuffles on (plot_ID, YEAR) — the same
+key the annualization stage is already partitioned by, so AQE coalesces
+rather than re-shuffles; the per-year rollup is a near-free second stage
+(thousands of groups).  GROUPING SETS computes all grains with partial
+(map-side) aggregation, versus N full passes in the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+LB_PER_TON = 2000.0
+
+
+def estimate_population(
+    df: DataFrame,
+    area: float,
+    tree_domain: Column | None = None,
+    area_domain: Column | None = None,
+    value_col: str = "CARBON_AG",
+) -> DataFrame:
+    """Per-year population totals and per-acre ratio for ``value_col``
+    (reference ``vignettes/pop_scaling.qmd:100-166``).
+
+    Returns one row per YEAR: ``total_tons`` (Σ value·TPA·EXPNS / 2000),
+    ``total_area`` (Σ CONDPROP·EXPNS over distinct conditions), and
+    ``tons_per_acre``.
+    """
+    # domain indicators (qmd:103-104); null-safe to 0 like the R arithmetic
+    adi_cond = (
+        area_domain
+        if area_domain is not None
+        else (F.col("COND_STATUS_CD") == 1) & (F.col("INTENSITY") == 1)
+    )
+    tdi_cond = (
+        tree_domain if tree_domain is not None else (F.col("STATUSCD") == 1)
+    )
+    adi = F.when(adi_cond, 1.0).otherwise(0.0)
+    tdi = F.when(tdi_cond, 1.0).otherwise(0.0) * adi
+
+    # EXPNS = area / n_distinct(plot) per YEAR (qmd:119-123)
+    expns_dim = (
+        df.groupBy("YEAR")
+        .agg(F.countDistinct("plot_ID").alias("_nplots"))
+        .withColumn("EXPNS", F.lit(float(area)) / F.col("_nplots"))
+        .drop("_nplots")
+    )
+    d = df.withColumn("aDI", adi).withColumn("tDI", tdi).join(
+        F.broadcast(expns_dim), on="YEAR", how="left"
+    )
+
+    # tree totals per plot-year (qmd:141-147)
+    tree_tot = d.groupBy("plot_ID", "YEAR").agg(
+        F.sum(
+            F.coalesce(F.col(value_col), F.lit(0.0))
+            * F.coalesce(F.col("TPA_UNADJ"), F.lit(0.0))
+            * F.col("EXPNS")
+            * F.col("tDI")
+            / LB_PER_TON
+        ).alias("_plot_tons")
+    )
+
+    # area totals over distinct conditions per plot-year (qmd:148-155)
+    conds = d.select(
+        "plot_ID", "YEAR", "CONDID", "CONDPROP_UNADJ", "EXPNS", "aDI"
+    ).distinct()
+    area_tot = conds.groupBy("plot_ID", "YEAR").agg(
+        F.sum(
+            F.coalesce(F.col("CONDPROP_UNADJ"), F.lit(0.0))
+            * F.col("EXPNS")
+            * F.col("aDI")
+        ).alias("_plot_area")
+    )
+
+    joined = tree_tot.join(area_tot, on=["plot_ID", "YEAR"], how="inner")
+    return (
+        joined.groupBy("YEAR")
+        .agg(
+            F.sum("_plot_tons").alias("total_tons"),
+            F.sum("_plot_area").alias("total_area"),
+        )
+        .withColumn(
+            "tons_per_acre", F.col("total_tons") / F.col("total_area")
+        )
+    )
+
+
+def multi_grain_sweep(
+    df: DataFrame,
+    grains: Sequence[Sequence[str]],
+    value_col: str = "CARBON_AG",
+    weight_col: str = "TPA_UNADJ",
+) -> DataFrame:
+    """The legacy per-grain aggregation sweep in ONE pass via grouping sets
+    (reference runs ~14 separate summaries, ``carbon_code/R/07_aggregateFIADB.R:22-32``).
+
+    ``grains`` is a list of column-name lists; the output carries each grain's
+    columns (null outside its grain) plus a ``grain`` label, the weighted sum
+    of ``value_col`` and the row count.
+    """
+    all_cols = sorted({c for g in grains for c in g})
+    sets_sql = ", ".join(
+        "(" + ", ".join(g) + ")" if g else "()" for g in grains
+    )
+    w = F.coalesce(F.col(weight_col), F.lit(0.0))
+    v = F.coalesce(F.col(value_col), F.lit(0.0))
+    d = df.withColumn("_wv", v * w)
+    d.createOrReplaceTempView("_sweep_in")
+    cols = ", ".join(all_cols)
+    label = (
+        "concat_ws('|', "
+        + ", ".join(
+            f"CASE WHEN grouping({c}) = 0 THEN '{c}' END" for c in all_cols
+        )
+        + ")"
+    )
+    return d.sparkSession.sql(
+        f"""
+        SELECT {cols}, {label} AS grain,
+               sum(_wv) AS weighted_value,
+               count(*) AS n_rows
+        FROM _sweep_in
+        GROUP BY GROUPING SETS ({sets_sql})
+        """
+    )
