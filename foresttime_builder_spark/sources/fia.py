@@ -1,0 +1,165 @@
+"""FIA DataMart sources: download, extract, and CSV scan.
+
+Mirrors the reference's source surface (``R/fia_download.R``,
+``R/fia_load.R``) Spark-first:
+
+- :func:`fia_download` / :func:`unzip_csvs` are driver-side (a handful of
+  HTTP fetches is not a Spark job), idempotent (skip-if-present), and only
+  extract the 9 needed tables;
+- :func:`fia_load` is a schema-contracted multi-state CSV scan: Spark infers
+  the per-table schema from a sample, then every control-number column
+  (``CN`` / ``*_CN``) is pinned to ``StringType`` before the real scan —
+  FIADB CNs are 15+ digit integers that silently lose precision as doubles
+  (reference casts them to character for the same reason,
+  ``R/fia_tidy.R:25,31,45,61``; rationale ``NEWS.md:26``).
+
+Scale notes: multi-state loads are one reader over a path glob, so partition
+planning, predicate pushdown (e.g. the INVYR >= 2000 filter) and parallelism
+come from the data source, not a driver loop.  For production scale, convert
+the CSVs to parquet once with :func:`csv_to_parquet` and scan that.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+#: the 9 FIADB tables the pipeline consumes (reference ``R/fia_download.R:2-12``)
+FIA_TABLES = (
+    "PLOT",
+    "COND",
+    "TREE",
+    "PLOTGEOM",
+    "POP_ESTN_UNIT",
+    "POP_EVAL",
+    "POP_EVAL_TYP",
+    "POP_PLOT_STRATUM_ASSGN",
+    "POP_STRATUM",
+)
+
+DATAMART_URL = "https://apps.fs.usda.gov/fia/datamart/CSV/{state}_CSV.zip"
+
+
+def fia_download(
+    states: Sequence[str],
+    download_dir: str,
+    extract: bool = True,
+    keep_zip: bool = False,
+    timeout: int = 600,
+) -> list[str]:
+    """Fetch ``{STATE}_CSV.zip`` archives from the FIA DataMart
+    (reference ``R/fia_download.R:27-96``). Skips files that already exist;
+    returns the list of zip paths. Network access is attempted lazily so
+    offline environments can still import this module."""
+    import urllib.request
+
+    os.makedirs(download_dir, exist_ok=True)
+    zips = []
+    for state in states:
+        dest = os.path.join(download_dir, f"{state}_CSV.zip")
+        if not os.path.exists(dest):
+            url = DATAMART_URL.format(state=state)
+            tmp = dest + ".part"
+            with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+                tmp, "wb"
+            ) as out:
+                while chunk := resp.read(1 << 20):
+                    out.write(chunk)
+            os.replace(tmp, dest)
+        zips.append(dest)
+    if extract:
+        unzip_csvs(zips, download_dir, keep_zip=keep_zip)
+    return zips
+
+
+def unzip_csvs(
+    zips: Sequence[str], out_dir: str, keep_zip: bool = True
+) -> list[str]:
+    """Extract only the needed ``{STATE}_{TABLE}.csv`` members
+    (reference ``R/fia_download.R:98-114``)."""
+    extracted = []
+    for zpath in zips:
+        state = os.path.basename(zpath).split("_")[0]
+        wanted = {f"{state}_{t}.csv" for t in FIA_TABLES}
+        with zipfile.ZipFile(zpath) as zf:
+            for member in zf.namelist():
+                base = os.path.basename(member)
+                if base in wanted:
+                    target = os.path.join(out_dir, base)
+                    if not os.path.exists(target):
+                        with zf.open(member) as src, open(target, "wb") as dst:
+                            dst.write(src.read())
+                    extracted.append(target)
+        if not keep_zip:
+            os.remove(zpath)
+    return extracted
+
+
+def _pin_cn_columns(schema: T.StructType) -> T.StructType:
+    """Control numbers must never be numeric (precision loss)."""
+    fields = []
+    for f in schema.fields:
+        if f.name == "CN" or f.name.endswith("_CN"):
+            fields.append(T.StructField(f.name, T.StringType(), True))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def fia_load(
+    spark: SparkSession,
+    states: Sequence[str],
+    csv_dir: str,
+    tables: Sequence[str] = FIA_TABLES,
+) -> dict[str, DataFrame]:
+    """Multi-state CSV scan → ``{table: DataFrame}`` (reference
+    ``R/fia_load.R:8-11``). One reader per table over all state files (union
+    by path list), schema inferred once then CN columns pinned to string."""
+    db: dict[str, DataFrame] = {}
+    for table in tables:
+        paths = [
+            os.path.join(csv_dir, f"{state}_{table}.csv") for state in states
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            continue
+        inferred = (
+            spark.read.option("header", True)
+            .option("inferSchema", True)
+            .option("nullValue", "NA")
+            .csv(paths)
+            .schema
+        )
+        db[table] = (
+            spark.read.option("header", True)
+            .option("nullValue", "NA")
+            .schema(_pin_cn_columns(inferred))
+            .csv(paths)
+        )
+    return db
+
+
+def csv_to_parquet(
+    db: dict[str, DataFrame], out_dir: str, partition_by: str | None = "STATECD"
+) -> None:
+    """One-time CSV → parquet staging for repeated large-scale runs."""
+    for table, df in db.items():
+        writer = df.write.mode("overwrite")
+        if partition_by and partition_by in df.columns:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(os.path.join(out_dir, table))
+
+
+def load_staged(
+    spark: SparkSession, stage_dir: str, tables: Sequence[str] = FIA_TABLES
+) -> dict[str, DataFrame]:
+    """Read a :func:`csv_to_parquet` staging area (partition-pruned scans)."""
+    return {
+        t: spark.read.parquet(os.path.join(stage_dir, t))
+        for t in tables
+        if os.path.exists(os.path.join(stage_dir, t))
+    }

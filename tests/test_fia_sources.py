@@ -1,0 +1,105 @@
+"""FIA CSV source layer + per-state pipeline driver integration tests."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from foresttime_builder_spark.plans import state_pipeline
+from foresttime_builder_spark.sources import fia as fia_src
+from tests.fia_fixtures import build_db, spark_db
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    """Fixture db written as {STATE}_{TABLE}.csv files (state 44 = RI)."""
+    d = tmp_path_factory.mktemp("fia_csv")
+    for table, pdf in build_db().items():
+        pdf.to_csv(d / f"RI_{table}.csv", index=False, na_rep="NA")
+    return str(d)
+
+
+def test_fia_load_pins_cn_to_string(spark, csv_dir):
+    db = fia_src.fia_load(spark, ["RI"], csv_dir, tables=("PLOT", "TREE"))
+    assert dict(db["PLOT"].dtypes)["CN"] == "string"
+    assert dict(db["TREE"].dtypes)["CN"] == "string"
+    assert dict(db["TREE"].dtypes)["PLT_CN"] == "string"
+    # numeric columns still inferred as numbers
+    assert dict(db["TREE"].dtypes)["DIA"] == "double"
+
+
+def test_fia_load_matches_in_memory_db(spark, csv_dir):
+    """CSV-loaded pipeline output ≡ in-memory fixture pipeline output."""
+    from foresttime_builder_spark.plans import fia
+
+    db_csv = fia_src.fia_load(
+        spark, ["RI"], csv_dir, tables=("PLOT", "COND", "TREE", "PLOTGEOM")
+    )
+    a = fia.fia_tidy(db_csv)
+    b = fia.fia_tidy(spark_db(spark))
+    cols = sorted(set(a.columns) & set(b.columns))
+    assert a.count() == b.count()
+    assert (
+        a.select(cols).exceptAll(b.select(cols)).count() == 0
+    ), "CSV-loaded tidy differs from in-memory tidy"
+
+
+def test_multi_state_union(spark, csv_dir, tmp_path):
+    """Two states load as one scan with both states' rows."""
+    import shutil
+
+    for t in ("PLOT", "COND", "TREE", "PLOTGEOM"):
+        shutil.copy(
+            os.path.join(csv_dir, f"RI_{t}.csv"),
+            os.path.join(csv_dir, f"DE_{t}.csv"),
+        )
+    db = fia_src.fia_load(
+        spark, ["RI", "DE"], csv_dir, tables=("PLOT", "TREE")
+    )
+    one = fia_src.fia_load(spark, ["RI"], csv_dir, tables=("PLOT", "TREE"))
+    assert db["TREE"].count() == 2 * one["TREE"].count()
+
+
+def test_unzip_extracts_only_needed_tables(tmp_path, csv_dir):
+    zpath = tmp_path / "RI_CSV.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(os.path.join(csv_dir, "RI_TREE.csv"), "RI_TREE.csv")
+        zf.writestr("RI_SEEDLING.csv", "CN\n1\n")  # not a needed table
+    out = tmp_path / "out"
+    out.mkdir()
+    extracted = fia_src.unzip_csvs([str(zpath)], str(out))
+    assert [os.path.basename(p) for p in extracted] == ["RI_TREE.csv"]
+    assert not os.path.exists(out / "RI_SEEDLING.csv")
+
+
+def test_run_states_writes_both_variants(spark, tmp_path):
+    paths = state_pipeline.run_states(
+        spark, spark_db(spark), str(tmp_path), estimate=True
+    )
+    midpt = spark.read.parquet(paths["annualized_midpt"])
+    mortyr = spark.read.parquet(paths["annualized_mortyr"])
+    assert {"plot_ID", "tree_ID", "YEAR", "DRYBIO_AG", "CARBON_AG"} <= set(
+        midpt.columns
+    )
+    assert midpt.count() == mortyr.count() > 0
+    # partitioned by STATECD, all state 44
+    assert midpt.select("STATECD").distinct().collect()[0][0] == 44
+    # the two variants genuinely differ where MORTYR is recorded (tree 2_7)
+    key = ["tree_ID", "YEAR"]
+    m = midpt.select(*key, F.col("STATUSCD").alias("s_mid")).join(
+        mortyr.select(*key, F.col("STATUSCD").alias("s_mor")), key
+    )
+    assert m.filter(F.col("s_mid") != F.col("s_mor")).count() > 0
+
+
+def test_csv_roundtrip_staging(spark, csv_dir, tmp_path):
+    db = fia_src.fia_load(spark, ["RI"], csv_dir, tables=("PLOT", "TREE"))
+    fia_src.csv_to_parquet(db, str(tmp_path / "stage"))
+    staged = fia_src.load_staged(
+        spark, str(tmp_path / "stage"), tables=("PLOT", "TREE")
+    )
+    assert staged["TREE"].count() == db["TREE"].count()
+    assert dict(staged["TREE"].dtypes)["CN"] == "string"

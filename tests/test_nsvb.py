@@ -1,0 +1,130 @@
+"""Unit tests for the NSVB estimation primitives."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from foresttime_builder_spark.functions import nsvb
+
+
+@pytest.fixture(scope="module")
+def coef_df(spark):
+    rows = [
+        # key at all three levels with distinct 'a' so precedence is visible
+        ("316 230", None, None, 1.0, 2.0, 3.0, 3.0),
+        (None, "316", None, 10.0, 2.0, 3.0, 3.0),
+        (None, None, 7, 100.0, 2.0, 3.0, 3.0),
+        (None, "999", None, 55.0, 2.0, 3.0, 3.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "SPCD_DIVISION string, SPCD string, JENKINS_SPGRPCD int, "
+        "a double, b double, c double, equation double",
+    )
+
+
+def _data(spark, rows):
+    return spark.createDataFrame(
+        rows, "SPCD_DIVISION string, SPCD string, JENKINS_SPGRPCD int"
+    )
+
+
+def test_resolution_precedence(spark, coef_df):
+    data = _data(
+        spark,
+        [
+            ("316 230", "316", 7),   # level 1 wins
+            ("316 990", "316", 7),   # no division row -> level 2
+            ("500 230", "500", 7),   # only jenkins -> level 3
+            ("x", "y", 99),          # no match anywhere -> nulls
+        ],
+    )
+    out = nsvb.resolve_coefs(data, coef_df, "t").collect()
+    by = {r["SPCD_DIVISION"]: r for r in out}
+    assert by["316 230"]["t_level"] == 1 and by["316 230"]["t_a"] == 1.0
+    assert by["316 990"]["t_level"] == 2 and by["316 990"]["t_a"] == 10.0
+    assert by["500 230"]["t_level"] == 3 and by["500 230"]["t_a"] == 100.0
+    assert by["x"]["t_level"] is None and by["x"]["t_a"] is None
+
+
+def test_matched_level_takes_all_coefs(spark):
+    """A null coefficient at the matched level must NOT fall through to a
+    coarser level (row-level precedence, not per-coefficient coalesce)."""
+    coef = spark.createDataFrame(
+        [("316 230", None, None, None, 5.0), (None, "316", None, 7.0, 9.0)],
+        "SPCD_DIVISION string, SPCD string, JENKINS_SPGRPCD int, "
+        "a double, b double",
+    )
+    data = _data(spark, [("316 230", "316", 7)])
+    row = nsvb.resolve_coefs(data, coef, "t").collect()[0]
+    assert row["t_level"] == 1
+    assert row["t_a"] is None  # level-1 'a' is null and stays null
+    assert row["t_b"] == 5.0
+
+
+def test_equation_dispatch_forms(spark):
+    df = spark.createDataFrame(
+        [(10.0, 60.0, 0.5, 9.0)], "DBH double, THT double, WDSG double, k double"
+    )
+    coefs = {"t_a": 2.0, "t_b": 1.5, "t_c": 0.8, "t_a0": 3.0, "t_b0": 1.2,
+             "t_b1": 2.1, "t_b2": -0.05, "t_a1": 1.9, "t_c1": 0.6}
+    for name, val in coefs.items():
+        df = df.withColumn(name, F.lit(val))
+    avail = frozenset(c[2:] for c in coefs)
+    for eq, expected in [
+        (3, 2.0 * 10.0**1.5 * 60.0**0.8),
+        (4, 3.0 * 9.0 ** (1.2 - 2.1) * 10.0**2.1 * 60.0**0.8),  # DBH >= k
+        (5, 2.0 * 10.0 ** (1.9 * (1 - math.exp(-2.1 * 10.0)) ** 0.6) * 60.0**0.8),
+        (50, 2.0 * 10.0**1.5 * 60.0**0.8 * math.exp(0.05 * 10.0)),
+        (3.1, 2.0 * 10.0**1.5 * 60.0**0.8 * 0.5),
+    ]:
+        got = df.select(
+            nsvb.equation_value(
+                "t", F.col("DBH"), F.col("THT"), F.col("WDSG"), F.col("k"),
+                equation=F.lit(float(eq)), available=avail,
+            ).alias("v")
+        ).collect()[0]["v"]
+        assert got == pytest.approx(expected, rel=1e-12), f"eq {eq}"
+
+
+def test_find_vol_algebra(spark):
+    df = spark.createDataFrame([(60.0, 12.0)], "THT double, VTOT double")
+    a, b = 2.1, 0.87
+    got = df.select(
+        nsvb.find_vol(F.lit(a), F.lit(b), F.col("THT"), 1.0, 30.0, F.col("VTOT")).alias("v")
+    ).collect()[0]["v"]
+    ratio = lambda h: (1 - (1 - h / 60.0) ** a) ** b
+    assert got == pytest.approx(ratio(30.0) * 12.0 - ratio(1.0) * 12.0, rel=1e-12)
+
+
+def test_bisection_finds_taper_root(spark):
+    """pd(HT4) must equal dlim at the returned height."""
+    a, b, c, al, be = 0.002, 1.98, 1.02, 2.1, 0.87
+    D, H, dlim = 14.0, 80.0, 4.0
+    df = spark.createDataFrame([(D, H, dlim)], "D double, H double, dl double")
+    got = df.select(
+        nsvb.find_ht(
+            F.col("D"), F.col("H"), F.col("dl"),
+            F.lit(a), F.lit(b), F.lit(c), F.lit(al), F.lit(be),
+        ).alias("h")
+    ).collect()[0]["h"]
+    K = a * D**b * H**c / 0.005454154 / H * al * be
+    pd_sq = K * (1 - got / H) ** (al - 1) * (1 - (1 - got / H) ** al) ** (be - 1)
+    assert math.sqrt(pd_sq) == pytest.approx(dlim, rel=1e-6)
+    assert 0 < got < H
+
+
+def test_bisection_sapling_and_missing_null(spark):
+    df = spark.createDataFrame(
+        [(4.0, 30.0), (10.0, None), (None, 30.0)], "D double, H double"
+    )
+    rows = df.select(
+        nsvb.find_ht(
+            F.col("D"), F.col("H"), F.lit(4.0),
+            F.lit(0.002), F.lit(1.98), F.lit(1.02), F.lit(2.1), F.lit(0.87),
+        ).alias("h")
+    ).collect()
+    assert all(r["h"] is None for r in rows)
