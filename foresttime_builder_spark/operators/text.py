@@ -1,0 +1,187 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column algebra (JVM-side, codegen-friendly): no UDFs, no shuffles
+except the aggregations a caller adds.  Each has an exact SQL twin for the
+DuckDB correctness gate.
+
+- :func:`language_id`: stopword-profile n-gram heuristic over a fixed
+  language set; deterministic argmax tie-break by profile order;
+- :func:`token_count_bpe`: subword-ish token counting via a BPE-flavored
+  regex (letter runs capped at 4 chars + digits + punctuation marks);
+- :func:`winnow_fingerprint`: character-k-gram rolling fingerprints with
+  winnowing (min hash per sliding window of w positions) — the standard
+  local fingerprinting scheme for near-dup/plagiarism detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tiny deterministic stopword profiles (order = tie-break priority)
+LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "to", "in", "is", "that", "it")),
+    ("de", ("der", "die", "und", "das", "ist", "nicht", "ein", "zu")),
+    ("fr", ("le", "la", "et", "les", "des", "est", "une", "que")),
+    ("es", ("el", "la", "que", "de", "los", "es", "una", "para")),
+)
+
+#: BPE-flavored segmentation: letter chunks of <=4, single digits, marks
+BPE_PATTERN = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document language guess: count profile-word occurrences per
+    language, pick the max (earlier profile wins ties), 'und' when no
+    profile word occurs at all."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+
+    def _score(words: tuple[str, ...]):
+        profile = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+
+    scores = {lang: _score(words) for lang, words in LANG_PROFILES}
+    best = None
+    lang_col = F.lit("und")
+    # build right-to-left so earlier profiles win ties via strict >
+    for lang, _ in reversed(LANG_PROFILES):
+        s = scores[lang]
+        if best is None:
+            best = s
+            lang_col = F.when(s > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            lang_col = F.when((s > 0) & (s >= best), F.lit(lang)).otherwise(
+                lang_col
+            )
+            best = F.greatest(s, best)
+    out = df.select(
+        F.col(id_col),
+        lang_col.alias("lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang, _ in LANG_PROFILES],
+    )
+    return out
+
+
+def language_id_oracle_sql(id_col: str, text_col: str, table: str) -> str:
+    """DuckDB twin of :func:`language_id`."""
+    score = {
+        lang: (
+            f"len(list_filter(string_split(lower({text_col}), ' '), "
+            f"t -> list_contains({list(words)}, t)))"
+        )
+        for lang, words in LANG_PROFILES
+    }
+    # replicate the right-to-left when-chain exactly
+    expr = "'und'"
+    best = None
+    for lang, _ in reversed(LANG_PROFILES):
+        s = score[lang]
+        if best is None:
+            expr = f"CASE WHEN {s} > 0 THEN '{lang}' ELSE 'und' END"
+            best = s
+        else:
+            expr = (
+                f"CASE WHEN {s} > 0 AND {s} >= {best} THEN '{lang}' "
+                f"ELSE {expr} END"
+            )
+            best = f"greatest({s}, {best})"
+    cols = ", ".join(f"{score[lang]} AS score_{lang}" for lang, _ in LANG_PROFILES)
+    return f"SELECT {id_col}, {expr} AS lang, {cols} FROM {table}"
+
+
+def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Subword token counts via :data:`BPE_PATTERN` (whitespace tokens
+    alongside for a compression-ratio signal)."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    words = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.size(pieces) / F.nullif(F.size(words), F.lit(0)), 4
+        ).alias("tokens_per_word"),
+    )
+
+
+def token_count_bpe_oracle_sql(id_col: str, text_col: str, table: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    pieces = f"len(regexp_extract_all({text_col}, '{pat}'))"
+    words = f"len(string_split({text_col}, ' '))"
+    return f"""
+SELECT {id_col},
+       {pieces} AS n_bpe_tokens,
+       {words} AS n_words,
+       round({pieces} / nullif({words}, 0), 4) AS tokens_per_word
+FROM {table}
+"""
+
+
+def _hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints: hash every character ``k``-gram,
+    keep the minimum hash of each sliding window of ``w`` consecutive
+    positions, then the distinct mins are the document's fingerprints."""
+    text = F.col(text_col)
+    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    # materialize each array stage as a column: expressions inside lambdas are
+    # NOT common-subexpression-eliminated across elements, so referencing the
+    # gram array directly in the window lambda would recompute every k-gram
+    # hash per window (O(n^2) md5 calls per document)
+    staged = df.withColumn(
+        "_wf_grams",
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda p: _hash60(text.substr(p, F.lit(k))),
+        ),
+    )
+    grams = F.col("_wf_grams")
+    n_windows = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(0))
+    staged = staged.withColumn(
+        "_wf_fps",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(grams, i, w)),
+            )
+        ),
+    )
+    fps = F.col("_wf_fps")
+    return staged.select(
+        F.col(id_col),
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
+def winnow_fingerprint_oracle_sql(
+    id_col: str, text_col: str, table: str, k: int = 8, w: int = 4
+) -> str:
+    h = (
+        "CAST(concat('0x', substr(md5(substr({t}, CAST(p AS INT), "
+        f"{k})), 1, 15)) AS BIGINT)"
+    ).format(t=text_col)
+    return f"""
+WITH grams AS (
+  SELECT {id_col},
+    list_transform(generate_series(1, greatest(length({text_col}) - {k - 1}, 0)),
+                   p -> {h}) AS hs
+  FROM {table}
+),
+wins AS (
+  SELECT {id_col},
+    list_distinct(
+      list_transform(generate_series(1, greatest(len(hs) - {w - 1}, 0)),
+                     i -> list_min(hs[CAST(i AS INT):CAST(i + {w - 1} AS INT)]))
+    ) AS fps
+  FROM grams
+)
+SELECT {id_col}, len(fps) AS n_fingerprints,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM wins
+"""

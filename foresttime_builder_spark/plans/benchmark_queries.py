@@ -893,6 +893,134 @@ def _pop_oracle() -> str:
     return ORACLE_POPULATION.format(chain=carbon_cte())
 
 
+def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID heuristic (text-analysis family)."""
+    from foresttime_builder_spark.operators.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q33_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored subword token counting (text-analysis family)."""
+    from foresttime_builder_spark.operators.text import token_count_bpe
+
+    return token_count_bpe(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q34_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-k-gram winnowing fingerprints (rolling-hash family)."""
+    from foresttime_builder_spark.operators.text import winnow_fingerprint
+
+    return winnow_fingerprint(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: Arrow-batched mapInPandas decode stub
+    over an opaque payload (multimodal family)."""
+    from foresttime_builder_spark.operators.multimodal import (
+        decode_features,
+        with_payload,
+    )
+
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    out = decode_features(d, impl="fake")
+    return out.select(
+        "doc_id",
+        "byte_len",
+        "thumb_hash",
+        *[F.round(F.col("features").getItem(j), 6).alias(f"f{j}") for j in range(8)],
+    )
+
+
+ORACLE_Q35 = """
+SELECT doc_id, length(text) AS byte_len,
+       md5(substr(text, 1, 256)) AS thumb_hash,
+       {feats}
+FROM documents
+""".format(
+    feats=", ".join(
+        "round(CAST(concat('0x', substr(md5(text), 1 + 2 * %d, 2)) AS BIGINT)"
+        " / 255.0, 6) AS f%d" % (j, j)
+        for j in range(8)
+    )
+)
+
+
+def q36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-chunk 'frame' sampling over binary payloads, JVM-side
+    (multimodal family)."""
+    from foresttime_builder_spark.operators.multimodal import (
+        frame_sample,
+        with_payload,
+    )
+
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    out = frame_sample(d, chunk=128, every=2)
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        F.element_at("frame_hashes", 1).alias("first_frame_hash"),
+        F.element_at("frame_hashes", -1).alias("last_frame_hash"),
+    )
+
+
+ORACLE_Q36 = """
+WITH f AS (
+  SELECT doc_id,
+    CAST(ceil(length(text) / 128.0) AS INT) AS n_frames,
+    list_filter(generate_series(0, CAST(ceil(length(text) / 128.0) AS INT) - 1),
+                i -> i % 2 = 0) AS ids
+  FROM documents
+)
+SELECT d.doc_id, f.n_frames, len(f.ids) AS n_sampled,
+       md5(substr(d.text, CAST(f.ids[1] * 128 + 1 AS INT), 128))
+         AS first_frame_hash,
+       md5(substr(d.text, CAST(f.ids[-1] * 128 + 1 AS INT), 128))
+         AS last_frame_hash
+FROM documents d JOIN f ON d.doc_id = f.doc_id
+"""
+
+
+def q37_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN with exact in-bucket re-ranking — the
+    sub-quadratic similarity-search path (similarity family)."""
+    from foresttime_builder_spark.operators.ann import lsh_topk
+
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ann_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import lsh_topk_oracle_sql
+
+    return lsh_topk_oracle_sql()
+
+
+def _text_oracle(fn_name: str) -> str:
+    from foresttime_builder_spark.operators import text as text_ops
+
+    return getattr(text_ops, fn_name)("doc_id", "text", "documents")
+
+
+def _stream(name: str):
+    """Late-bind the streaming queries (module imports streaming machinery)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from foresttime_builder_spark.plans import streaming_queries
+
+        return getattr(streaming_queries, name)(spark, sf_dir)
+
+    return run
+
+
+def _stream_oracle(name: str) -> str:
+    from foresttime_builder_spark.plans import streaming_queries
+
+    return getattr(streaming_queries, name)
+
+
 def _grain_oracle() -> str:
     from foresttime_builder_spark.plans.carbon_on_synthetic import (
         ORACLE_GRAIN_SWEEP,
@@ -931,4 +1059,25 @@ QUERIES: dict[str, QuerySpec] = {
     "q26_nsvb_carbon": QuerySpec(q26_nsvb_carbon, _carbon_oracle()),
     "q27_population_scaling": QuerySpec(q27_population_scaling, _pop_oracle()),
     "q28_grain_sweep": QuerySpec(q28_grain_sweep, _grain_oracle()),
+    "q29_stream_rollup": QuerySpec(
+        _stream("q29_stream_rollup"), _stream_oracle("ORACLE_STREAM_ROLLUP")
+    ),
+    "q30_stream_sessions": QuerySpec(
+        _stream("q30_stream_sessions"), _stream_oracle("ORACLE_STREAM_SESSIONS")
+    ),
+    "q31_stream_stateful": QuerySpec(
+        _stream("q31_stream_stateful"), _stream_oracle("ORACLE_STREAM_STATEFUL")
+    ),
+    "q32_language_id": QuerySpec(
+        q32_language_id, _text_oracle("language_id_oracle_sql")
+    ),
+    "q33_bpe_tokens": QuerySpec(
+        q33_bpe_tokens, _text_oracle("token_count_bpe_oracle_sql")
+    ),
+    "q34_winnow_fingerprint": QuerySpec(
+        q34_winnow_fingerprint, _text_oracle("winnow_fingerprint_oracle_sql")
+    ),
+    "q35_multimodal_features": QuerySpec(q35_multimodal_features, ORACLE_Q35),
+    "q36_frame_sample": QuerySpec(q36_frame_sample, ORACLE_Q36),
+    "q37_ann_lsh": QuerySpec(q37_ann_lsh, _ann_oracle()),
 }

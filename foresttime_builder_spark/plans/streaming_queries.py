@@ -1,0 +1,98 @@
+"""Correctness-gate queries for the Structured Streaming surface.
+
+Each runs a streaming plan to completion (``availableNow`` → memory sink)
+and returns the materialized result; the DuckDB oracle computes the same
+analytics in batch SQL.  This gates the streaming operators end-to-end:
+incremental execution must converge to the batch answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from foresttime_builder_spark.streaming import (
+    read_event_stream,
+    run_to_memory,
+    running_user_totals,
+    sessionized,
+    windowed_rollup,
+)
+
+SESSION_GAP = "36 hours"
+
+
+def q29_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup, streamed to completion."""
+    out = run_to_memory(
+        windowed_rollup(read_event_stream(spark, sf_dir)), output_mode="complete"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+ORACLE_STREAM_ROLLUP = """
+SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q30_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user, streamed to completion."""
+    out = run_to_memory(
+        sessionized(read_event_stream(spark, sf_dir), gap=SESSION_GAP),
+        output_mode="complete",
+    )
+    return out.select(
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "user_id",
+        "n_events",
+        "session_value",
+    )
+
+
+# gaps-and-islands twin of session_window: a new session starts when the gap
+# to the previous event is >= the session gap (Spark merges on strict overlap)
+ORACLE_STREAM_SESSIONS = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 36 HOURS
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts) + INTERVAL 36 HOURS)) AS BIGINT) AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM g GROUP BY user_id, sid
+"""
+
+
+def q31_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): final running
+    per-user totals after consuming the whole stream."""
+    out = run_to_memory(
+        running_user_totals(read_event_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    # last update per user (robust to multi-micro-batch splits)
+    return out.groupBy("user_id").agg(
+        F.max_by("total", "n").alias("total"), F.max("n").alias("n")
+    )
+
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, round(sum(coalesce(value, 0.0)), 4) AS total, count(*) AS n
+FROM events GROUP BY 1
+"""

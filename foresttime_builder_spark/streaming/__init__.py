@@ -1,0 +1,15 @@
+from foresttime_builder_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    running_user_totals,
+    sessionized,
+    windowed_rollup,
+)
+
+__all__ = [
+    "read_event_stream",
+    "run_to_memory",
+    "running_user_totals",
+    "sessionized",
+    "windowed_rollup",
+]

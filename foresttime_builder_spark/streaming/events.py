@@ -1,0 +1,142 @@
+"""Structured Streaming operators over the event stream.
+
+The reference is batch-only (SURVEY §2.9), so this module is part of the
+engine's beyond-parity surface: the same event analytics users run in batch,
+expressed as incremental streaming plans.
+
+- :func:`read_event_stream`: file-source ``readStream`` over the events
+  parquet (schema pinned; nano timestamps converted exactly as the batch
+  reader does);
+- :func:`windowed_rollup`: tumbling-window aggregate with a watermark for
+  late data — the canonical streaming shuffle aggregation;
+- :func:`sessionized`: session windows (gap-based) per user;
+- :func:`running_user_totals`: custom stateful operator via
+  ``applyInPandasWithState`` — running per-user totals with explicit state,
+  the pattern for stateful logic Spark's built-ins can't express;
+- :func:`run_to_memory`: drive any of the above to a memory sink with
+  ``availableNow`` (process-everything-then-stop) and return the result as a
+  DataFrame — this is how the batch-differential tests and the correctness
+  harness consume streaming results.
+
+Scale notes: watermarks bound state (windows older than the watermark are
+evicted); the stateful operator keys state by user_id so it scales with
+|users|, not |events|; file sources at production scale become Kafka sources
+with identical downstream plans.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: physical schema of the events parquet (ts stored as INT64 nanos)
+EVENTS_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, value double, ts bigint"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the nano→timestamp
+    conversion matching :func:`..sources.load_table`."""
+    # file-source streams take a directory; select just the events file
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_rollup(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-event-type rollup with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "total double, n bigint"
+_TOTALS_OUT = "user_id bigint, total double, n bigint"
+
+
+def _totals_fn(key, pdfs, state: GroupState):
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].fillna(0.0).sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame({"user_id": [key[0]], "total": [round(total, 4)], "n": [n]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user value totals + event counts
+    via ``applyInPandasWithState`` (state = one (total, n) pair per user)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming plan to completion (``availableNow``) into a
+    memory sink and return the materialized result."""
+    spark = streaming_df.sparkSession
+    name = name or f"stream_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,101 @@
+"""Streaming ≡ batch differential tests (the strongest oracle available for
+Structured Streaming: same data, same computation, incremental vs batch)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from foresttime_builder_spark.sources import load_table
+from foresttime_builder_spark.streaming import (
+    read_event_stream,
+    run_to_memory,
+    running_user_totals,
+    sessionized,
+    windowed_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF, "events")
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_windowed_rollup_stream_equals_batch(spark, events_batch):
+    out = run_to_memory(
+        windowed_rollup(read_event_stream(spark, SF)), output_mode="complete"
+    )
+    batch = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _canon(out, cols) == _canon(batch, cols)
+    assert out.count() > 0
+
+
+def test_sessionized_stream_equals_batch(spark, events_batch):
+    out = run_to_memory(
+        sessionized(read_event_stream(spark, SF)), output_mode="complete"
+    )
+    batch = (
+        events_batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("s"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "session_value"]
+    assert _canon(out, cols) == _canon(batch, cols)
+    assert out.count() > 0
+
+
+def test_stateful_running_totals_final_state_equals_batch(spark, events_batch):
+    out = run_to_memory(
+        running_user_totals(read_event_stream(spark, SF)), output_mode="update"
+    )
+    # keep the last update per user (single-batch availableNow emits once,
+    # but stay robust to multi-batch splits)
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max_by("total", "n").alias("total"), F.max("n").alias("n"))
+    )
+    batch = events_batch.groupBy("user_id").agg(
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cols = ["user_id", "total", "n"]
+    got, want = _canon(final, cols), _canon(batch, cols)
+    assert [(u, n) for u, t, n in got] == [(u, n) for u, t, n in want]
+    for (u1, t1, n1), (u2, t2, n2) in zip(got, want):
+        assert t1 == pytest.approx(t2, abs=1e-3)
+
+
+def test_watermark_bounds_state(spark):
+    """The rollup plan carries an event-time watermark (state eviction)."""
+    plan = windowed_rollup(read_event_stream(spark, SF))
+    assert "watermark" in plan._jdf.queryExecution().analyzed().toString().lower()
