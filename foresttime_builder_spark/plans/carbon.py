@@ -81,13 +81,20 @@ def prep_carbon(df: DataFrame) -> DataFrame:
 
 
 def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
-    """Run the NSVB equation system on the estimable subset and join the
-    estimates back (reference ``R/estimate_carbon.R:10-105``).
+    """Run the NSVB equation system and attach the estimates
+    (reference ``R/estimate_carbon.R:10-105``).
 
-    ``keep_all=True`` returns the estimable-subset rows with every
-    intermediate response column (the reference's ``all.vars = TRUE``) —
-    used by the differential-test harness; the default mirrors the
-    reference's output contract (input + ``DRYBIO_AG`` + ``CARBON_AG``).
+    The reference filters to the estimable subset (woodland species and
+    missing-height trees excluded) and LEFT-JOINS the estimates back — only
+    because its array-indexing code breaks on NAs.  Here the DAG is
+    null-safe, so estimates are computed IN PLACE and gated null for
+    ineligible rows: same output, no self-join, and the upstream plan is
+    executed once instead of twice (SURVEY §2.3 J11 "avoid entirely").
+
+    ``keep_all=True`` returns every intermediate response column plus an
+    ``_eligible`` flag (the reference's ``all.vars = TRUE``) — used by the
+    differential-test harness; the default mirrors the reference's output
+    contract (prepped input columns + ``DRYBIO_AG`` + ``CARBON_AG``).
     """
     spark = df_prepped.sparkSession
     crprop = ref_tables.median_crprop(spark)
@@ -99,8 +106,14 @@ def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
         for r in crprop.filter(F.col("Province") == "UNDEFINED").collect()
     }
 
+    eligible = (F.col("JENKINS_SPGRPCD") < 10) & F.col("HT").isNotNull()
+    # the in-place mutations below feed the equations; the caller-visible
+    # contract keeps the prepped originals
+    mutated = ("CR", "STDORGCD", "SPCD", "CULL")
+    stash = {f"_orig_{c}": F.col(c) for c in mutated}
+
     fiadb = (
-        df_prepped.filter((F.col("JENKINS_SPGRPCD") < 10) & F.col("HT").isNotNull())
+        df_prepped.withColumns(stash)
         .join(F.broadcast(cr_dim), on=["SFTWD_HRDWD", "PROVINCE"], how="left")
         .withColumns(
             {
@@ -131,18 +144,15 @@ def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
         )
     )
 
-    est = predict_crm2(fiadb)
+    est = predict_crm2(fiadb).withColumn("_eligible", eligible)
     if keep_all:
         return est
 
-    back = est.select(
-        "plot_ID",
-        "tree_ID",
-        "YEAR",
-        F.col("BIOMASS").alias("DRYBIO_AG"),
-        F.col("CARBON").alias("CARBON_AG"),
-    )
-    return df_prepped.join(back, on=["plot_ID", "tree_ID", "YEAR"], how="left")
+    restore = {c: F.col(f"_orig_{c}") for c in mutated}
+    restore["DRYBIO_AG"] = F.when(eligible, F.col("BIOMASS"))
+    restore["CARBON_AG"] = F.when(eligible, F.col("CARBON"))
+    out = est.withColumns(restore)
+    return out.select(*df_prepped.columns, "DRYBIO_AG", "CARBON_AG")
 
 
 def predict_crm2(data: DataFrame) -> DataFrame:

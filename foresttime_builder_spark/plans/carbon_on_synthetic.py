@@ -110,23 +110,14 @@ def estimate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         fia.interpolate_data(fia.expand_data(panel)), use_mortyr=True
     )
     est = carbon.estimate_carbon(carbon.prep_carbon(ann), keep_all=True)
-    back = est.select(
-        "plot_ID",
-        "tree_ID",
-        "YEAR",
-        F.col("SPCD").alias("spcd_est"),
-        *[
-            F.col(src).alias(f"_est_{out}")
-            for out, src in (p.split(":") for p in _OUT_R4)
-            if src not in ("DIA", "HT")
-        ],
-    )
-    out = ann.join(back, on=["plot_ID", "tree_ID", "YEAR"], how="left")
+    # estimates are computed in place; gate every estimated column on the
+    # eligibility flag (identical to the reference's left-join null extension)
+    elig = F.col("_eligible")
     sel = [
         F.col("tree_ID"),
         F.col("YEAR"),
         F.col("STATUSCD").cast("int").alias("statuscd"),
-        F.col("spcd_est").alias("spcd"),
+        F.when(elig, F.col("SPCD")).alias("spcd"),
         _nan_r4(F.col("DIA")).alias("dia"),
         _nan_r4(F.col("HT")).alias("ht"),
     ]
@@ -134,8 +125,8 @@ def estimate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_name, src = p.split(":")
         if src in ("DIA", "HT"):
             continue
-        sel.append(_nan_r4(F.col(f"_est_{out_name}")).alias(out_name))
-    return out.select(*sel)
+        sel.append(_nan_r4(F.when(elig, F.col(src))).alias(out_name))
+    return est.select(*sel)
 
 
 def _nan_r4(col):
@@ -791,7 +782,11 @@ def population_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = fia.adjust_mortality(
         fia.interpolate_data(fia.expand_data(panel)), use_mortyr=True
     )
-    est = carbon.estimate_carbon(carbon.prep_carbon(ann))
+    # the population query aggregates the estimated table three ways
+    # (EXPNS dim, tree totals, condition totals); persist so the carbon
+    # chain executes once — at production scale this table is the parquet
+    # output of run_states and the reuse is free
+    est = carbon.estimate_carbon(carbon.prep_carbon(ann)).persist()
     pop = estimate_population(est, area=_POP_AREA)
     return pop.select(
         "YEAR",
@@ -859,7 +854,7 @@ def grain_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = fia.adjust_mortality(
         fia.interpolate_data(fia.expand_data(panel)), use_mortyr=True
     )
-    est = carbon.estimate_carbon(carbon.prep_carbon(ann))
+    est = carbon.estimate_carbon(carbon.prep_carbon(ann)).persist()
     out = multi_grain_sweep(
         est, grains=[["SPCD"], ["YEAR"], ["SPCD", "YEAR"], []]
     )
