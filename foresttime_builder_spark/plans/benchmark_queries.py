@@ -893,6 +893,130 @@ def _pop_oracle() -> str:
     return ORACLE_POPULATION.format(chain=carbon_cte())
 
 
+def q38_sapling_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sapling state machine over the annualized panel: lag/lead year-over-
+    year transitions + per-from-state proportions (SURVEY §2.5 W9, the
+    reference's ``scripts/05-check_saplings.R`` transition matrix)."""
+    from foresttime_builder_spark.plans import fia
+    from foresttime_builder_spark.plans.fia_on_synthetic import (
+        _PANEL_SQL,
+        synthetic_tree_panel,
+    )
+
+    panel = synthetic_tree_panel(spark, sf_dir)
+    ann = fia.adjust_mortality(
+        fia.interpolate_data(fia.expand_data(panel)), use_mortyr=True
+    )
+    state = (
+        F.when(F.col("STATUSCD").isNull(), "unknown")
+        .when(F.col("STATUSCD") == 2, "dead")
+        .when(F.col("STATUSCD") == 0, "gone")
+        .when(F.col("DIA") < 5.0, "sapling")
+        .when(F.col("DIA") >= 5.0, "tree")
+        .otherwise("unknown")
+    )
+    w = W.partitionBy("tree_ID").orderBy("YEAR")
+    d = (
+        ann.withColumn("state", state)
+        .withColumn("prev_state", F.lag("state", 1).over(w))
+        .filter(F.col("prev_state").isNotNull())
+    )
+    counts = d.groupBy("prev_state", "state").agg(F.count(F.lit(1)).alias("n"))
+    tot = W.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "state",
+        "n",
+        (F.floor(F.col("n") / F.sum("n").over(tot) * 10000 + F.lit(0.5)) / 10000
+         ).alias("prop"),
+    )
+
+
+def _sapling_oracle() -> str:
+    from foresttime_builder_spark.plans.fia_on_synthetic import (
+        _PANEL_SQL,
+        annualize_cte,
+    )
+
+    return f"""
+WITH {annualize_cte(_PANEL_SQL)},
+st AS (
+  SELECT tree_ID, YEAR,
+    CASE WHEN STATUSCD IS NULL THEN 'unknown'
+         WHEN STATUSCD = 2 THEN 'dead'
+         WHEN STATUSCD = 0 THEN 'gone'
+         WHEN DIA < 5.0 THEN 'sapling'
+         WHEN DIA >= 5.0 THEN 'tree'
+         ELSE 'unknown' END AS state
+  FROM final
+),
+tr AS (
+  SELECT state, lag(state) OVER (PARTITION BY tree_ID ORDER BY YEAR)
+           AS prev_state
+  FROM st
+),
+counts AS (
+  SELECT prev_state, state, count(*) AS n FROM tr
+  WHERE prev_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_state, state, n,
+       floor(n / (sum(n) OVER (PARTITION BY prev_state)) * 10000 + 0.5) / 10000
+         AS prop
+FROM counts
+"""
+
+
+def q39_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key build + split roundtrip (SURVEY §2.6 O6 / §1.2:
+    underscore-joined plot/tree IDs and their inverse)."""
+    from foresttime_builder_spark.plans.fia import (
+        add_composite_ids,
+        split_composite_ids,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    synth = c.select(
+        (F.col("c_nationkey") + 1).alias("STATECD"),
+        F.lit(1).alias("UNITCD"),
+        (F.col("c_custkey") % 100).alias("COUNTYCD"),
+        F.col("c_custkey").alias("PLOT"),
+        (F.col("c_custkey") % 4 + 1).alias("SUBP"),
+        (F.col("c_custkey") % 9 + 1).alias("TREE"),
+    )
+    built = add_composite_ids(synth)
+    parsed = split_composite_ids(
+        built.select("tree_ID", "plot_ID"), id_col="tree_ID"
+    )
+    return parsed.select(
+        "tree_ID",
+        "plot_ID",
+        F.col("STATECD").cast("int").alias("statecd"),
+        F.col("COUNTYCD").cast("int").alias("countycd"),
+        F.col("SUBP").cast("int").alias("subp"),
+        F.col("TREE").cast("int").alias("tree"),
+    )
+
+
+ORACLE_Q39 = """
+WITH synth AS (
+  SELECT c_nationkey + 1 AS STATECD, 1 AS UNITCD, c_custkey % 100 AS COUNTYCD,
+         c_custkey AS PLOT, c_custkey % 4 + 1 AS SUBP, c_custkey % 9 + 1 AS TREE
+  FROM customer
+),
+built AS (
+  SELECT concat_ws('_', STATECD, UNITCD, COUNTYCD, PLOT) AS plot_ID,
+         concat_ws('_', STATECD, UNITCD, COUNTYCD, PLOT, SUBP, TREE) AS tree_ID
+  FROM synth
+)
+SELECT tree_ID, plot_ID,
+       CAST(string_split(tree_ID, '_')[1] AS INT) AS statecd,
+       CAST(string_split(tree_ID, '_')[3] AS INT) AS countycd,
+       CAST(string_split(tree_ID, '_')[5] AS INT) AS subp,
+       CAST(string_split(tree_ID, '_')[6] AS INT) AS tree
+FROM built
+"""
+
+
 def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID heuristic (text-analysis family)."""
     from foresttime_builder_spark.operators.text import language_id
@@ -1080,4 +1204,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q35_multimodal_features": QuerySpec(q35_multimodal_features, ORACLE_Q35),
     "q36_frame_sample": QuerySpec(q36_frame_sample, ORACLE_Q36),
     "q37_ann_lsh": QuerySpec(q37_ann_lsh, _ann_oracle()),
+    "q38_sapling_transitions": QuerySpec(q38_sapling_transitions, _sapling_oracle()),
+    "q39_id_roundtrip": QuerySpec(q39_id_roundtrip, ORACLE_Q39),
 }
