@@ -133,3 +133,68 @@ ranked AS (
 )
 SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 32,
+    n_bits: int = 6,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): LSH-bucketed
+    candidate generation + exact cosine verification at ``threshold``.
+    Fewer bits than top-k search — recall matters more than bucket size for
+    dedup. Returns (id_a, id_b, cosine) with id_a < id_b."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),
+    ).withColumn("bucket", signature_bits(F.col("vec"), dims, n_bits))
+    left = base.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    pairs = left.join(base, on="bucket").filter(F.col("id_a") < F.col("vid"))
+    return (
+        pairs.select(
+            "id_a",
+            F.col("vid").alias("id_b"),
+            F.round(cosine(F.col("vec_a"), F.col("vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 32,
+    n_bits: int = 6,
+    threshold: float = 0.3,
+) -> str:
+    def plane(b: int, j: int) -> str:
+        h = f"CAST(concat('0x', substr(md5('{b}_{j}'), 1, 15)) AS BIGINT)"
+        return f"(({h} % 2001) - 1000) / 1000.0"
+
+    bit_exprs = []
+    for b in range(n_bits):
+        dot = " + ".join(
+            f"CAST(vec[{j + 1}] AS DOUBLE) * {plane(b, j)}" for j in range(dims)
+        )
+        bit_exprs.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bit_exprs)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
+),
+sigs AS (SELECT vid, vec, {sig} AS bucket FROM base)
+SELECT a.vid AS id_a, b.vid AS id_b,
+       round(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE round(list_dot_product(a.vec, b.vec)
+            / (sqrt(list_dot_product(a.vec, a.vec))
+               * sqrt(list_dot_product(b.vec, b.vec))), 6) >= {threshold}
+"""

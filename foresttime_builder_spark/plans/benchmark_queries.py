@@ -1116,6 +1116,45 @@ def q37_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q40_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates +
+    exact cosine verification (dedup family)."""
+    from foresttime_builder_spark.operators.ann import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry through the catalog surface (temp views, SURVEY S6):
+    the engine is usable from spark.sql alone."""
+    from foresttime_builder_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, year(o_orderdate) AS year,
+               count(*) AS n_orders,
+               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        """
+    )
+
+
+ORACLE_Q41 = """
+SELECT c_mktsegment, year(o_orderdate) AS year, count(*) AS n_orders,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def _neardup_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import embedding_neardup_oracle_sql
+
+    return embedding_neardup_oracle_sql()
+
+
 def _ann_oracle() -> str:
     from foresttime_builder_spark.operators.ann import lsh_topk_oracle_sql
 
@@ -1206,4 +1245,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q37_ann_lsh": QuerySpec(q37_ann_lsh, _ann_oracle()),
     "q38_sapling_transitions": QuerySpec(q38_sapling_transitions, _sapling_oracle()),
     "q39_id_roundtrip": QuerySpec(q39_id_roundtrip, ORACLE_Q39),
+    "q40_embed_neardup": QuerySpec(q40_embed_neardup, _neardup_oracle()),
+    "q41_sql_over_views": QuerySpec(q41_sql_over_views, ORACLE_Q41),
 }

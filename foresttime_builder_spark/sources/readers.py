@@ -49,3 +49,12 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> None:
+    """Expose the synthetic tables as temp views (catalog surface — the
+    reference's legacy duckdb-file architecture, SURVEY §2.1 S6)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

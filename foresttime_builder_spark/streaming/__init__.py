@@ -1,4 +1,6 @@
 from foresttime_builder_spark.streaming.events import (
+    dedup_stream,
+    purchase_attribution,
     read_event_stream,
     run_to_memory,
     running_user_totals,
@@ -7,6 +9,8 @@ from foresttime_builder_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "purchase_attribution",
     "read_event_stream",
     "run_to_memory",
     "running_user_totals",

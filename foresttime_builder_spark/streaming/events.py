@@ -120,6 +120,46 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event dedup by event_id within the watermark horizon
+    (``dropDuplicates`` keeps state per key until the watermark passes)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def purchase_attribution(
+    events: DataFrame, horizon: str = "2 days", watermark: str = "4 days"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the clicks from the
+    same user in the preceding ``horizon`` (state on both sides bounded by
+    watermarks + the time-range predicate)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     output_mode: str = "complete",

@@ -173,3 +173,21 @@ def test_midpt_equals_mortyr_variant_elsewhere(annual_mortyr, annual):
     a = _tree(annual_mortyr, "44_1_1_1_1_2", ["STATUSCD", "STANDING_DEAD_CD"])
     b = _tree(annual, "44_1_1_1_1_2", ["STATUSCD", "STANDING_DEAD_CD"])
     assert a == b
+
+
+def test_qa_suite_clean_on_pipeline_output(annual):
+    from foresttime_builder_spark.plans import qa
+
+    result = qa.run_qa(annual, qa.ANNUALIZED_SUITE)
+    assert result == {k: 0 for k in qa.ANNUALIZED_SUITE}
+
+
+def test_qa_detects_violations(spark):
+    from foresttime_builder_spark.plans import qa
+
+    bad = spark.createDataFrame(
+        [("t1", 2000, 316), ("t1", 2000, 318)],
+        "tree_ID string, YEAR int, SPCD int",
+    )
+    assert qa.one_row_per_tree_year(bad).count() == 1
+    assert qa.unique_spcd_per_tree(bad).count() == 1

@@ -99,3 +99,40 @@ def test_watermark_bounds_state(spark):
     """The rollup plan carries an event-time watermark (state eviction)."""
     plan = windowed_rollup(read_event_stream(spark, SF))
     assert "watermark" in plan._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_dedup_stream_removes_replayed_events(spark, events_batch):
+    from foresttime_builder_spark.streaming.events import dedup_stream
+
+    s = read_event_stream(spark, SF)
+    out = run_to_memory(
+        dedup_stream(s.union(s)), output_mode="append"
+    )
+    assert out.count() == events_batch.count()
+    assert out.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_purchase_attribution_stream_equals_batch(spark, events_batch):
+    from foresttime_builder_spark.streaming.events import purchase_attribution
+
+    out = run_to_memory(
+        purchase_attribution(read_event_stream(spark, SF)), output_mode="append"
+    )
+    e = events_batch
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    batch = purch.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 days")),
+    ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
+    cols = ["purchase_id", "user_id", "click_id", "click_ts", "purchase_ts"]
+    assert _canon(out, cols) == _canon(batch, cols)
+    assert out.count() > 0
