@@ -1,18 +1,24 @@
 """Approximate nearest-neighbor search over embedding columns.
 
-Two paths over an ``array<float>`` embedding column:
+Three paths over an ``array<float>`` embedding column:
 
 - brute-force cosine top-k (the exactness baseline; see q17 in the query
   registry) — O(probes × corpus);
 - :func:`lsh_topk`: random-hyperplane LSH — deterministic pseudo-random
   hyperplanes derived from md5 (so the construction is reproducible across
   engines and runs), sign-bit signatures, candidates restricted to the same
-  bucket, exact cosine re-ranking inside the bucket.
+  bucket, exact cosine re-ranking inside the bucket;
+- :func:`ivf_topk`: IVF — a deterministic mini k-means coarse quantizer
+  (fixed Lloyd iterations, md5-seeded init) partitions the corpus into
+  inverted lists; probes scan only the ``nprobe`` nearest lists.
 
 Scale notes: the signature computation is a narrow map; the bucket join
 shuffles on the bucket key (buckets ≈ 2^n_bits, tune n_bits so buckets fit
 in a partition); re-ranking touches only same-bucket pairs, turning the
-quadratic all-pairs into sum-of-squared-bucket-sizes.
+quadratic all-pairs into sum-of-squared-bucket-sizes.  For IVF the centroid
+table is tiny (k rows) and always broadcast; assignment is a narrow map +
+one k-row window, so the corpus is touched ``iters + 1`` times with no wide
+shuffle — and probe search reads ``nprobe / k`` of the corpus.
 """
 
 from __future__ import annotations
@@ -133,6 +139,227 @@ ranked AS (
 )
 SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def _pround6(col: Column) -> Column:
+    """Portable 6-dp rounding: identical IEEE ops in Spark and DuckDB
+    (native round() ties differ across engines; see q25/q26 conventions)."""
+    return F.floor(col * 1000000.0 + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _sq_dist(vec: Column, vv: Column, cvec: Column, cc: Column) -> Column:
+    """Rounded squared L2 distance via the decomposed form
+    ``v·v - 2 v·c + c·c`` (the oracle uses the same decomposition so both
+    engines accumulate in the same order)."""
+    dot = F.aggregate(
+        F.zip_with(vec, cvec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return _pround6(vv - 2 * dot + cc)
+
+
+def _with_self_dot(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(
+        out,
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        ),
+    )
+
+
+def _assign_to_centroids(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    rounded-distance argmin with centroid-id tie-break."""
+    pairs = base.crossJoin(F.broadcast(cent)).withColumn(
+        "dist",
+        _sq_dist(F.col("vec"), F.col("vv"), F.col("cvec"), F.col("cc")),
+    )
+    w = W.partitionBy("vid").orderBy("dist", "cid")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "vec", "vv", "cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 3,
+    probe_mod: int = 25,
+) -> DataFrame:
+    """IVF approximate top-``k``: deterministic mini k-means (md5-seeded
+    init, ``iters`` fixed Lloyd iterations, centroids rounded at 6 dp for
+    cross-engine reproducibility) builds inverted lists; each probe scans
+    only its ``nprobe`` nearest lists and re-ranks by exact cosine.
+
+    Replaces the reference-free scale path for similarity search (the
+    reference has no ANN; SURVEY §2 extension family).  At cluster scale the
+    global ``row_number`` init would train the quantizer on a driver-side
+    sample instead — the corpus-side work stays a broadcast-join map.
+    """
+    base = _with_self_dot(
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),
+        ),
+        "vec",
+        "vv",
+    )
+
+    w_init = W.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+    cent = (
+        base.withColumn("rn", F.row_number().over(w_init))
+        .filter(F.col("rn") <= k_clusters)
+        .select((F.col("rn") - 1).cast("int").alias("cid"), F.col("vec").alias("cvec"))
+    )
+    cent = _with_self_dot(cent, "cvec", "cc")
+
+    for _ in range(iters):
+        assigned = _assign_to_centroids(base, cent)
+        cent = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("vec").getItem(j)).alias(f"m{j}") for j in range(dims)])
+            .select(
+                "cid",
+                F.array(*[_pround6(F.col(f"m{j}")) for j in range(dims)]).alias("cvec"),
+            )
+        )
+        cent = _with_self_dot(cent, "cvec", "cc")
+
+    lists = _assign_to_centroids(base, cent)
+
+    probes = base.filter(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("probe_id"),
+        F.col("vec").alias("pvec"),
+        F.col("vv").alias("pvv"),
+    )
+    pc = probes.crossJoin(F.broadcast(cent)).withColumn(
+        "dist",
+        _sq_dist(F.col("pvec"), F.col("pvv"), F.col("cvec"), F.col("cc")),
+    )
+    wp = W.partitionBy("probe_id").orderBy("dist", "cid")
+    probe_lists = (
+        pc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "pvec", "cid")
+    )
+
+    cands = probe_lists.join(lists, on="cid").filter(
+        F.col("probe_id") != F.col("vid")
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("vid").alias("neighbor_id"),
+        F.round(cosine(F.col("pvec"), F.col("vec")), 6).alias("cosine"),
+    )
+    wr = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 3,
+    probe_mod: int = 25,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` — identical init ordering, Lloyd
+    iteration count, centroid/distance rounding, and tie-breaks."""
+    dist = (
+        "floor((list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+        " + list_dot_product({c}, {c})) * 1000000.0 + 0.5) / 1000000.0"
+    )
+
+    def assign_cte(name: str, cent: str) -> str:
+        d = dist.format(v="b.vec", c="c.cvec")
+        return f"""{name} AS (
+  SELECT vid, vec, cid FROM (
+    SELECT b.vid, b.vec, c.cid,
+      row_number() OVER (PARTITION BY b.vid ORDER BY {d}, c.cid) AS rnn
+    FROM base b CROSS JOIN {cent} c)
+  WHERE rnn = 1
+)"""
+
+    def cent_cte(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(m ORDER BY dim) AS cvec FROM (
+    SELECT cid, dim, floor(avg(val) * 1000000.0 + 0.5) / 1000000.0 AS m
+    FROM (SELECT cid, unnest(vec) AS val, generate_subscripts(vec, 1) AS dim
+          FROM {assigned})
+    GROUP BY cid, dim)
+  GROUP BY cid
+)"""
+
+    ctes = [
+        f"""base AS (
+  SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
+)""",
+        f"""cent0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cid, vec AS cvec FROM (
+    SELECT vec, row_number() OVER
+      (ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS rn
+    FROM base)
+  WHERE rn <= {k_clusters}
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(assign_cte(f"assign{i}", f"cent{i}"))
+        ctes.append(cent_cte(f"cent{i + 1}", f"assign{i}"))
+    ctes.append(assign_cte("lists", f"cent{iters}"))
+    pd = dist.format(v="p.pvec", c="c.cvec")
+    cos = (
+        "round(list_dot_product(pc.pvec, a.vec)"
+        " / (sqrt(list_dot_product(pc.pvec, pc.pvec))"
+        " * sqrt(list_dot_product(a.vec, a.vec))), 6)"
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT vid AS probe_id, vec AS pvec FROM base WHERE vid % {probe_mod} = 0
+)"""
+    )
+    ctes.append(
+        f"""pc AS (
+  SELECT probe_id, pvec, cid FROM (
+    SELECT p.probe_id, p.pvec, c.cid,
+      row_number() OVER (PARTITION BY p.probe_id ORDER BY {pd}, c.cid) AS rnn
+    FROM probes p CROSS JOIN cent{iters} c)
+  WHERE rnn <= {nprobe}
+)"""
+    )
+    ctes.append(
+        f"""cand AS (
+  SELECT pc.probe_id, a.vid AS neighbor_id, {cos} AS cosine
+  FROM pc JOIN lists a ON pc.cid = a.cid AND pc.probe_id != a.vid
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)"""
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"
+    )
 
 
 def embedding_neardup_pairs(

@@ -1124,6 +1124,15 @@ def q40_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic mini k-means inverted lists + nprobe-limited
+    exact re-ranking — the centroid-based scale path for similarity search
+    (complements the LSH path, q37)."""
+    from foresttime_builder_spark.operators.ann import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL entry through the catalog surface (temp views, SURVEY S6):
     the engine is usable from spark.sql alone."""
@@ -1159,6 +1168,12 @@ def _ann_oracle() -> str:
     from foresttime_builder_spark.operators.ann import lsh_topk_oracle_sql
 
     return lsh_topk_oracle_sql()
+
+
+def _ivf_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import ivf_topk_oracle_sql
+
+    return ivf_topk_oracle_sql()
 
 
 def _text_oracle(fn_name: str) -> str:
@@ -1247,4 +1262,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q39_id_roundtrip": QuerySpec(q39_id_roundtrip, ORACLE_Q39),
     "q40_embed_neardup": QuerySpec(q40_embed_neardup, _neardup_oracle()),
     "q41_sql_over_views": QuerySpec(q41_sql_over_views, ORACLE_Q41),
+    "q42_ann_ivf": QuerySpec(q42_ann_ivf, _ivf_oracle()),
 }
