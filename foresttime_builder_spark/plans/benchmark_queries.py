@@ -1133,6 +1133,62 @@ def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q43_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join routed through the co-bucketed parquet layout
+    (sources.bucketing): both sides bucketed on the order key, so the join
+    plans with zero shuffle Exchange at any scale. The oracle verifies the
+    bucketed round-trip preserves the join result."""
+    import tempfile
+
+    from foresttime_builder_spark.sources.bucketing import (
+        co_bucketed_join,
+        write_bucketed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ftb_q43_")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        "ftb_q43_orders",
+        f"{tmp}/orders",
+        ["o_orderkey"],
+        num_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        "ftb_q43_lineitem",
+        f"{tmp}/lineitem",
+        ["l_orderkey"],
+        num_buckets=8,
+        sort_cols=["l_orderkey", "l_linenumber"],
+    )
+    j = co_bucketed_join(
+        spark, "ftb_q43_orders", "ftb_q43_lineitem", "o_orderkey", "l_orderkey"
+    )
+    return j.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("revenue"),
+    )
+
+
+ORACLE_Q43 = """
+SELECT o_orderpriority AS priority, year(o_orderdate) AS year,
+       count(*) AS n_rows,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
 def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL entry through the catalog surface (temp views, SURVEY S6):
     the engine is usable from spark.sql alone."""
@@ -1263,4 +1319,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q40_embed_neardup": QuerySpec(q40_embed_neardup, _neardup_oracle()),
     "q41_sql_over_views": QuerySpec(q41_sql_over_views, ORACLE_Q41),
     "q42_ann_ivf": QuerySpec(q42_ann_ivf, _ivf_oracle()),
+    "q43_bucketed_join": QuerySpec(q43_bucketed_join, ORACLE_Q43),
 }
