@@ -37,6 +37,9 @@ def get_spark(
         # testdata parquet uses INT64 TIMESTAMP(NANOS); read as long and
         # convert in sources.readers.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # per-DataFrame-API-call origin tracking costs 3-4 extra JVM round
+        # trips per call; the NSVB plan alone makes ~3k API calls
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
