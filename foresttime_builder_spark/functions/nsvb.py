@@ -28,7 +28,10 @@ the one deliberate exit from codegen in the whole carbon stage.
 
 from __future__ import annotations
 
+import csv
+import os
 from collections.abc import Sequence
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -36,6 +39,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from foresttime_builder_spark.functions.helpers import r_if_else
+from foresttime_builder_spark.sources import ref_tables
 
 #: all coefficient columns that may appear in a coef table
 #: (reference ``applyAllLevels``'s ``ccs``, ``R/predictCRM2.R:633-646``)
@@ -132,6 +136,146 @@ def resolve_coefs(
 
 def cf(prefix: str, name: str) -> Column:
     return F.col(f"{prefix}_{name}")
+
+
+# ---------------------------------------------------------------------------
+# driver-side coefficient-dimension build
+# ---------------------------------------------------------------------------
+#
+# The coefficient tables are static package CSVs (≤ 424 rows).  Slicing and
+# pre-merging them per precedence level is pure dimension preparation, so it
+# runs driver-side in plain python:
+#
+# - 24 per-table-per-level Spark joins collapse into THREE broadcast joins
+#   (one per level) against pre-merged level dims;
+# - the reference's (rcumob ⋈ volob) pair for HT4/HTSAW (``myMerge``,
+#   ``R/predictCRM2.R:723-727``) becomes a python dict merge;
+# - resolution no longer needs a distinct-key-space subplan, which at
+#   execution time re-ran the entire upstream pipeline to feed the broadcast.
+#
+# Each level dim carries, per coef source, a ``_has`` presence flag: a key
+# can match (say) volib at SPCD_DIVISION level but bark_biomass only at the
+# JENKINS level, so finest-level-wins must be decided per source, per row.
+
+#: prefix → the coef table(s) backing it; pairs are inner-merged per level
+COEF_SOURCES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("vib", ("volib",)),
+    ("vbk", ("volbk",)),
+    ("mh", ("rcumob", "volob")),
+    ("rib", ("rcumib",)),
+    ("tb", ("total_biomass",)),
+    ("bb", ("bark_biomass",)),
+    ("br", ("branch_biomass",)),
+    ("fo", ("foliage",)),
+)
+
+_COEF_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources", "coefs"
+)
+
+
+@lru_cache(maxsize=None)
+def _coef_table_py(name: str) -> tuple[tuple[str, ...], dict[str, dict]]:
+    """One coef CSV parsed to ``(coef_cols, {level: {key: values_tuple}})``."""
+    with open(os.path.join(_COEF_DIR, f"{name}_coefs.csv"), newline="") as f:
+        rows = list(csv.DictReader(f))
+    cols = tuple(c for c in COEF_COLS if c in rows[0])
+    levels: dict[str, dict] = {}
+    for lv in LEVELS:
+        m: dict = {}
+        for r in rows:
+            k = r.get(lv)
+            if k in (None, "", "NA"):
+                continue
+            if lv == "JENKINS_SPGRPCD":
+                k = int(float(k))
+            m[k] = tuple(
+                None if r[c] in ("", "NA") else float(r[c]) for c in cols
+            )
+        levels[lv] = m
+    return cols, levels
+
+
+@lru_cache(maxsize=None)
+def _source_slice(names: tuple[str, ...], lv: str) -> tuple[tuple[str, ...], dict]:
+    """The level-``lv`` slice of one coef source; pairs are inner-joined on
+    the level key with the second table's novel columns appended."""
+    if len(names) == 1:
+        cols, levels = _coef_table_py(names[0])
+        return cols, levels[lv]
+    c1, l1 = _coef_table_py(names[0])
+    c2, l2 = _coef_table_py(names[1])
+    extra = tuple(c for c in c2 if c not in c1)
+    idx = [c2.index(c) for c in extra]
+    merged = {
+        k: v1 + tuple(l2[lv][k][i] for i in idx)
+        for k, v1 in l1[lv].items()
+        if k in l2[lv]
+    }
+    return c1 + extra, merged
+
+
+def prefix_cols() -> dict[str, tuple[str, ...]]:
+    """Coefficient columns attached per prefix."""
+    return {p: _source_slice(names, LEVELS[0])[0] for p, names in COEF_SOURCES}
+
+
+def level_dims(spark) -> list[DataFrame]:
+    """The three per-level coefficient dims as broadcastable DataFrames,
+    memoized per session (columns ``_l{i}_key``, ``_l{i}_{prefix}_has``,
+    ``_l{i}_{prefix}_{coef}``)."""
+
+    def build() -> list[DataFrame]:
+        dims = []
+        for i, lv in enumerate(LEVELS, start=1):
+            slices = [
+                (p, *_source_slice(names, lv)) for p, names in COEF_SOURCES
+            ]
+            keys = sorted({k for _, _, m in slices for k in m})
+            rows = []
+            for k in keys:
+                row: list = [k]
+                for _, cols, m in slices:
+                    v = m.get(k)
+                    row.append(v is not None)
+                    row.extend(v if v is not None else (None,) * len(cols))
+                rows.append(tuple(row))
+            ddl = [f"_l{i}_key " + ("INT" if lv == "JENKINS_SPGRPCD" else "STRING")]
+            for p, cols, _ in slices:
+                ddl.append(f"_l{i}_{p}_has BOOLEAN")
+                ddl.extend(f"_l{i}_{p}_{c} DOUBLE" for c in cols)
+            dims.append(spark.createDataFrame(rows, ", ".join(ddl)))
+        return dims
+
+    return ref_tables.cached(spark, "_nsvb_level_dims", build)
+
+
+def attach_coefs(d: DataFrame) -> DataFrame:
+    """Resolve every coefficient source onto ``d`` with finest-level-wins
+    precedence (reference ``applyAllLevels``/``combineLevels2``,
+    ``R/predictCRM2.R:628-721``): three broadcast left joins + one CASE pick
+    per coefficient.  Adds ``{prefix}_{coef}`` and ``{prefix}_level``."""
+    dims = level_dims(d.sparkSession)
+    for i, (lv, dim) in enumerate(zip(LEVELS, dims), start=1):
+        key = F.col(lv).cast("int" if lv == "JENKINS_SPGRPCD" else "string")
+        d = d.join(F.broadcast(dim), key == F.col(f"_l{i}_key"), "left")
+
+    new_cols: dict[str, Column] = {}
+    drops: list[str] = [f"_l{i}_key" for i in (1, 2, 3)]
+    for p, cols in prefix_cols().items():
+        has = [f"_l{i}_{p}_has" for i in (1, 2, 3)]
+        drops += has
+        new_cols[f"{p}_level"] = F.expr(
+            f"CASE WHEN {has[0]} THEN 1 WHEN {has[1]} THEN 2 "
+            f"WHEN {has[2]} THEN 3 END"
+        )
+        for c in cols:
+            branches = " ".join(
+                f"WHEN {has[i - 1]} THEN _l{i}_{p}_{c}" for i in (1, 2, 3)
+            )
+            new_cols[f"{p}_{c}"] = F.expr(f"CASE {branches} END")
+            drops += [f"_l{i}_{p}_{c}" for i in (1, 2, 3)]
+    return d.withColumns(new_cols).drop(*drops)
 
 
 #: coefficient columns each equation form reads (dispatch branches are only

@@ -101,10 +101,8 @@ def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
     cr_dim = crprop.select(
         F.col("Province").alias("PROVINCE"), "SFTWD_HRDWD", "CRmn"
     )
-    undef = {
-        r["SFTWD_HRDWD"]: r["CRmn"]
-        for r in crprop.filter(F.col("Province") == "UNDEFINED").collect()
-    }
+    # static fallback values resolved driver-side — no collect() job per build
+    undef = ref_tables.crprop_undefined()
 
     eligible = (F.col("JENKINS_SPGRPCD") < 10) & F.col("HT").isNotNull()
     # the in-place mutations below feed the equations; the caller-visible
@@ -163,9 +161,6 @@ def predict_crm2(data: DataFrame) -> DataFrame:
     analyzer pass per *layer* instead of one per column (a sequential
     ``withColumn`` chain over this ~150-column plan costs tens of seconds of
     driver-side analysis before a single task runs)."""
-    spark = data.sparkSession
-    coefs = ref_tables.all_coef_tables(spark)
-
     d = data.withColumn(
         "SPCD_NUMERIC",
         F.regexp_replace(F.col("SPCD"), "^1_", "").cast("double"),
@@ -181,40 +176,12 @@ def predict_crm2(data: DataFrame) -> DataFrame:
     )
     dbh, tht, wdsg = F.col("DBH"), F.col("THT"), F.col("WDSG")
 
-    # ---- coefficient resolution against the DISTINCT key space ----
-    # Resolving each of the 8 coef sources directly against the tree frame
-    # would be 24 broadcast joins over a growing 150-column plan (quadratic
-    # analyzer cost, 24 probe passes at execution). The key space is tiny
-    # (|species × division| combos actually present), so resolve once there
-    # and attach everything with ONE broadcast join.
-    key_cols = ["SPCD_DIVISION", "SPCD", "JENKINS_SPGRPCD"]
-    keys = data.select(
-        F.col("SPCD_DIVISION").cast("string").alias("SPCD_DIVISION"),
-        F.col("SPCD").cast("string").alias("SPCD"),
-        F.col("JENKINS_SPGRPCD").cast("int").alias("JENKINS_SPGRPCD"),
-    ).distinct()
-    pair = lambda lv: nsvb.merge_coef_pair(coefs["rcumob"], coefs["volob"], lv)
-    resolved = keys
-    for prefix, source in (
-        ("vib", coefs["volib"]),
-        ("vbk", coefs["volbk"]),
-        ("mh", pair),
-        ("rib", coefs["rcumib"]),
-        ("tb", coefs["total_biomass"]),
-        ("bb", coefs["bark_biomass"]),
-        ("br", coefs["branch_biomass"]),
-        ("fo", coefs["foliage"]),
-    ):
-        resolved = nsvb.resolve_coefs(resolved, source, prefix)
-    join_cond = [
-        d[k].cast(t).eqNullSafe(resolved[k])
-        for k, t in zip(key_cols, ("string", "string", "int"))
-    ]
-    d = d.join(
-        F.broadcast(resolved),
-        on=join_cond[0] & join_cond[1] & join_cond[2],
-        how="left",
-    ).drop(*[resolved[k] for k in key_cols])
+    # ---- coefficient resolution: three broadcast joins against pre-merged
+    # per-level dims (built driver-side from the static coef CSVs) + one
+    # finest-level-wins CASE pick per coefficient. No extra subplan: the
+    # earlier distinct-key-space formulation re-executed the whole upstream
+    # pipeline at runtime just to feed the broadcast.
+    d = nsvb.attach_coefs(d)
 
     # ---- gross volume predictions ----
     d = d.withColumn(

@@ -14,6 +14,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _RES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources")
 
+
+def cached(spark: SparkSession, key: str, build) -> DataFrame:
+    """Per-session memo for the tiny broadcast dims: building them is pure
+    driver-side work, so repeated plan builds (q26/q27/q28 each rebuild the
+    whole chain) should pay it once per session."""
+    cache = getattr(spark, "_ft_ref_cache", None)
+    if cache is None:
+        cache = {}
+        spark._ft_ref_cache = cache
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
 COEF_NAMES = (
     "volib",
     "volbk",
@@ -27,73 +40,134 @@ COEF_NAMES = (
 )
 
 
-def _read_csv(spark: SparkSession, name: str, schema: str | None = None) -> DataFrame:
-    path = os.path.join(_RES, name)
-    reader = spark.read.option("header", True).option("nullValue", "NA")
-    if schema:
-        reader = reader.schema(schema)
-    else:
-        reader = reader.option("inferSchema", True)
-    return reader.csv(path)
+@lru_cache(maxsize=None)
+def csv_rows(name: str, spec: tuple[tuple[str, str], ...]) -> tuple[tuple, ...]:
+    """Parse one packaged reference CSV driver-side into typed python rows.
+
+    These dims are 10 – 2,697 rows; parsing them with the csv module and
+    shipping via ``createDataFrame`` costs ~1 ms, where a ``spark.read.csv``
+    per plan build costs ~150 ms of JVM round trips and a file scan —
+    measurable when a pipeline build touches six dims (q25-q28)."""
+    import csv as _csv
+
+    out = []
+    with open(os.path.join(_RES, name), newline="") as f:
+        for rec in _csv.DictReader(f):
+            row = []
+            for col, kind in spec:
+                v = rec.get(col)
+                if v in (None, "", "NA"):
+                    row.append(None)
+                elif kind == "int":
+                    row.append(int(float(v)))
+                elif kind == "double":
+                    row.append(float(v))  # handles 'Inf'
+                else:
+                    row.append(v)
+            out.append(tuple(row))
+    return tuple(out)
+
+
+def _dim(spark: SparkSession, name: str, spec: tuple[tuple[str, str], ...]) -> DataFrame:
+    ddl = ", ".join(f"{c} {k.upper()}" for c, k in spec)
+    return cached(
+        spark, name, lambda: spark.createDataFrame(list(csv_rows(name, spec)), ddl)
+    )
+
+
+_SPECIES_SPEC = (
+    ("SPCD", "int"),
+    ("JENKINS_SPGRPCD", "int"),
+    ("SFTWD_HRDWD", "string"),
+    ("WOODLAND", "string"),
+    ("CARBON_RATIO_LIVE", "double"),
+    ("WOOD_SPGR_GREENVOL_DRYWT", "double"),
+)
 
 
 def ref_species(spark: SparkSession) -> DataFrame:
     """SPCD-keyed species properties (subset of REF_SPECIES consumed by the
     pipeline: reference ``R/prep_carbon.R:14-22``, ``R/interpolate_data.R:85``)."""
-    # JENKINS_SPGRPCD is stored as "7.0"-style floats; an INT schema would
-    # silently null it under PERMISSIVE csv parsing
-    return _read_csv(
-        spark,
-        "REF_SPECIES.csv",
-        "SPCD INT, JENKINS_SPGRPCD DOUBLE, SFTWD_HRDWD STRING, WOODLAND STRING, "
-        "CARBON_RATIO_LIVE DOUBLE, WOOD_SPGR_GREENVOL_DRYWT DOUBLE",
-    ).withColumn("JENKINS_SPGRPCD", F.col("JENKINS_SPGRPCD").cast("int"))
+    return _dim(spark, "REF_SPECIES.csv", _SPECIES_SPEC)
 
 
 def tpa_rules(spark: SparkSession) -> DataFrame:
     """DESIGNCD × [min_DIA, max_DIA) → TPA_UNADJ band rules
     (``data-raw/DESIGNCD_TPA.csv``; 'Inf' parses to +infinity)."""
-    df = _read_csv(
+    return _dim(
         spark,
         "DESIGNCD_TPA.csv",
-        "DESIGNCD INT, min_DIA DOUBLE, max_DIA STRING, TPA_UNADJ DOUBLE",
-    )
-    return df.withColumn(
-        "max_DIA",
-        F.when(F.col("max_DIA") == "Inf", F.lit(float("inf"))).otherwise(
-            F.col("max_DIA").cast("double")
+        (
+            ("DESIGNCD", "int"),
+            ("min_DIA", "double"),
+            ("max_DIA", "double"),
+            ("TPA_UNADJ", "double"),
         ),
     )
 
 
 def decay_prop(spark: SparkSession) -> DataFrame:
-    return _read_csv(
+    return _dim(
         spark,
         "REF_TREE_DECAY_PROP.csv",
-        "CN STRING, DECAYCD INT, SFTWD_HRDWD STRING, DENSITY_PROP DOUBLE, "
-        "BARK_LOSS_PROP DOUBLE, BRANCH_LOSS_PROP DOUBLE",
-    ).drop("CN")
+        (
+            ("DECAYCD", "int"),
+            ("SFTWD_HRDWD", "string"),
+            ("DENSITY_PROP", "double"),
+            ("BARK_LOSS_PROP", "double"),
+            ("BRANCH_LOSS_PROP", "double"),
+        ),
+    )
 
 
 def carbon_ratio_dead(spark: SparkSession) -> DataFrame:
-    return _read_csv(
+    return _dim(
         spark,
         "REF_TREE_CARBON_RATIO_DEAD.csv",
-        "CN STRING, SFTWD_HRDWD STRING, DECAYCD INT, CARBON_RATIO DOUBLE",
-    ).drop("CN")
+        (
+            ("SFTWD_HRDWD", "string"),
+            ("DECAYCD", "int"),
+            ("CARBON_RATIO", "double"),
+        ),
+    )
+
+
+_CRPROP_SPEC = (
+    ("CARTgrp", "string"),
+    ("Province", "string"),
+    ("hwd_yn", "string"),
+    ("CRmn", "double"),
+    ("Nobs", "string"),
+)
 
 
 def median_crprop(spark: SparkSession) -> DataFrame:
     """Median crown proportion by province × hardwood flag, with literal
     'UNDEFINED' province fallback rows (``data-raw/median_crprop.csv``)."""
-    df = _read_csv(
-        spark,
-        "median_crprop.csv",
-        "CARTgrp STRING, Province STRING, hwd_yn STRING, CRmn DOUBLE, Nobs STRING",
-    )
-    return df.withColumn(
-        "SFTWD_HRDWD", F.when(F.col("hwd_yn") == "N", "S").otherwise("H")
-    )
+
+    def build() -> DataFrame:
+        rows = [
+            (*r, "S" if r[2] == "N" else "H")
+            for r in csv_rows("median_crprop.csv", _CRPROP_SPEC)
+        ]
+        ddl = (
+            "CARTgrp STRING, Province STRING, hwd_yn STRING, CRmn DOUBLE, "
+            "Nobs STRING, SFTWD_HRDWD STRING"
+        )
+        return spark.createDataFrame(rows, ddl)
+
+    return cached(spark, "median_crprop.csv", build)
+
+
+def crprop_undefined() -> dict[str, float]:
+    """The 'UNDEFINED'-province crown-proportion fallback values, resolved
+    driver-side (no Spark job: the reference reads them with a filter+collect,
+    ``R/estimate_carbon.R:27-33``)."""
+    return {
+        ("S" if r[2] == "N" else "H"): r[3]
+        for r in csv_rows("median_crprop.csv", _CRPROP_SPEC)
+        if r[1] == "UNDEFINED"
+    }
 
 
 def coef_table(spark: SparkSession, name: str) -> DataFrame:
