@@ -240,32 +240,39 @@ def level_dims(spark) -> list[DataFrame]:
                     row.append(v is not None)
                     row.extend(v if v is not None else (None,) * len(cols))
                 rows.append(tuple(row))
-            ddl = [f"_l{i}_key " + ("INT" if lv == "JENKINS_SPGRPCD" else "STRING")]
+            spec = [
+                (f"_l{i}_key", "int" if lv == "JENKINS_SPGRPCD" else "string")
+            ]
             for p, cols, _ in slices:
-                ddl.append(f"_l{i}_{p}_has BOOLEAN")
-                ddl.extend(f"_l{i}_{p}_{c} DOUBLE" for c in cols)
-            dims.append(spark.createDataFrame(rows, ", ".join(ddl)))
+                spec.append((f"_l{i}_{p}_has", "boolean"))
+                spec.extend((f"_l{i}_{p}_{c}", "double") for c in cols)
+            dims.append(ref_tables.values_df(spark, rows, tuple(spec)))
         return dims
 
     return ref_tables.cached(spark, "_nsvb_level_dims", build)
 
 
-def attach_coefs(d: DataFrame) -> DataFrame:
-    """Resolve every coefficient source onto ``d`` with finest-level-wins
-    precedence (reference ``applyAllLevels``/``combineLevels2``,
-    ``R/predictCRM2.R:628-721``): three broadcast left joins + one CASE pick
-    per coefficient.  Adds ``{prefix}_{coef}`` and ``{prefix}_level``."""
+def join_coef_dims(d: DataFrame) -> DataFrame:
+    """Three broadcast left joins attaching the raw per-level dim columns
+    (``_l{i}_*``); :func:`coef_pick_layer` then picks finest-level-wins."""
     dims = level_dims(d.sparkSession)
     for i, (lv, dim) in enumerate(zip(LEVELS, dims), start=1):
         key = F.col(lv).cast("int" if lv == "JENKINS_SPGRPCD" else "string")
         d = d.join(F.broadcast(dim), key == F.col(f"_l{i}_key"), "left")
+    return d
 
-    new_cols: dict[str, Column] = {}
+
+def coef_pick_layer() -> tuple[dict[str, str], list[str]]:
+    """The finest-level-wins resolution as one SQL projection layer
+    (reference ``applyAllLevels``/``combineLevels2``,
+    ``R/predictCRM2.R:628-721``): returns ``({name: sql_expr}, drop_list)``
+    where the drop list removes every raw ``_l{i}_*`` column."""
+    new_cols: dict[str, str] = {}
     drops: list[str] = [f"_l{i}_key" for i in (1, 2, 3)]
     for p, cols in prefix_cols().items():
         has = [f"_l{i}_{p}_has" for i in (1, 2, 3)]
         drops += has
-        new_cols[f"{p}_level"] = F.expr(
+        new_cols[f"{p}_level"] = (
             f"CASE WHEN {has[0]} THEN 1 WHEN {has[1]} THEN 2 "
             f"WHEN {has[2]} THEN 3 END"
         )
@@ -273,9 +280,18 @@ def attach_coefs(d: DataFrame) -> DataFrame:
             branches = " ".join(
                 f"WHEN {has[i - 1]} THEN _l{i}_{p}_{c}" for i in (1, 2, 3)
             )
-            new_cols[f"{p}_{c}"] = F.expr(f"CASE {branches} END")
+            new_cols[f"{p}_{c}"] = f"CASE {branches} END"
             drops += [f"_l{i}_{p}_{c}" for i in (1, 2, 3)]
-    return d.withColumns(new_cols).drop(*drops)
+    return new_cols, drops
+
+
+def attach_coefs(d: DataFrame) -> DataFrame:
+    """Resolve every coefficient source onto ``d`` with finest-level-wins
+    precedence: three broadcast left joins + one CASE pick per coefficient.
+    Adds ``{prefix}_{coef}`` and ``{prefix}_level``."""
+    d = join_coef_dims(d)
+    new_cols, drops = coef_pick_layer()
+    return d.withColumns({k: F.expr(v) for k, v in new_cols.items()}).drop(*drops)
 
 
 #: coefficient columns each equation form reads (dispatch branches are only
@@ -295,6 +311,90 @@ def available_coefs(df: DataFrame, prefix: str) -> frozenset[str]:
     return frozenset(
         c[len(tag):] for c in df.columns if c.startswith(tag) and c != f"{prefix}_level"
     )
+
+
+def rif_sql(cond: str, yes: str, no: str, missing: str = "NULL") -> str:
+    """SQL-text twin of :func:`..helpers.r_if_else` (dplyr ``if_else`` with
+    explicit NA-condition branch)."""
+    return (
+        f"CASE WHEN ({cond}) IS NULL THEN {missing} "
+        f"WHEN {cond} THEN {yes} ELSE {no} END"
+    )
+
+
+def equation_sql(
+    prefix: str,
+    dbh: str = "DBH",
+    tht: str = "THT",
+    wdsg: str = "WDSG",
+    k: str = "k",
+    equation: str | None = None,
+    available: frozenset[str] | None = None,
+) -> str:
+    """SQL-text twin of :func:`equation_value` — the allometric equation
+    dispatch as one CASE expression (forms from
+    ``data-raw/equation_forms_and_calls.csv`` + ``R/estimate_carbon.R:64-72``).
+
+    Building the dispatch as a string costs one JVM round trip when wrapped
+    in ``F.expr`` — the Column formulation costs ~40 per response, and the
+    NSVB DAG has 6 responses over ~150 derived columns."""
+    a, a0, a1 = f"{prefix}_a", f"{prefix}_a0", f"{prefix}_a1"
+    b, b0, b1 = f"{prefix}_b", f"{prefix}_b0", f"{prefix}_b1"
+    b2, c, c1 = f"{prefix}_b2", f"{prefix}_c", f"{prefix}_c1"
+    eq = equation if equation is not None else f"{prefix}_equation"
+
+    forms = (
+        (3, f"{a} * pow({dbh}, {b}) * pow({tht}, {c})"),
+        (
+            4,
+            rif_sql(
+                f"{dbh} < {k}",
+                f"{a0} * pow({dbh}, {b0}) * pow({tht}, {c})",
+                f"{a0} * pow({k}, {b0} - {b1}) * pow({dbh}, {b1}) * pow({tht}, {c})",
+            ),
+        ),
+        (
+            5,
+            f"{a} * pow({dbh}, {a1} * pow(1 - exp(-({b1}) * {dbh}), {c1}))"
+            f" * pow({tht}, {c})",
+        ),
+        (50, f"{a} * pow({dbh}, {b}) * pow({tht}, {c}) * exp(-({b2} * {dbh}))"),
+        (3.1, f"{a} * pow({dbh}, {b}) * pow({tht}, {c}) * {wdsg}"),
+    )
+    branches = " ".join(
+        f"WHEN ({eq}) = {eid}D THEN {form}"
+        for eid, form in forms
+        if available is None or EQUATION_REQUIRES[eid] <= available
+    )
+    return f"CASE {branches} END"
+
+
+def find_vol_sql(alpha: str, beta: str, tht: str, hl: str, hu: str, vtot: str) -> str:
+    """SQL-text twin of :func:`find_vol` — association kept exactly as the
+    reference (each ratio multiplied by the total before subtracting)."""
+    vl = f"pow(1 - pow(1 - {hl} / {tht}, {alpha}), {beta}) * {vtot}"
+    vu = f"pow(1 - pow(1 - {hu} / {tht}, {alpha}), {beta}) * {vtot}"
+    return f"({vu}) - ({vl})"
+
+
+def register_udfs(spark) -> None:
+    """Register the bisection pandas UDF once per session so SQL-text plans
+    can call it by name."""
+
+    def build():
+        spark.udf.register("nsvb_bisect_ht", _bisect_ht)
+        return True
+
+    ref_tables.cached(spark, "_nsvb_udfs", build)
+
+
+def find_ht_sql(dlim: str) -> str:
+    """Merchantable-height root find as a SQL call to the registered UDF."""
+    args = ", ".join(
+        f"CAST({x} AS DOUBLE)"
+        for x in ("DBH", "THT", dlim, "mh_a", "mh_b", "mh_c", "mh_alpha", "mh_beta")
+    )
+    return f"nsvb_bisect_ht({args})"
 
 
 def equation_value(

@@ -3,14 +3,20 @@
 Stage parity with the reference chain ``prep_carbon → estimate_carbon →
 predictCRM2`` (reference ``R/prep_carbon.R:11-91``,
 ``R/estimate_carbon.R:10-105``, ``R/predictCRM2.R:4-626``), re-expressed as
-broadcast reference joins + one lazy ``withColumn`` DAG:
+broadcast reference joins + one lazy column DAG:
 
 - the reference's ~14 merge-by-ID passes (one per predicted response) are
   pessimizations of eager R evaluation and are **not** copied — every
   response is a column expression over the same row (SURVEY §2.3 J15/§4);
 - coefficient precedence (``combineLevels2``) becomes three broadcast joins
-  + matched-level pick per response (:mod:`..functions.nsvb`);
+  against pre-merged per-level dims + one CASE pick per coefficient
+  (:mod:`..functions.nsvb`);
 - the only non-codegen step is the vectorized bisection for HT4/HTSAW.
+
+The ~30 dependency-ordered projection layers of the prediction DAG are
+authored as SQL text and applied as incremental ``withColumns`` batches of ``F.expr`` text
+(:func:`..functions.helpers.apply_layers`) — one JVM round trip per
+column instead of one per operator.
 
 Division-by-zero edges (zero combined biomass or zero present volume) yield
 null here — Spark/ANSI-friendly — where R would produce Inf/NaN
@@ -22,16 +28,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from foresttime_builder_spark.functions.helpers import (
-    get_division,
-    get_province,
-    r_if_else,
-)
 from foresttime_builder_spark.functions import nsvb
-from foresttime_builder_spark.functions.nsvb import cf
+from foresttime_builder_spark.functions.helpers import apply_layers
+from foresttime_builder_spark.functions.nsvb import rif_sql
 from foresttime_builder_spark.sources import ref_tables
 
 LB_PER_FT3 = 62.4
+_LB = f"{LB_PER_FT3}D"
+
+#: PROVINCE from ECOSUBCD (reference ``getDivision``, ``R/getDivision.R:7-33``):
+#: trim, then drop the trailing 1-3 chars depending on length
+#: (4 → keep 3; 7 → drop 3; else drop 2).
+_T = "trim(ECOSUBCD)"
+_PROVINCE_SQL = (
+    f"CASE WHEN length({_T}) = 0 THEN '' "
+    f"WHEN length({_T}) = 4 THEN substring({_T}, 1, 3) "
+    f"WHEN length({_T}) = 7 THEN substring({_T}, 1, length({_T}) - 3) "
+    f"ELSE substring({_T}, 1, length({_T}) - 2) END"
+)
+#: DIVISION: the province with its last character replaced by '0'.
+_DIVISION_SQL = (
+    "CASE WHEN length(PROVINCE) != 0 "
+    "THEN concat(substring(PROVINCE, 1, length(PROVINCE) - 1), '0') "
+    "ELSE '' END"
+)
 
 
 def prep_carbon(df: DataFrame) -> DataFrame:
@@ -59,24 +79,28 @@ def prep_carbon(df: DataFrame) -> DataFrame:
         .join(F.broadcast(dead_ratio), on=["DECAYCD", "SFTWD_HRDWD"], how="left")
     )
 
-    live = F.col("STATUSCD") == 1
-    return out.withColumns(
-        {
-            "CULL_DECAY_RATIO": r_if_else(live, F.col("CULL_DECAY_RATIO"), 1.0),
-            "STANDING_DEAD_CD": r_if_else(live, 0, F.col("STANDING_DEAD_CD")),
-            "DECAYCD": r_if_else(live, 0, F.col("DECAYCD")),
-            "DECAY_WD": r_if_else(live, 1.0, F.col("DENSITY_PROP")),
-            "DECAY_BK": r_if_else(live, 1.0, F.col("BARK_LOSS_PROP")),
-            "DECAY_BR": r_if_else(live, 1.0, F.col("BRANCH_LOSS_PROP")),
-            "C_FRAC": r_if_else(
-                live,
-                F.col("CARBON_RATIO_LIVE") * 100,
-                F.col("CARBON_RATIO") * 100,
+    live = "STATUSCD = 1"
+    return apply_layers(
+        out,
+        [
+            (
+                {
+                    "CULL_DECAY_RATIO": rif_sql(live, "CULL_DECAY_RATIO", "1.0D"),
+                    "STANDING_DEAD_CD": rif_sql(live, "0", "STANDING_DEAD_CD"),
+                    "DECAYCD": rif_sql(live, "0", "DECAYCD"),
+                    "DECAY_WD": rif_sql(live, "1.0D", "DENSITY_PROP"),
+                    "DECAY_BK": rif_sql(live, "1.0D", "BARK_LOSS_PROP"),
+                    "DECAY_BR": rif_sql(live, "1.0D", "BRANCH_LOSS_PROP"),
+                    "C_FRAC": rif_sql(
+                        live, "CARBON_RATIO_LIVE * 100", "CARBON_RATIO * 100"
+                    ),
+                    "PROVINCE": _PROVINCE_SQL,
+                    "CULL": "coalesce(CULL, 0.0D)",
+                },
+                [],
             ),
-            "PROVINCE": get_province(F.col("ECOSUBCD")),
-            "DIVISION": get_division(F.col("ECOSUBCD")),
-            "CULL": F.coalesce(F.col("CULL"), F.lit(0.0)),
-        }
+            ({"DIVISION": _DIVISION_SQL}, []),
+        ],
     )
 
 
@@ -97,6 +121,7 @@ def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
     contract (prepped input columns + ``DRYBIO_AG`` + ``CARBON_AG``).
     """
     spark = df_prepped.sparkSession
+    E = F.expr
     crprop = ref_tables.median_crprop(spark)
     cr_dim = crprop.select(
         F.col("Province").alias("PROVINCE"), "SFTWD_HRDWD", "CRmn"
@@ -104,243 +129,265 @@ def estimate_carbon(df_prepped: DataFrame, keep_all: bool = False) -> DataFrame:
     # static fallback values resolved driver-side — no collect() job per build
     undef = ref_tables.crprop_undefined()
 
-    eligible = (F.col("JENKINS_SPGRPCD") < 10) & F.col("HT").isNotNull()
+    eligible = "(JENKINS_SPGRPCD < 10) AND (HT IS NOT NULL)"
     # the in-place mutations below feed the equations; the caller-visible
     # contract keeps the prepped originals
     mutated = ("CR", "STDORGCD", "SPCD", "CULL")
-    stash = {f"_orig_{c}": F.col(c) for c in mutated}
 
-    fiadb = (
-        df_prepped.withColumns(stash)
-        .join(F.broadcast(cr_dim), on=["SFTWD_HRDWD", "PROVINCE"], how="left")
-        .withColumns(
-            {
-                "CRmn": F.coalesce(
-                    F.col("CRmn"),
-                    F.when(F.col("SFTWD_HRDWD") == "S", F.lit(undef.get("S")))
-                    .when(F.col("SFTWD_HRDWD") == "H", F.lit(undef.get("H"))),
-                ),
-                "BROKEN_TOP": ~(F.col("HT") == F.col("ACTUALHT")),
-                "CR": r_if_else(
-                    F.col("CR").isNull() & (F.col("STATUSCD") == 1),
-                    0.0,
-                    F.col("CR"),
-                ),
-                "STDORGCD": F.coalesce(F.col("STDORGCD"), F.lit(0)),
-                "CULL": F.coalesce(F.col("CULL"), F.lit(0.0)),
-            }
-        )
-        .withColumn(
-            "SPCD",
-            F.when(
-                F.col("SPCD").isin(111, 131) & (F.col("STDORGCD") == 1),
-                F.concat(F.lit("1_"), F.col("SPCD").cast("string")),
-            ).otherwise(F.col("SPCD").cast("string")),
-        )
-        .withColumn(
-            "SPCD_DIVISION", F.concat_ws(" ", F.col("SPCD"), F.col("DIVISION"))
-        )
+    joined = df_prepped.join(
+        F.broadcast(cr_dim), on=["SFTWD_HRDWD", "PROVINCE"], how="left"
+    )
+    fiadb = apply_layers(
+        joined,
+        [
+            # stash the prepped originals before the in-place mutations
+            ({f"_orig_{c}": c for c in mutated}, []),
+            (
+                {
+                    "CRmn": (
+                        "coalesce(CRmn, CASE WHEN SFTWD_HRDWD = 'S' THEN "
+                        f"{undef['S']}D WHEN SFTWD_HRDWD = 'H' THEN "
+                        f"{undef['H']}D END)"
+                    ),
+                    "BROKEN_TOP": "NOT (HT = ACTUALHT)",
+                    "CR": rif_sql("(CR IS NULL) AND (STATUSCD = 1)", "0.0D", "CR"),
+                    "STDORGCD": "coalesce(STDORGCD, 0)",
+                    "CULL": "coalesce(CULL, 0.0D)",
+                },
+                [],
+            ),
+            # planted loblolly/slash pine get the "1_" SPCD prefix
+            # (R/estimate_carbon.R:48-52); numeric→string type switch here
+            (
+                {
+                    "SPCD": (
+                        "CASE WHEN SPCD IN (111, 131) AND STDORGCD = 1 "
+                        "THEN concat('1_', CAST(SPCD AS STRING)) "
+                        "ELSE CAST(SPCD AS STRING) END"
+                    )
+                },
+                [],
+            ),
+            ({"SPCD_DIVISION": "concat_ws(' ', SPCD, DIVISION)"}, []),
+        ],
     )
 
-    est = predict_crm2(fiadb).withColumn("_eligible", eligible)
+    est = predict_crm2(fiadb).withColumn("_eligible", E(eligible))
     if keep_all:
         return est
 
     restore = {c: F.col(f"_orig_{c}") for c in mutated}
-    restore["DRYBIO_AG"] = F.when(eligible, F.col("BIOMASS"))
-    restore["CARBON_AG"] = F.when(eligible, F.col("CARBON"))
+    restore["DRYBIO_AG"] = E(f"CASE WHEN {eligible} THEN BIOMASS END")
+    restore["CARBON_AG"] = E(f"CASE WHEN {eligible} THEN CARBON END")
     out = est.withColumns(restore)
     return out.select(*df_prepped.columns, "DRYBIO_AG", "CARBON_AG")
 
 
 def predict_crm2(data: DataFrame) -> DataFrame:
     """The NSVB 40-column prediction/deduction/harmonization DAG
-    (reference ``R/predictCRM2.R:4-626``), as one lazy column plan.
+    (reference ``R/predictCRM2.R:4-626``), as one lazy column plan:
+    three broadcast dim joins, then every derived column in one
+    nested-CTE SQL pyramid (single analysis pass, single codegen span
+    except the bisection's ArrowEvalPython)."""
+    nsvb.register_udfs(data.sparkSession)
+    avail = {p: frozenset(cols) for p, cols in nsvb.prefix_cols().items()}
+    fv = nsvb.find_vol_sql
 
-    Columns are added in dependency-ordered ``withColumns`` batches — one
-    analyzer pass per *layer* instead of one per column (a sequential
-    ``withColumn`` chain over this ~150-column plan costs tens of seconds of
-    driver-side analysis before a single task runs)."""
-    d = data.withColumn(
-        "SPCD_NUMERIC",
-        F.regexp_replace(F.col("SPCD"), "^1_", "").cast("double"),
+    d = nsvb.join_coef_dims(data)
+    pick_exprs, pick_drops = nsvb.coef_pick_layer()
+
+    layers: list[tuple[dict[str, str], list[str]]] = []
+    layers.append(
+        ({"SPCD_NUMERIC": "CAST(regexp_replace(SPCD, '^1_', '') AS DOUBLE)"}, [])
     )
     # var_names mapping (R/predictCRM2.R:29): DBH<-DIA, THT<-HT
-    d = d.withColumns(
-        {
-            "k": F.when(F.col("SPCD_NUMERIC") < 300, 9.0).otherwise(11.0),
-            "saw": F.when(F.col("SPCD_NUMERIC") < 300, 7.0).otherwise(9.0),
-            "DBH": F.col("DIA"),
-            "THT": F.col("HT"),
-        }
+    layers.append(
+        (
+            {
+                "k": "CASE WHEN SPCD_NUMERIC < 300 THEN 9.0D ELSE 11.0D END",
+                "saw": "CASE WHEN SPCD_NUMERIC < 300 THEN 7.0D ELSE 9.0D END",
+                "DBH": "DIA",
+                "THT": "HT",
+            },
+            [],
+        )
     )
-    dbh, tht, wdsg = F.col("DBH"), F.col("THT"), F.col("WDSG")
-
-    # ---- coefficient resolution: three broadcast joins against pre-merged
-    # per-level dims (built driver-side from the static coef CSVs) + one
-    # finest-level-wins CASE pick per coefficient. No extra subplan: the
-    # earlier distinct-key-space formulation re-executed the whole upstream
-    # pipeline at runtime just to feed the broadcast.
-    d = nsvb.attach_coefs(d)
+    # finest-level-wins coefficient pick (drops the raw _l{i}_* columns)
+    layers.append((pick_exprs, pick_drops))
 
     # ---- gross volume predictions ----
-    d = d.withColumn(
-        "VTOTIB_GROSS",
-        nsvb.equation_value(
-            "vib", dbh, tht, wdsg, F.col("k"), available=nsvb.available_coefs(d, "vib")
-        ),
+    layers.append(
+        (
+            {
+                "VTOTIB_GROSS": nsvb.equation_sql("vib", available=avail["vib"]),
+                "VTOTBK_GROSS": nsvb.equation_sql("vbk", available=avail["vbk"]),
+            },
+            [],
+        )
     )
-    d = d.withColumn(
-        "VTOTBK_GROSS",
-        nsvb.equation_value(
-            "vbk", dbh, tht, wdsg, F.col("k"), available=nsvb.available_coefs(d, "vbk")
-        ),
-    )
-    d = d.withColumn("VTOTOB_GROSS", F.col("VTOTIB_GROSS") + F.col("VTOTBK_GROSS"))
+    layers.append(({"VTOTOB_GROSS": "VTOTIB_GROSS + VTOTBK_GROSS"}, []))
 
-    # merch/sawlog heights: (rcumob ⋈ volob) coefs + bisection, floor at 5 ft
-    heights = {}
-    for name, dlim in (("HT4", F.lit(4.0)), ("HTSAW", F.col("saw"))):
-        root = nsvb.find_ht(
-            dbh, tht, dlim,
-            cf("mh", "a"), cf("mh", "b"), cf("mh", "c"),
-            cf("mh", "alpha"), cf("mh", "beta"),
+    # merch/sawlog heights: (rcumob ⋈ volob) coefs + bisection, floor at 5 ft.
+    # The raw roots get their own layer so each UDF call is evaluated once.
+    layers.append(
+        (
+            {
+                "_ht4_raw": nsvb.find_ht_sql("4.0D"),
+                "_htsaw_raw": nsvb.find_ht_sql("saw"),
+            },
+            [],
         )
-        heights[name] = F.when(root.isNull(), None).otherwise(
-            F.greatest(root, F.lit(5.0))
+    )
+    layers.append(
+        (
+            {
+                "HT4": (
+                    "CASE WHEN _ht4_raw IS NULL THEN NULL "
+                    "ELSE greatest(_ht4_raw, 5.0D) END"
+                ),
+                "HTSAW": (
+                    "CASE WHEN _htsaw_raw IS NULL THEN NULL "
+                    "ELSE greatest(_htsaw_raw, 5.0D) END"
+                ),
+            },
+            [],
         )
-    d = d.withColumns(heights)
+    )
 
     # section volumes from the rcumib ratio profile
-    al, be = cf("rib", "alpha"), cf("rib", "beta")
-    vib, vob = F.col("VTOTIB_GROSS"), F.col("VTOTOB_GROSS")
-    sap = F.col("DIA") < 5.0  # no stump volumes for saplings (R:162)
-    d = d.withColumns(
-        {
-            "VMERIB_GROSS": nsvb.find_vol(al, be, tht, 1.0, F.col("HT4"), vib),
-            "VMEROB_GROSS": nsvb.find_vol(al, be, tht, 1.0, F.col("HT4"), vob),
-            "VSTPIB_GROSS": F.when(sap, None).otherwise(
-                nsvb.find_vol(al, be, tht, 0.0, 1.0, vib)
-            ),
-            "VSTPOB_GROSS": F.when(sap, None).otherwise(
-                nsvb.find_vol(al, be, tht, 0.0, 1.0, vob)
-            ),
-            "VSAWIB_GROSS": nsvb.find_vol(al, be, tht, 1.0, F.col("HTSAW"), vib),
-            "VSAWOB_GROSS": nsvb.find_vol(al, be, tht, 1.0, F.col("HTSAW"), vob),
-            # broken-top height ratio (equation 6.1, rcumib coefs)
-            "HT_RAT_ADJ": r_if_else(
-                F.col("ACTUALHT") < tht,
-                F.pow(1 - F.pow(1 - F.col("ACTUALHT") / tht, al), be),
-                1.0,
-            ),
-        }
+    al, be = "rib_alpha", "rib_beta"
+    vib, vob = "VTOTIB_GROSS", "VTOTOB_GROSS"
+    stump_ib = fv(al, be, "THT", "0.0D", "1.0D", vib)
+    stump_ob = fv(al, be, "THT", "0.0D", "1.0D", vob)
+    layers.append(
+        (
+            {
+                "VMERIB_GROSS": fv(al, be, "THT", "1.0D", "HT4", vib),
+                "VMEROB_GROSS": fv(al, be, "THT", "1.0D", "HT4", vob),
+                # no stump volumes for saplings (R:162)
+                "VSTPIB_GROSS": f"CASE WHEN DIA < 5.0D THEN NULL ELSE {stump_ib} END",
+                "VSTPOB_GROSS": f"CASE WHEN DIA < 5.0D THEN NULL ELSE {stump_ob} END",
+                "VSAWIB_GROSS": fv(al, be, "THT", "1.0D", "HTSAW", vib),
+                "VSAWOB_GROSS": fv(al, be, "THT", "1.0D", "HTSAW", vob),
+                # broken-top height ratio (equation 6.1, rcumib coefs)
+                "HT_RAT_ADJ": rif_sql(
+                    "ACTUALHT < THT",
+                    f"pow(1 - pow(1 - ACTUALHT / THT, {al}), {be})",
+                    "1.0D",
+                ),
+            },
+            [],
+        )
     )
-    d = d.withColumns(
-        {
-            "VMERBK_GROSS": F.col("VMEROB_GROSS") - F.col("VMERIB_GROSS"),
-            "VSTPBK_GROSS": F.col("VSTPOB_GROSS") - F.col("VSTPIB_GROSS"),
-            "VTOPIB_GROSS": vib - F.col("VMERIB_GROSS") - F.col("VSTPIB_GROSS"),
-            "VTOPOB_GROSS": vob - F.col("VMEROB_GROSS") - F.col("VSTPOB_GROSS"),
-            "VSAWBK_GROSS": F.col("VSAWOB_GROSS") - F.col("VSAWIB_GROSS"),
-        }
+    layers.append(
+        (
+            {
+                "VMERBK_GROSS": "VMEROB_GROSS - VMERIB_GROSS",
+                "VSTPBK_GROSS": "VSTPOB_GROSS - VSTPIB_GROSS",
+                "VTOPIB_GROSS": "VTOTIB_GROSS - VMERIB_GROSS - VSTPIB_GROSS",
+                "VTOPOB_GROSS": "VTOTOB_GROSS - VMEROB_GROSS - VSTPOB_GROSS",
+                "VSAWBK_GROSS": "VSAWOB_GROSS - VSAWIB_GROSS",
+            },
+            [],
+        )
     )
-    d = d.withColumn(
-        "VTOPBK_GROSS", F.col("VTOPOB_GROSS") - F.col("VTOPIB_GROSS")
-    )
+    layers.append(({"VTOPBK_GROSS": "VTOPOB_GROSS - VTOPIB_GROSS"}, []))
 
     # ---- present (broken-top adjusted) volumes (R/predictCRM2.R:244-288) ----
-    adj = F.col("HT_RAT_ADJ")
-    d = d.withColumns(
-        {
-            "VTOTIB_PRESENT": vib * adj,
-            "VTOTBK_PRESENT": F.col("VTOTBK_GROSS") * adj,
-            "VMERIB_PRESENT": r_if_else(
-                F.col("ACTUALHT") < F.col("HT4"),
-                vib * adj - F.col("VSTPIB_GROSS"),
-                F.col("VMERIB_GROSS"),
-            ),
-            "VMERBK_PRESENT": r_if_else(
-                F.col("ACTUALHT") < F.col("HT4"),
-                F.col("VTOTBK_GROSS") * adj - F.col("VSTPBK_GROSS"),
-                F.col("VMERBK_GROSS"),
-            ),
-            "VSAWIB_PRESENT": r_if_else(
-                F.col("ACTUALHT") < F.col("HTSAW"),
-                vib * adj - F.col("VSTPIB_GROSS"),
-                F.col("VSAWIB_GROSS"),
-            ),
-            "VSAWBK_PRESENT": r_if_else(
-                F.col("ACTUALHT") < F.col("HTSAW"),
-                F.col("VTOTBK_GROSS") * adj - F.col("VSTPBK_GROSS"),
-                F.col("VSAWBK_GROSS"),
-            ),
-            "VSTPIB_PRESENT": F.col("VSTPIB_GROSS"),
-            "VSTPBK_PRESENT": F.col("VSTPBK_GROSS"),
-            "VSTPOB_PRESENT": F.col("VSTPOB_GROSS"),
-        }
+    layers.append(
+        (
+            {
+                "VTOTIB_PRESENT": "VTOTIB_GROSS * HT_RAT_ADJ",
+                "VTOTBK_PRESENT": "VTOTBK_GROSS * HT_RAT_ADJ",
+                "VMERIB_PRESENT": rif_sql(
+                    "ACTUALHT < HT4",
+                    "VTOTIB_GROSS * HT_RAT_ADJ - VSTPIB_GROSS",
+                    "VMERIB_GROSS",
+                ),
+                "VMERBK_PRESENT": rif_sql(
+                    "ACTUALHT < HT4",
+                    "VTOTBK_GROSS * HT_RAT_ADJ - VSTPBK_GROSS",
+                    "VMERBK_GROSS",
+                ),
+                "VSAWIB_PRESENT": rif_sql(
+                    "ACTUALHT < HTSAW",
+                    "VTOTIB_GROSS * HT_RAT_ADJ - VSTPIB_GROSS",
+                    "VSAWIB_GROSS",
+                ),
+                "VSAWBK_PRESENT": rif_sql(
+                    "ACTUALHT < HTSAW",
+                    "VTOTBK_GROSS * HT_RAT_ADJ - VSTPBK_GROSS",
+                    "VSAWBK_GROSS",
+                ),
+                "VSTPIB_PRESENT": "VSTPIB_GROSS",
+                "VSTPBK_PRESENT": "VSTPBK_GROSS",
+                "VSTPOB_PRESENT": "VSTPOB_GROSS",
+            },
+            [],
+        )
     )
     # broken top below bole height → zero top volumes (null-guarded as in R)
-    top_zero = (F.col("ACTUALHT") < F.col("HT4")) & F.col("HT4").isNotNull()
-    d = d.withColumns(
-        {
-            "VTOTOB_PRESENT": F.col("VTOTIB_PRESENT") + F.col("VTOTBK_PRESENT"),
-            "VMEROB_PRESENT": F.col("VMERIB_PRESENT") + F.col("VMERBK_PRESENT"),
-            "VSAWOB_PRESENT": F.col("VSAWIB_PRESENT") + F.col("VSAWBK_PRESENT"),
-            "VTOPIB_PRESENT": F.when(top_zero, 0.0).otherwise(
-                F.col("VTOTIB_PRESENT")
-                - F.col("VMERIB_PRESENT")
-                - F.col("VSTPIB_PRESENT")
-            ),
-            "VTOPBK_PRESENT": F.when(top_zero, 0.0).otherwise(
-                F.col("VTOTBK_PRESENT")
-                - F.col("VMERBK_PRESENT")
-                - F.col("VSTPBK_PRESENT")
-            ),
-        }
+    tz = "(ACTUALHT < HT4) AND HT4 IS NOT NULL"
+    layers.append(
+        (
+            {
+                "VTOTOB_PRESENT": "VTOTIB_PRESENT + VTOTBK_PRESENT",
+                "VMEROB_PRESENT": "VMERIB_PRESENT + VMERBK_PRESENT",
+                "VSAWOB_PRESENT": "VSAWIB_PRESENT + VSAWBK_PRESENT",
+                "VTOPIB_PRESENT": (
+                    f"CASE WHEN {tz} THEN 0.0D "
+                    "ELSE VTOTIB_PRESENT - VMERIB_PRESENT - VSTPIB_PRESENT END"
+                ),
+                "VTOPBK_PRESENT": (
+                    f"CASE WHEN {tz} THEN 0.0D "
+                    "ELSE VTOTBK_PRESENT - VMERBK_PRESENT - VSTPBK_PRESENT END"
+                ),
+            },
+            [],
+        )
     )
-    d = d.withColumns(
-        {
-            "VTOPOB_PRESENT": F.when(top_zero, 0.0).otherwise(
-                F.col("VTOPIB_PRESENT") + F.col("VTOPBK_PRESENT")
-            ),
-            # ---- sound volumes: cull/decay (R/predictCRM2.R:292-321) ----
-            "SND_WOOD_DECAY": r_if_else(
-                F.col("CULL") < 99, 1 - F.col("CULL") / 100, 0.0
-            ),
-        }
+    layers.append(
+        (
+            {
+                "VTOPOB_PRESENT": (
+                    f"CASE WHEN {tz} THEN 0.0D "
+                    "ELSE VTOPIB_PRESENT + VTOPBK_PRESENT END"
+                ),
+                # ---- sound volumes: cull/decay (R/predictCRM2.R:292-321) ----
+                "SND_WOOD_DECAY": rif_sql("CULL < 99", "1 - CULL / 100", "0.0D"),
+            },
+            [],
+        )
     )
     secs = ("VTOT", "VMER", "VSTP", "VTOP", "VSAW")
-    d = d.withColumns(
-        {
-            **{
-                f"{sec}IB_SOUND": F.col(f"{sec}IB_PRESENT") * F.col("SND_WOOD_DECAY")
-                for sec in secs
+    layers.append(
+        (
+            {
+                **{f"{s}IB_SOUND": f"{s}IB_PRESENT * SND_WOOD_DECAY" for s in secs},
+                **{f"{s}BK_SOUND": f"{s}BK_PRESENT * DECAY_BK" for s in secs},
             },
-            **{
-                f"{sec}BK_SOUND": F.col(f"{sec}BK_PRESENT") * F.col("DECAY_BK")
-                for sec in secs
-            },
-        }
+            [],
+        )
     )
-    d = d.withColumns(
-        {
-            f"{sec}OB_SOUND": F.col(f"{sec}IB_SOUND") + F.col(f"{sec}BK_SOUND")
-            for sec in secs
-        }
+    layers.append(
+        ({f"{s}OB_SOUND": f"{s}IB_SOUND + {s}BK_SOUND" for s in secs}, [])
     )
 
     # sawlog DBH thresholds: 9" softwood / 11" hardwood, else null
     below_saw = (
-        ((F.col("SFTWD_HRDWD") == "S") & (dbh < 9.0))
-        | ((F.col("SFTWD_HRDWD") == "H") & (dbh < 11.0))
-    ) & dbh.isNotNull()
-    d = d.withColumns(
-        {
-            c: F.when(below_saw, None).otherwise(F.col(c))
-            for x in ("IB", "OB", "BK")
-            for y in ("GROSS", "PRESENT", "SOUND")
-            for c in (f"VSAW{x}_{y}",)
-        }
+        "(((SFTWD_HRDWD = 'S') AND (DBH < 9.0D)) "
+        "OR ((SFTWD_HRDWD = 'H') AND (DBH < 11.0D))) AND DBH IS NOT NULL"
+    )
+    layers.append(
+        (
+            {
+                c: f"CASE WHEN {below_saw} THEN NULL ELSE {c} END"
+                for x in ("IB", "OB", "BK")
+                for y in ("GROSS", "PRESENT", "SOUND")
+                for c in (f"VSAW{x}_{y}",)
+            },
+            [],
+        )
     )
 
     # ---- biomass predictions (R/predictCRM2.R:358-417) ----
@@ -352,138 +399,171 @@ def predict_crm2(data: DataFrame) -> DataFrame:
         ("br", "Branch", True),
         ("fo", "FOLIAGE", False),
     ):
-        eq = cf(prefix, "equation")
+        eq = None
         if jenkins31:
-            eq = F.when(F.col(f"{prefix}_level") == 3, F.lit(3.1)).otherwise(eq)
-        bio[outcol] = nsvb.equation_value(
-            prefix, dbh, tht, wdsg, F.col("k"), eq,
-            available=nsvb.available_coefs(d, prefix),
+            eq = f"CASE WHEN {prefix}_level = 3 THEN 3.1D ELSE {prefix}_equation END"
+        bio[outcol] = nsvb.equation_sql(
+            prefix, equation=eq, available=avail[prefix]
         )
-    d = d.withColumns(bio)
+    layers.append((bio, []))
 
     # ---- reductions (R/predictCRM2.R:425-466) ----
-    d = d.withColumns(
-        {
-            "Wood": vib * wdsg * LB_PER_FT3,
-            "CULL_REDUCTION": r_if_else(
-                F.col("STANDING_DEAD_CD") < 1,
-                1 - (1 - F.col("CULL_DECAY_RATIO")) * F.col("CULL") / 100,
-                1.0,
-            ),
-            "BARK_REDUCTION": adj * F.col("DECAY_BK") * F.col("DECAY_WD"),
-            # R pmax propagates NA; Spark greatest ignores nulls — guard
-            "CR": F.when(F.col("CR").isNull(), None).otherwise(
-                F.greatest(F.col("CR"), F.lit(1.0))
-            ),
-        }
+    layers.append(
+        (
+            {
+                "Wood": f"VTOTIB_GROSS * WDSG * {_LB}",
+                "CULL_REDUCTION": rif_sql(
+                    "STANDING_DEAD_CD < 1",
+                    "1 - (1 - CULL_DECAY_RATIO) * CULL / 100",
+                    "1.0D",
+                ),
+                "BARK_REDUCTION": "HT_RAT_ADJ * DECAY_BK * DECAY_WD",
+                # R pmax propagates NA; Spark greatest ignores nulls — guard
+                "CR": "CASE WHEN CR IS NULL THEN NULL ELSE greatest(CR, 1.0D) END",
+            },
+            [],
+        )
     )
-    d = d.withColumns(
-        {
-            "WOOD_REDUCTION": adj * F.col("CULL_REDUCTION") * F.col("DECAY_WD"),
-            "CRprop_HT": r_if_else(
-                F.col("STANDING_DEAD_CD") == 1,
-                F.col("CRmn") / 100,
-                1 - F.col("ACTUALHT") / tht * (1 - F.col("CR") / 100),
-            ),
-        }
+    layers.append(
+        (
+            {
+                "WOOD_REDUCTION": "HT_RAT_ADJ * CULL_REDUCTION * DECAY_WD",
+                "CRprop_HT": rif_sql(
+                    "STANDING_DEAD_CD = 1",
+                    "CRmn / 100",
+                    "1 - ACTUALHT / THT * (1 - CR / 100)",
+                ),
+            },
+            [],
+        )
     )
-    bcp_raw = (F.col("ACTUALHT") - (1 - F.col("CRprop_HT")) * tht) / F.nullif(
-        F.col("CRprop_HT") * tht, F.lit(0.0)
+    layers.append(
+        (
+            {
+                "_bcp_raw": (
+                    "(ACTUALHT - (1 - CRprop_HT) * THT) "
+                    "/ nullif(CRprop_HT * THT, 0.0D)"
+                )
+            },
+            [],
+        )
     )
-    bcp0 = F.when(bcp_raw.isNull(), None).otherwise(F.greatest(bcp_raw, F.lit(0.0)))
-    d = d.withColumn(
-        "broken_crn_prop",
-        F.when(~F.col("BROKEN_TOP"), 1.0).otherwise(
-            r_if_else(bcp0 < 0.01, 0.0, bcp0)
-        ),
+    layers.append(
+        (
+            {
+                "_bcp0": (
+                    "CASE WHEN _bcp_raw IS NULL THEN NULL "
+                    "ELSE greatest(_bcp_raw, 0.0D) END"
+                )
+            },
+            [],
+        )
     )
-    d = d.withColumns(
-        {
-            "BRANCH_REDUCTION": F.col("broken_crn_prop")
-            * F.col("DECAY_BR")
-            * F.col("DECAY_WD"),
-            "FOLIAGE_REDUCTION": r_if_else(
-                F.col("STANDING_DEAD_CD") == 1, 0.0, F.col("broken_crn_prop")
-            ),
-        }
+    layers.append(
+        (
+            {
+                "broken_crn_prop": (
+                    "CASE WHEN NOT BROKEN_TOP THEN 1.0D ELSE "
+                    + rif_sql("_bcp0 < 0.01D", "0.0D", "_bcp0")
+                    + " END"
+                )
+            },
+            [],
+        )
     )
-    d = d.withColumns(
-        {
-            "Wood_Reduced": F.col("Wood") * F.col("WOOD_REDUCTION"),
-            "Bark_Reduced": F.col("Bark") * F.col("BARK_REDUCTION"),
-            "Branch_Reduced": F.col("Branch") * F.col("BRANCH_REDUCTION"),
-            "Foliage_Reduced": F.col("FOLIAGE") * F.col("FOLIAGE_REDUCTION"),
-        }
+    layers.append(
+        (
+            {
+                "BRANCH_REDUCTION": "broken_crn_prop * DECAY_BR * DECAY_WD",
+                "FOLIAGE_REDUCTION": rif_sql(
+                    "STANDING_DEAD_CD = 1", "0.0D", "broken_crn_prop"
+                ),
+            },
+            [],
+        )
+    )
+    layers.append(
+        (
+            {
+                "Wood_Reduced": "Wood * WOOD_REDUCTION",
+                "Bark_Reduced": "Bark * BARK_REDUCTION",
+                "Branch_Reduced": "Branch * BRANCH_REDUCTION",
+                "Foliage_Reduced": "FOLIAGE * FOLIAGE_REDUCTION",
+            },
+            [],
+        )
     )
     # ---- harmonization (R/predictCRM2.R:485-534) ----
-    d = d.withColumns(
-        {
-            "AGB_Reduction_Factor": (
-                F.col("Wood_Reduced") + F.col("Bark_Reduced") + F.col("Branch_Reduced")
-            )
-            / F.nullif(F.col("Wood") + F.col("Bark") + F.col("Branch"), F.lit(0.0)),
-            "TotalC": F.col("Wood_Reduced")
-            + F.col("Bark_Reduced")
-            + F.col("Branch_Reduced"),
-        }
+    layers.append(
+        (
+            {
+                "AGB_Reduction_Factor": (
+                    "(Wood_Reduced + Bark_Reduced + Branch_Reduced) "
+                    "/ nullif(Wood + Bark + Branch, 0.0D)"
+                ),
+                "TotalC": "Wood_Reduced + Bark_Reduced + Branch_Reduced",
+            },
+            [],
+        )
     )
-    d = d.withColumn("Total_Reduced", F.col("Total") * F.col("AGB_Reduction_Factor"))
-    d = d.withColumns(
-        {
-            "Diff": F.col("Total_Reduced") - F.col("TotalC"),
-            **{
-                f"{comp}R": F.col(f"{comp}_Reduced")
-                / F.nullif(F.col("TotalC"), F.lit(0.0))
+    layers.append(({"Total_Reduced": "Total * AGB_Reduction_Factor"}, []))
+    layers.append(
+        (
+            {
+                "Diff": "Total_Reduced - TotalC",
+                **{
+                    f"{comp}R": f"{comp}_Reduced / nullif(TotalC, 0.0D)"
+                    for comp in ("Wood", "Bark", "Branch")
+                },
+            },
+            [],
+        )
+    )
+    layers.append(
+        (
+            {
+                f"{comp}F": f"Diff * {comp}R + {comp}_Reduced"
                 for comp in ("Wood", "Bark", "Branch")
             },
-        }
+            [],
+        )
     )
-    d = d.withColumns(
-        {
-            f"{comp}F": F.col("Diff") * F.col(f"{comp}R") + F.col(f"{comp}_Reduced")
-            for comp in ("Wood", "Bark", "Branch")
-        }
-    )
-    d = d.withColumns(
-        {
-            "WDSGAdj": F.col("WoodF")
-            / F.nullif(F.col("VTOTIB_PRESENT"), F.lit(0.0))
-            / LB_PER_FT3,
-            "BKSGAdj": F.col("BarkF")
-            / F.nullif(F.col("VTOTBK_PRESENT"), F.lit(0.0))
-            / LB_PER_FT3,
-        }
+    layers.append(
+        (
+            {
+                "WDSGAdj": f"WoodF / nullif(VTOTIB_PRESENT, 0.0D) / {_LB}",
+                "BKSGAdj": f"BarkF / nullif(VTOTBK_PRESENT, 0.0D) / {_LB}",
+            },
+            [],
+        )
     )
     wsecs = ("MER", "STP", "TOP", "SAW")
-    d = d.withColumns(
-        {
-            **{
-                f"W{sec}IB": F.col(f"V{sec}IB_PRESENT") * F.col("WDSGAdj") * LB_PER_FT3
-                for sec in wsecs
+    layers.append(
+        (
+            {
+                **{f"W{s}IB": f"V{s}IB_PRESENT * WDSGAdj * {_LB}" for s in wsecs},
+                **{f"W{s}BK": f"V{s}BK_PRESENT * BKSGAdj * {_LB}" for s in wsecs},
+                "WTOTIB": "WoodF",
+                "WTOTBK": "BarkF",
+                "WTOTOB": "WoodF + BarkF",
+                "WTOTBCH": "BranchF",
+                "FOLIAGE": "Foliage_Reduced",
+                "BIOMASS": "Total_Reduced",
             },
-            **{
-                f"W{sec}BK": F.col(f"V{sec}BK_PRESENT") * F.col("BKSGAdj") * LB_PER_FT3
-                for sec in wsecs
+            [],
+        )
+    )
+    layers.append(
+        (
+            {
+                **{f"W{s}OB": f"W{s}IB + W{s}BK" for s in wsecs},
+                "CARBON": "BIOMASS * (C_FRAC / 100)",
             },
-            "WTOTIB": F.col("WoodF"),
-            "WTOTBK": F.col("BarkF"),
-            "WTOTOB": F.col("WoodF") + F.col("BarkF"),
-            "WTOTBCH": F.col("BranchF"),
-            "FOLIAGE": F.col("Foliage_Reduced"),
-            "BIOMASS": F.col("Total_Reduced"),
-        }
+            [],
+        )
     )
-    d = d.withColumns(
-        {
-            **{f"W{sec}OB": F.col(f"W{sec}IB") + F.col(f"W{sec}BK") for sec in wsecs},
-            "CARBON": F.col("BIOMASS") * (F.col("C_FRAC") / 100),
-        }
-    )
-    d = d.withColumns(
-        {
-            "WMERBCH": F.col("WTOTBCH") + F.col("WTOPOB"),
-            "AGB": F.col("BIOMASS") + F.col("FOLIAGE"),
-        }
+    layers.append(
+        ({"WMERBCH": "WTOTBCH + WTOPOB", "AGB": "BIOMASS + FOLIAGE"}, [])
     )
 
     # sapling rule: merch/sawlog/stump/top details are not reported
@@ -495,7 +575,12 @@ def predict_crm2(data: DataFrame) -> DataFrame:
         "VTOPBK_GROSS", "VTOPBK_SOUND", "VTOPIB_GROSS", "VTOPIB_SOUND",
         "WMERBK", "WMERIB", "WSTPBK", "WSTPIB", "WTOPBK", "WTOPIB",
     )
-    d = d.withColumns(
-        {c: F.when(dbh < 5.0, None).otherwise(F.col(c)) for c in sapling_na}
+    layers.append(
+        (
+            {c: f"CASE WHEN DBH < 5.0D THEN NULL ELSE {c} END" for c in sapling_na},
+            [],
+        )
     )
-    return d
+    layers.append(({}, ["_ht4_raw", "_htsaw_raw", "_bcp_raw", "_bcp0"]))
+
+    return apply_layers(d, layers)
