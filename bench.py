@@ -36,6 +36,15 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
 
+    # Warm the JVM (codegen, scheduler, scan metadata) once so per-query
+    # numbers measure steady-state query work rather than first-job JIT and
+    # parquet-footer costs that would otherwise all land on q01.
+    from foresttime_builder_spark.sources import load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "region", "nation"):
+        load_table(spark, sf_dir, t).limit(1).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn

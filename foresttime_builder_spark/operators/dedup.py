@@ -79,9 +79,14 @@ def token_jaccard_pairs(
     - ``auto``: ``bitmask`` if the vocabulary fits in 64 bits else
       ``prefix`` (costs one tiny count() action to decide).
     """
-    docsets = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
-    ).withColumn("sz", F.size("toks"))
+    # the tokenized relation feeds the candidate join AND both verification
+    # sides — persist it so the corpus is tokenized once, not 3-4 times
+    # (the standard SSJoin practice of materializing the token relation)
+    docsets = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .persist()
+    )
 
     if strategy == "auto":
         vocab_size = (
