@@ -197,7 +197,9 @@ def _jaccard_bitmask(docsets: DataFrame, threshold: float) -> DataFrame:
 
     docsets: (doc_id, toks array, sz). See :func:`token_jaccard_pairs`.
     """
-    masks = _doc_masks(docsets)
+    # feeds both sides of the identical-set join AND the distinct-set roll-up:
+    # persist, or the explode+shuffle mask build runs three times
+    masks = _doc_masks(docsets).persist()
 
     # identical-set pairs: join on equal mask (Jaccard exactly 1)
     ma, mb = masks.alias("a"), masks.alias("b")
