@@ -1189,6 +1189,78 @@ GROUP BY 1, 2
 """
 
 
+def q44_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-stage aggregation (operators.skew.salted_agg):
+    l_returnflag has 3 values over the whole fact table — the worst-case hot
+    key — so the salt spreads each key over 16 reducers before merging.
+    sum(l_quantity) is integer-valued, hence order-insensitive and exact
+    against the single-stage oracle."""
+    from foresttime_builder_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", F.col("l_quantity")),
+            "n_items": ("count", F.lit(1)),
+            "min_price": ("min", F.col("l_extendedprice")),
+            "max_price": ("max", F.col("l_extendedprice")),
+        },
+        salt=16,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        "n_items",
+        "min_price",
+        "max_price",
+    )
+
+
+ORACLE_Q44 = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_items,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q45_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient equi-join (operators.skew.salted_join): the orders
+    side is replicated 8× with an explicit salt and lineitem scattered by a
+    deterministic row-hash salt, so a hot order key cannot pin one reducer.
+    Result identical to the plain join; aggregated for a stable gate."""
+    from foresttime_builder_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(
+        li, o, ["l_orderkey"], salt=8, salt_from=["l_orderkey", "l_linenumber"]
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_Q45 = """
+SELECT o_orderpriority AS priority,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL entry through the catalog surface (temp views, SURVEY S6):
     the engine is usable from spark.sql alone."""
@@ -1320,4 +1392,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q41_sql_over_views": QuerySpec(q41_sql_over_views, ORACLE_Q41),
     "q42_ann_ivf": QuerySpec(q42_ann_ivf, _ivf_oracle()),
     "q43_bucketed_join": QuerySpec(q43_bucketed_join, ORACLE_Q43),
+    "q44_salted_skew_agg": QuerySpec(q44_salted_skew_agg, ORACLE_Q44),
+    "q45_salted_join": QuerySpec(q45_salted_join, ORACLE_Q45),
 }
