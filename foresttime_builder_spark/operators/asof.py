@@ -1,0 +1,65 @@
+"""Generic as-of (backward-looking temporal) join between two tables.
+
+The reference's legacy interval join assigns each year to its enclosing
+survey interval (``scripts/06-check-annualized.R:70``, SURVEY §2.3 J13).
+The general two-table form — "for every left row, the latest right row with
+``right_time <= left_time`` per key" — is expressed here with the
+union-then-window formulation rather than a range join:
+
+- a range/theta join explodes to |left| × |right-per-key| candidate pairs
+  before filtering, and Spark plans non-equi conditions as a broadcast
+  nested-loop at worst;
+- the union form is one shuffle on the key, one ordered window pass, and
+  scales linearly at any key cardinality — the standard streaming-friendly
+  as-of at 100 TB.
+
+Right rows sort before left rows at equal timestamps, so the join is
+*inclusive* (``right_time <= left_time``), matching SQL ASOF-join and the
+reference's closed interval bounds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_on: str,
+    right_on: str,
+    value_cols: Sequence[str],
+    right_order: Sequence[str] = (),
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right row
+    with ``right[right_on] <= left[left_on]``, matched on ``by``.
+
+    ``right_order`` breaks ties among right rows sharing a timestamp (last
+    one in that order wins) — pass a stable id column for determinism.
+    ``value_cols`` must not collide with left columns.
+    """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+
+    l2 = left.withColumns({"_t": F.col(left_on), "_src": F.lit(1)})
+    r2 = right.select(
+        *by,
+        F.col(right_on).alias("_t"),
+        F.lit(0).alias("_src"),
+        *[F.col(c) for c in (*right_order, *value_cols) if c not in by],
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*by)
+        .orderBy("_t", "_src", *right_order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = u.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
+    )
+    drop = ["_t", "_src", *[c for c in right_order if c not in left.columns]]
+    return filled.filter(F.col("_src") == 1).drop(*drop)

@@ -1,0 +1,82 @@
+"""Distinct-count sketching (KMV / bottom-k) with cross-engine determinism.
+
+A K-Minimum-Values sketch estimates the number of distinct values from the
+k smallest normalized hashes: if the k-th smallest of n uniform hashes in
+[0, 1) is R, then n ≈ (k-1)/R.  Spark ships HyperLogLog++
+(``approx_count_distinct``), but its sketch is engine-specific and cannot be
+verified against an independent engine.  This KMV is built from ``md5`` —
+available and bit-identical in both Spark and DuckDB — so the *estimate
+itself* is deterministic and the correctness harness can hash-gate an
+approximate operator exactly (same reason the bisection uses a fixed
+iteration count).
+
+Normalization uses the first 13 hex digits = 52 bits, exactly representable
+in a double; dividing by 16^13 = 2^52 is a pure binary-exponent scale, so
+the arithmetic is IEEE-exact in both engines.
+
+Scale: the distinct + global top-k is one shuffle of (at most) the distinct
+hash space, and ``orderBy().limit(k)`` plans as TakeOrderedAndProject
+(per-partition top-k, then a k-sized merge on one reducer) — no full sort
+at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: 16^13 == 2^52 — the exact-double normalization base
+_BASE = float(2**52)
+
+
+def hex13_poly_sql(hash_sql: str) -> str:
+    """SQL that parses the first 13 hex chars of ``hash_sql`` into an exact
+    integer-valued double.  Uses only ANSI pieces (position / substring /
+    integer literals) so the identical text runs on Spark and DuckDB."""
+    # weights must be BIGINT: a small weight literal types as INT32 and
+    # (digit × weight) overflows under ANSI arithmetic
+    terms = " + ".join(
+        f"(position(substring({hash_sql}, {i + 1}, 1) IN "
+        f"'0123456789abcdef') - 1) * CAST({16 ** (12 - i)} AS BIGINT)"
+        for i in range(13)
+    )
+    return f"({terms})"
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """One-row frame: ``(est_distinct, n_exact)`` for ``col``.
+
+    ``est_distinct`` is the KMV estimate ((k-1)/R_k, or the exact count when
+    fewer than k distinct hashes exist); ``n_exact`` is the true distinct
+    count, kept so the sketch's accuracy is visible in the gated output."""
+    poly = hex13_poly_sql(f"md5(CAST({col} AS STRING))")
+    hv = df.select(
+        (F.expr(poly) / F.lit(_BASE)).alias("v")
+    ).distinct()
+    topk = hv.orderBy("v").limit(k)
+    agg = topk.agg(
+        F.count(F.lit(1)).alias("k_n"), F.max("v").alias("kth")
+    ).crossJoin(hv.agg(F.count(F.lit(1)).alias("n_exact")))
+    est = F.when(
+        F.col("k_n") < k, F.col("k_n").cast("double")
+    ).otherwise((k - 1) / F.col("kth"))
+    # portable 4-decimal rounding (see cross-engine parity conventions)
+    est_r = F.floor(est * 10000 + F.lit(0.5)) / 10000
+    return agg.select(est_r.alias("est_distinct"), "n_exact")
+
+
+def kmv_oracle_sql(table: str, col: str, k: int = 64) -> str:
+    """The DuckDB twin, generated from the same polynomial text."""
+    poly = hex13_poly_sql(f"md5(CAST({col} AS VARCHAR))")
+    return f"""
+WITH hv AS (SELECT DISTINCT {poly} / {_BASE!r} AS v FROM {table}),
+topk AS (SELECT v FROM hv ORDER BY v LIMIT {k}),
+agg AS (
+  SELECT (SELECT count(*) FROM topk) AS k_n,
+         (SELECT max(v) FROM topk) AS kth,
+         (SELECT count(*) FROM hv) AS n_exact
+)
+SELECT floor((CASE WHEN k_n < {k} THEN CAST(k_n AS DOUBLE)
+              ELSE {k - 1} / kth END) * 10000 + 0.5) / 10000 AS est_distinct,
+       n_exact
+FROM agg
+"""

@@ -1261,6 +1261,88 @@ GROUP BY 1
 """
 
 
+def q46_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV (bottom-k) distinct-count sketch over the order
+    custkeys (operators.sketch): md5-based, so the APPROXIMATE estimate is
+    bit-identical cross-engine and the gate verifies a sketch exactly."""
+    from foresttime_builder_spark.operators.sketch import kmv_distinct
+
+    o = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(o, "o_custkey", k=64)
+
+
+def _kmv_oracle() -> str:
+    from foresttime_builder_spark.operators.sketch import kmv_oracle_sql
+
+    return kmv_oracle_sql("orders", "o_custkey", k=64)
+
+
+def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic two-table as-of join (operators.asof, SURVEY §2.3 J13): each
+    purchase event picks the latest click AT OR BEFORE it per user via the
+    union-then-window formulation (one shuffle, no range explosion)."""
+    from foresttime_builder_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        value_cols=["click_value"],
+        right_order=["event_id"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("click_value", 4).alias("asof_click_value"),
+    )
+
+
+ORACLE_Q47 = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, round(p.value, 4) AS purchase_value,
+       round((SELECT c.value FROM clicks c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 4)
+         AS asof_click_value
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+def q48_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` both implement type-7 linear interpolation,
+    so exact values gate cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))")
+    return li.groupBy("l_returnflag").agg(
+        F.round(pct.getItem(0), 4).alias("p25"),
+        F.round(pct.getItem(1), 4).alias("p50"),
+        F.round(pct.getItem(2), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_Q48 = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL entry through the catalog surface (temp views, SURVEY S6):
     the engine is usable from spark.sql alone."""
@@ -1394,4 +1476,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q43_bucketed_join": QuerySpec(q43_bucketed_join, ORACLE_Q43),
     "q44_salted_skew_agg": QuerySpec(q44_salted_skew_agg, ORACLE_Q44),
     "q45_salted_join": QuerySpec(q45_salted_join, ORACLE_Q45),
+    "q46_kmv_sketch": QuerySpec(q46_kmv_sketch, _kmv_oracle()),
+    "q47_asof_join": QuerySpec(q47_asof_join, ORACLE_Q47),
+    "q48_group_percentiles": QuerySpec(q48_group_percentiles, ORACLE_Q48),
 }

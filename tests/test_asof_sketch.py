@@ -1,0 +1,61 @@
+"""Generic as-of join and KMV sketch operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from foresttime_builder_spark.operators.asof import asof_join
+from foresttime_builder_spark.operators.sketch import kmv_distinct
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "c"), ("u3", 9, "d")],
+        "k STRING, t INT, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1, 100.0), ("u1", 15, 2, 150.0), ("u2", 6, 3, 60.0)],
+        "k STRING, t INT, rid INT, px DOUBLE",
+    )
+    got = {
+        (r["tag"]): r["px"]
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["px"], right_order=["rid"]
+        ).collect()
+    }
+    # equal timestamps match (inclusive); no earlier right row -> null
+    assert got == {"a": 100.0, "b": 150.0, "c": None, "d": None}
+
+
+def test_asof_join_tie_breaks_by_order(spark):
+    left = spark.createDataFrame([("u1", 10)], "k STRING, t INT")
+    right = spark.createDataFrame(
+        [("u1", 10, 1, 1.0), ("u1", 10, 2, 2.0)], "k STRING, t INT, rid INT, px DOUBLE"
+    )
+    [row] = asof_join(
+        left, right, ["k"], "t", "t", ["px"], right_order=["rid"]
+    ).collect()
+    assert row["px"] == 2.0  # last in rid order wins
+
+
+def test_asof_join_rejects_column_clash(spark):
+    df = spark.createDataFrame([("u1", 1, 1.0)], "k STRING, t INT, px DOUBLE")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, ["k"], "t", "t", ["px"])
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(40).select(F.col("id").alias("x"))
+    [row] = kmv_distinct(df, "x", k=64).collect()
+    # fewer distinct values than k: the sketch IS the exact count
+    assert row["n_exact"] == 40
+    assert row["est_distinct"] == 40.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    df = spark.range(5000).select((F.col("id") % 2000).alias("x"))
+    [row] = kmv_distinct(df, "x", k=128).collect()
+    assert row["n_exact"] == 2000
+    # KMV relative error ~ 1/sqrt(k) ≈ 9%; allow 3 sigma
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.27
