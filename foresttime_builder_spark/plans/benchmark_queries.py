@@ -1343,6 +1343,40 @@ GROUP BY l_returnflag
 """
 
 
+def q49_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental merge/upsert (operators.upsert.merge_latest): events up to
+    Jan 15 form the base state, later events are the update batch; one row
+    per (user_id, event_type) with the newest (ts, event_id) wins — the
+    idempotent batch analog of the reference's overwrite-and-rerun refresh."""
+    from foresttime_builder_spark.operators.upsert import merge_latest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    cutoff = "2024-01-15 00:00:00"
+    base = ev.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+    updates = ev.filter(F.col("ts") > F.lit(cutoff).cast("timestamp"))
+    merged = merge_latest(
+        base, updates, keys=["user_id", "event_type"],
+        version_col="ts", tie_break=["event_id"],
+    )
+    return merged.select(
+        "user_id", "event_type", "event_id",
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+ORACLE_Q49 = """
+SELECT user_id, event_type, event_id, round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+"""
+
+
 def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL entry through the catalog surface (temp views, SURVEY S6):
     the engine is usable from spark.sql alone."""
@@ -1479,4 +1513,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q46_kmv_sketch": QuerySpec(q46_kmv_sketch, _kmv_oracle()),
     "q47_asof_join": QuerySpec(q47_asof_join, ORACLE_Q47),
     "q48_group_percentiles": QuerySpec(q48_group_percentiles, ORACLE_Q48),
+    "q49_merge_latest": QuerySpec(q49_merge_latest, ORACLE_Q49),
 }
