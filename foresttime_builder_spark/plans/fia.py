@@ -151,9 +151,14 @@ def fia_tidy(db: dict[str, DataFrame]) -> DataFrame:
         .join(cond, on=["plot_ID", "INVYR", "PLT_CN", "CONDID"], how="left")
     )
 
-    # MORTYR becomes a tree property; SPCD pinned to the most recent record
-    w = Window.partitionBy("tree_ID").orderBy("INVYR")
-    w_all = Window.partitionBy("tree_ID")
+    # MORTYR becomes a tree property; SPCD pinned to the most recent record.
+    # The reference groups by tree_ID alone (R/fia_tidy.R:97); partitioning
+    # by (plot_ID, tree_ID) is value-identical — every windowed column is
+    # NULL on the NULL-tree_ID empty-plot rows — but shares one exchange
+    # with the expand/interpolate windows AND keeps the national empty-plot
+    # population from collapsing into a single NULL-key partition (skew).
+    w = Window.partitionBy(*GROUP).orderBy("INVYR")
+    w_all = Window.partitionBy(*GROUP)
     data = data.withColumn("MORTYR", F.max("MORTYR").over(w_all)).withColumn(
         "SPCD",
         F.last("SPCD", ignorenulls=True).over(
@@ -273,8 +278,11 @@ def adjust_mortality(
     ``True``/``False`` to skip the probe — the probe executes the whole
     upstream plan once, which matters when this is mid-pipeline."""
     df = data_interpolated
-    w_all = Window.partitionBy("tree_ID")
-    w = Window.partitionBy("tree_ID").orderBy("YEAR")
+    # (plot_ID, tree_ID) for the same reason as fia_tidy: value-identical to
+    # the reference's tree_ID grouping (R/adjust_mortality.R:51,93), one
+    # shared exchange with the interpolation windows, no NULL-key skew
+    w_all = Window.partitionBy(*GROUP)
+    w = Window.partitionBy(*GROUP).orderBy("YEAR")
 
     if use_mortyr == "auto":
         # reference warns + downgrades when no MORTYR is recorded at all
