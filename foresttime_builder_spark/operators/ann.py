@@ -48,6 +48,72 @@ def signature_bits(vec: Column, dims: int, n_bits: int) -> Column:
     return F.concat(*bits)
 
 
+def brute_topk_np(
+    base: DataFrame,
+    probes_pdf,
+    k: int,
+    vec_col: str = "vec",
+    id_col: str = "vec_id",
+    margin: int = 32,
+) -> DataFrame:
+    """Brute-force cosine top-k with a vectorized numpy kernel.
+
+    ``probes_pdf`` is a small pandas frame (probe_id, probe_vec) captured in
+    the task closure — the probe set is by definition tiny next to the
+    corpus, which is the side that scales.  Each input partition computes
+    the full probe×partition similarity matrix with one BLAS matmul and
+    emits only its local top ``k + margin`` per probe; a global window then
+    takes the exact top-k.  Arrow traffic is O(partitions × probes ×
+    (k+margin)) instead of O(|base| × probes) — the scan stays distributed
+    and nothing quadratic leaves the workers.
+
+    ``margin`` guards the later round-to-6-decimals tie-break: a candidate
+    can only displace another after rounding if their raw cosines are
+    within 5e-7, so keeping a few dozen extra local candidates makes the
+    pruned result identical to the unpruned one.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.stack(probes_pdf["probe_vec"].to_numpy()).astype("float64")
+    pnorm = np.linalg.norm(P, axis=1, keepdims=True)
+    probe_ids = probes_pdf["probe_id"].to_numpy()
+    take = k + margin
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            ids = pdf[id_col].to_numpy()
+            mnorm = np.linalg.norm(M, axis=1, keepdims=True)
+            # dot / (|p|·|m|), matching the dot-then-normalize arithmetic of
+            # the SQL formulation (not pre-normalized vectors)
+            S = (P @ M.T) / (pnorm * mnorm.T)  # probes × partition rows
+            n = S.shape[1]
+            top = min(take, n)
+            idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
+            out = {
+                "probe_id": np.repeat(probe_ids, top),
+                "neighbor_id": ids[idx].ravel(),
+                "cosine_raw": np.take_along_axis(S, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    local = base.mapInPandas(
+        part, schema="probe_id LONG, neighbor_id LONG, cosine_raw DOUBLE"
+    ).filter(F.col("probe_id") != F.col("neighbor_id"))
+    from pyspark.sql import Window as W
+
+    scored = local.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v

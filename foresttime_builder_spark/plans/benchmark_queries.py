@@ -688,34 +688,24 @@ WHERE round(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.8
 
 def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column for a probe subset
-    (similarity-search baseline; the IVF/LSH variants prune the same plan)."""
+    (similarity-search baseline; the IVF/LSH variants prune the same plan).
+    Executes via the numpy matmul kernel (operators.ann.brute_topk_np): the
+    tiny probe set rides in the task closure, each partition emits only its
+    local top-k, so nothing quadratic crosses Arrow — the JVM
+    higher-order-function formulation evaluates ~3 lambdas per vector
+    element per pair and was measured ~4× slower."""
+    from foresttime_builder_spark.operators.ann import brute_topk_np
+
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
     )
-    probes = base.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec")
+    probes_pdf = (
+        base.filter(F.col("vec_id") % 25 == 0)
+        .select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec"))
+        .toPandas()
     )
-    dot = F.aggregate(
-        F.zip_with("probe_vec", "vec", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
-    )
-    pairs = probes.join(base, F.col("probe_id") != F.col("vec_id"))
-    scored = pairs.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(dot / (norm(F.col("probe_vec")) * norm(F.col("vec"))), 6).alias("cosine"),
-    )
-    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("probe_id", "neighbor_id", "cosine", "rank")
-    )
+    return brute_topk_np(base, probes_pdf, k=5)
 
 
 ORACLE_Q17 = """
