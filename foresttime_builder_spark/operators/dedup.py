@@ -217,14 +217,27 @@ def _jaccard_bitmask(docsets: DataFrame, threshold: float) -> DataFrame:
         )
     )
 
-    # distinct-set pairwise comparison (broadcast nested-loop self-join),
-    # then expand each qualifying set pair back to its documents
+    # distinct-set pairwise comparison, then expand each qualifying set pair
+    # back to its documents.  A naive all-pairs nested loop is |sets|²; the
+    # SSJoin size filter makes it a hash equi-join instead: J >= t forces
+    # t·|A| <= |B| <= |A|/t, so explode each set over its admissible
+    # popcount window and join on exact popcount.  The epsilon only widens
+    # the window (extra candidates are removed by the exact jaccard filter
+    # below), guarding against float fuzz like 0.8*15 = 12.0000000000000007.
     sets = masks.groupBy("mask").agg(F.collect_list("doc_id").alias("members"))
-    sa, sb = sets.alias("sa"), sets.alias("sb")
+    pcs = sets.withColumn("pc", F.bit_count("mask").cast("int"))
+    lo = F.ceil(F.lit(threshold) * F.col("pc") - F.lit(1e-9)).cast("int")
+    hi = F.floor(F.col("pc") / F.lit(threshold) + F.lit(1e-9)).cast("int")
+    sa = pcs.withColumn("pc_b", F.explode(F.sequence(lo, hi))).alias("sa")
+    sb = pcs.alias("sb")
     inter_bits = F.bit_count(F.col("sa.mask").bitwiseAND(F.col("sb.mask")))
     union_bits = F.bit_count(F.col("sa.mask").bitwiseOR(F.col("sb.mask")))
     set_pairs = (
-        sa.join(F.broadcast(sb), F.col("sa.mask") < F.col("sb.mask"))
+        sa.join(
+            sb,
+            (F.col("sa.pc_b") == F.col("sb.pc"))
+            & (F.col("sa.mask") < F.col("sb.mask")),
+        )
         .withColumn("n_common", inter_bits.cast("int"))
         .withColumn("jaccard", F.round(inter_bits / union_bits, 4))
         .filter(F.col("jaccard") >= threshold)
