@@ -49,8 +49,10 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name].fn
         t0 = time.time()
-        # count() forces full execution without driver-side materialization
-        fn(spark, sf_dir).count()
+        # noop sink: full computation of every output column (count() would
+        # let Catalyst prune the row-level expression DAGs of q25/q26),
+        # with no driver-side materialization
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

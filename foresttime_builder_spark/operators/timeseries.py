@@ -159,50 +159,59 @@ def linear_interpolate(
     # end. Materialize the nearest point first (pass 1) so the second-nearest
     # (pass 2) can mask against it — a group-constant column is safe to
     # reference inside another window aggregate, unlike a per-row window
-    # expression (no nesting allowed). Each pass is ONE projection over all
-    # columns — the analyzer cost is 3 layers total, not 10 per column.
-    pass1, pass2, final = {}, {}, {}
+    # expression (no nesting allowed). Each (x, y) pair rides ONE window
+    # expression as a struct: window functions evaluate interpreted
+    # per-row-per-function (WindowExec is outside codegen), so halving the
+    # function count halves the dominant cost of this operator; field
+    # extraction happens in ordinary codegen'd projections afterwards.
+    pass1, pass2, pass3, final = {}, {}, {}, {}
     for c in cols:
         y = F.col(c).cast("double")
-        known_x = F.when(y.isNotNull(), x)
+        kp = F.when(y.isNotNull(), F.struct(x.alias("x"), y.alias("y")))
         t = f"_li_{c}"
-        pass1[f"{t}_n"] = F.count(y).over(w_all)
-        pass1[f"{t}_lx"] = F.last(known_x, ignorenulls=True).over(w_full)
-        pass1[f"{t}_ly"] = F.last(y, ignorenulls=True).over(w_full)
-        pass1[f"{t}_fx"] = F.first(known_x, ignorenulls=True).over(w_full)
-        pass1[f"{t}_fy"] = F.first(y, ignorenulls=True).over(w_full)
+        # count over the unbounded ORDERED frame == whole-partition count,
+        # but shares the w_full Window node instead of adding a w_all one
+        pass1[f"{t}_n"] = F.count(y).over(w_full)
+        pass1[f"{t}_l"] = F.last(kp, ignorenulls=True).over(w_full)
+        pass1[f"{t}_f"] = F.first(kp, ignorenulls=True).over(w_full)
     out = df.withColumns(pass1)
     for c in cols:
         y = F.col(c).cast("double")
         t = f"_li_{c}"
-        lx, fx = F.col(f"{t}_lx"), F.col(f"{t}_fx")
-        pass2[f"{t}_l2x"] = F.last(
-            F.when(y.isNotNull() & (x < lx), x), ignorenulls=True
+        lx = F.col(f"{t}_l").getField("x")
+        fx = F.col(f"{t}_f").getField("x")
+        kp = F.struct(x.alias("x"), y.alias("y"))
+        pass2[f"{t}_l2"] = F.last(
+            F.when(y.isNotNull() & (x < lx), kp), ignorenulls=True
         ).over(w_full)
-        pass2[f"{t}_l2y"] = F.last(
-            F.when(y.isNotNull() & (x < lx), y), ignorenulls=True
-        ).over(w_full)
-        pass2[f"{t}_f2x"] = F.first(
-            F.when(y.isNotNull() & (x > fx), x), ignorenulls=True
-        ).over(w_full)
-        pass2[f"{t}_f2y"] = F.first(
-            F.when(y.isNotNull() & (x > fx), y), ignorenulls=True
+        pass2[f"{t}_f2"] = F.first(
+            F.when(y.isNotNull() & (x > fx), kp), ignorenulls=True
         ).over(w_full)
     out = out.withColumns(pass2)
+    for c in cols:
+        y = F.col(c).cast("double")
+        t = f"_li_{c}"
+        kp = F.when(y.isNotNull(), F.struct(x.alias("x"), y.alias("y")))
+        pass3[f"{t}_p"] = F.last(kp, ignorenulls=True).over(w_before)
+        pass3[f"{t}_x"] = F.first(kp, ignorenulls=True).over(w_after)
+    out = out.withColumns(pass3)
     drops = []
     for c in cols:
         y = F.col(c).cast("double")
-        known_x = F.when(y.isNotNull(), x)
         t = f"_li_{c}"
-        prev_y = F.last(y, ignorenulls=True).over(w_before)
-        next_y = F.first(y, ignorenulls=True).over(w_after)
-        prev_x = F.last(known_x, ignorenulls=True).over(w_before)
-        next_x = F.first(known_x, ignorenulls=True).over(w_after)
+        prev_x = F.col(f"{t}_p").getField("x")
+        prev_y = F.col(f"{t}_p").getField("y")
+        next_x = F.col(f"{t}_x").getField("x")
+        next_y = F.col(f"{t}_x").getField("y")
         interp = prev_y + (next_y - prev_y) / (next_x - prev_x) * (x - prev_x)
-        lx, ly = F.col(f"{t}_lx"), F.col(f"{t}_ly")
-        fx, fy = F.col(f"{t}_fx"), F.col(f"{t}_fy")
-        l2x, l2y = F.col(f"{t}_l2x"), F.col(f"{t}_l2y")
-        f2x, f2y = F.col(f"{t}_f2x"), F.col(f"{t}_f2y")
+        lx = F.col(f"{t}_l").getField("x")
+        ly = F.col(f"{t}_l").getField("y")
+        fx = F.col(f"{t}_f").getField("x")
+        fy = F.col(f"{t}_f").getField("y")
+        l2x = F.col(f"{t}_l2").getField("x")
+        l2y = F.col(f"{t}_l2").getField("y")
+        f2x = F.col(f"{t}_f2").getField("x")
+        f2y = F.col(f"{t}_f2").getField("y")
         n_known = F.col(f"{t}_n")
         fwd = ly + (ly - l2y) / (lx - l2x) * (x - lx)
         bwd = fy + (fy - f2y) / (fx - f2x) * (x - fx)
@@ -219,8 +228,8 @@ def linear_interpolate(
             .otherwise(bwd)
         )
         drops += [
-            f"{t}_n", f"{t}_lx", f"{t}_ly", f"{t}_fx", f"{t}_fy",
-            f"{t}_l2x", f"{t}_l2y", f"{t}_f2x", f"{t}_f2y",
+            f"{t}_n", f"{t}_l", f"{t}_f", f"{t}_l2", f"{t}_f2",
+            f"{t}_p", f"{t}_x",
         ]
     return out.withColumns(final).drop(*drops)
 
@@ -252,14 +261,24 @@ def step_interpolate(
     idx = F.row_number().over(w)
     out = df.withColumn("_sg_i", idx)
     i = F.col("_sg_i")
-    filled = {}
+    # one struct-packed window expression per (value, index) pair per
+    # direction — window functions evaluate interpreted per-row-per-function,
+    # so packing halves the dominant cost (see linear_interpolate)
+    packed = {}
     for c in cols:
         v = F.col(c)
-        known_i = F.when(v.isNotNull(), i)
-        prev_v = F.last(v, ignorenulls=True).over(w_before)
-        prev_i = F.last(known_i, ignorenulls=True).over(w_before)
-        next_v = F.first(v, ignorenulls=True).over(w_after)
-        next_i = F.first(known_i, ignorenulls=True).over(w_after)
+        kp = F.when(v.isNotNull(), F.struct(i.alias("i"), v.alias("v")))
+        packed[f"_sg_{c}_p"] = F.last(kp, ignorenulls=True).over(w_before)
+        packed[f"_sg_{c}_n"] = F.first(kp, ignorenulls=True).over(w_after)
+    out = out.withColumns(packed)
+    filled = {}
+    drops = ["_sg_i"]
+    for c in cols:
+        v = F.col(c)
+        prev_v = F.col(f"_sg_{c}_p").getField("v")
+        prev_i = F.col(f"_sg_{c}_p").getField("i")
+        next_v = F.col(f"_sg_{c}_n").getField("v")
+        next_i = F.col(f"_sg_{c}_n").getField("i")
         switch_at = prev_i + F.ceil((next_i - prev_i) / F.lit(2.0))
         filled[c] = (
             F.when(v.isNotNull(), v)
@@ -268,4 +287,5 @@ def step_interpolate(
             .when(i < switch_at, prev_v)
             .otherwise(next_v)
         )
-    return out.withColumns(filled).drop("_sg_i")
+        drops += [f"_sg_{c}_p", f"_sg_{c}_n"]
+    return out.withColumns(filled).drop(*drops)
