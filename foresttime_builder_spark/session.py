@@ -40,6 +40,12 @@ def get_spark(
         # per-DataFrame-API-call origin tracking costs 3-4 extra JVM round
         # trips per call; the NSVB plan alone makes ~3k API calls
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # whole-stage codegen silently disables above 100 output fields
+        # (default spark.sql.codegen.maxFields); the NSVB DAG carries ~250
+        # columns through ~30 projection layers, and interpreted eval
+        # materializes a full-width row between every layer (measured ~1.5x
+        # on the carbon chain). 800 keeps wide analytic plans fused.
+        .config("spark.sql.codegen.maxFields", "800")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
