@@ -46,6 +46,13 @@ def get_spark(
         # materializes a full-width row between every layer (measured ~1.5x
         # on the carbon chain). 800 keeps wide analytic plans fused.
         .config("spark.sql.codegen.maxFields", "800")
+        # AQE coalescing sizes partitions by BYTES; window/expression-dense
+        # stages (annualization: ~10 window passes per row) have huge
+        # CPU-per-byte, and the 1 MB default floor collapsed them to ~3
+        # partitions — a 3.3x slowdown from idle cores. 16k keeps small
+        # CPU-dense stages parallel while still merging true stragglers;
+        # at production scale partitions are >= 64 MB and the floor is moot.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
