@@ -1,0 +1,70 @@
+"""Connected components over a pair graph (near-duplicate clustering).
+
+After near-dup detection (token-Jaccard q16, MinHash-LSH q23, SimHash q24,
+embedding cosine q40) a training-data pipeline groups the pairs into
+CLUSTERS and keeps one canonical document per cluster.  That grouping is
+connected components, computed here by iterative minimum-label propagation:
+
+- every node starts labeled with its own id;
+- each round, every node takes the minimum label among itself and its
+  neighbors (one join + one groupBy per round);
+- converged when no label changed — the label is the component's minimum
+  node id, a deterministic canonical cluster id.
+
+Rounds needed = graph diameter (near-dup clusters are dense, so typically
+2-4).  Each round is one shuffle join + one shuffle aggregate over the
+label frame; intermediates are persisted and the loop is driver-controlled
+with an explicit convergence probe — the standard Pregel-style pattern when
+an iteration count cannot be known in advance (SURVEY classifies this as a
+non-SQL-expressible iterative algorithm; the test oracle uses a recursive
+CTE instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``(id, comp)`` for every node in ``edges``; ``comp`` is the smallest
+    node id in the component.  Edges are treated as undirected."""
+    # persist the edge list: it feeds every propagation round, and its
+    # upstream (e.g. the whole jaccard pair join) must execute once
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
+    )
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    # localCheckpoint (eager) after every round: persist() alone caches the
+    # DATA but each round's plan still nests every previous round's joins,
+    # so driver-side analysis grows superlinearly with iterations — the
+    # classic iterative-lineage blowup. Checkpointing truncates the lineage
+    # to the materialized partitions.
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+                F.col("comp").alias("_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("comp") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels

@@ -1367,6 +1367,80 @@ WHERE rn = 1
 """
 
 
+def q50_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the exact
+    token-Jaccard pair graph (operators.graph, Pregel-style min-label
+    propagation), yielding a deterministic canonical cluster id (min doc_id)
+    and cluster size — the step a training-data pipeline runs after dup
+    detection to keep one representative per cluster."""
+    from foresttime_builder_spark.operators.dedup import token_jaccard_pairs
+    from foresttime_builder_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, on="comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+def _dup_clusters_oracle(rounds: int = 16) -> str:
+    """Min-label propagation unrolled to a fixed depth: exact once
+    ``rounds`` >= the dup-graph diameter (measured <= ~8 on the synthetic
+    corpus; near-dup clusters are dense).  A recursive reachability-closure
+    CTE is also exact but materializes |component|²-scale intermediates —
+    it ran minutes on this avg-degree-120 graph where the layered form runs
+    in milliseconds.  Every layer is MATERIALIZED: DuckDB inlines CTEs per
+    reference, and each layer references its predecessor twice — unmarked,
+    the chain expands exponentially."""
+    layers = []
+    for i in range(rounds):
+        layers.append(
+            f"lab{i + 1} AS MATERIALIZED ("
+            f"  SELECT n.id, least(n.lab, coalesce(m.minlab, n.lab)) AS lab"
+            f"  FROM lab{i} n LEFT JOIN ("
+            f"    SELECT s.b AS id, min(l.lab) AS minlab"
+            f"    FROM sym s JOIN lab{i} l ON l.id = s.a GROUP BY s.b"
+            f"  ) m ON n.id = m.id)"
+        )
+    chain = ",\n".join(layers)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.8
+),
+sym AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+lab0 AS MATERIALIZED (SELECT id, id AS lab FROM (SELECT DISTINCT a AS id FROM sym)),
+{chain},
+comp AS (SELECT id AS doc_id, lab AS cluster_id FROM lab{rounds}),
+csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT doc_id, comp.cluster_id, cluster_size
+FROM comp JOIN csize ON comp.cluster_id = csize.cluster_id
+"""
+
+
 def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL entry through the catalog surface (temp views, SURVEY S6):
     the engine is usable from spark.sql alone."""
@@ -1504,4 +1578,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q47_asof_join": QuerySpec(q47_asof_join, ORACLE_Q47),
     "q48_group_percentiles": QuerySpec(q48_group_percentiles, ORACLE_Q48),
     "q49_merge_latest": QuerySpec(q49_merge_latest, ORACLE_Q49),
+    "q50_dup_clusters": QuerySpec(q50_dup_clusters, _dup_clusters_oracle()),
 }
