@@ -268,9 +268,17 @@ def ivf_topk(
     only its ``nprobe`` nearest lists and re-ranks by exact cosine.
 
     Replaces the reference-free scale path for similarity search (the
-    reference has no ANN; SURVEY §2 extension family).  At cluster scale the
-    global ``row_number`` init would train the quantizer on a driver-side
-    sample instead — the corpus-side work stays a broadcast-join map.
+    reference has no ANN; SURVEY §2 extension family).
+
+    Seeding is scale-safe: each row hashes into one of ``k_clusters``
+    buckets and the seed for bucket *i* is the bucket's ``min_by`` over an
+    md5 key — a partially-aggregating groupBy (each map task forwards at
+    most ``k_clusters`` candidate rows), so no global sort and no
+    single-task corpus pass anywhere in the init.  The construction is pure
+    hashing, hence bit-reproducible in the DuckDB oracle
+    (:func:`ivf_topk_oracle_sql` uses the identical bucket/argmin).  A
+    pathologically tiny corpus can leave a bucket empty — then there are
+    simply fewer lists, identically in both engines.
     """
     base = _with_self_dot(
         emb.select(
@@ -281,11 +289,16 @@ def ivf_topk(
         "vv",
     )
 
-    w_init = W.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+    vid_md5 = F.md5(F.col("vid").cast("string"))
+    # md5 then zero-padded vid: deterministic total order even under an
+    # (astronomically unlikely) md5 collision between two vids
+    seed_key = F.concat(vid_md5, F.lpad(F.col("vid").cast("string"), 20, "0"))
     cent = (
-        base.withColumn("rn", F.row_number().over(w_init))
-        .filter(F.col("rn") <= k_clusters)
-        .select((F.col("rn") - 1).cast("int").alias("cid"), F.col("vec").alias("cvec"))
+        base.withColumn(
+            "cid", F.pmod(_hash60(vid_md5), F.lit(k_clusters)).cast("int")
+        )
+        .groupBy("cid")
+        .agg(F.min_by("vec", seed_key).alias("cvec"))
     )
     cent = _with_self_dot(cent, "cvec", "cc")
 
@@ -377,11 +390,11 @@ def ivf_topk_oracle_sql(
   SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
 )""",
         f"""cent0 AS (
-  SELECT CAST(rn - 1 AS INT) AS cid, vec AS cvec FROM (
-    SELECT vec, row_number() OVER
-      (ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS rn
-    FROM base)
-  WHERE rn <= {k_clusters}
+  SELECT CAST(CAST(concat('0x', substr(md5(md5(CAST(vid AS VARCHAR))), 1, 15))
+                   AS BIGINT) % {k_clusters} AS INT) AS cid,
+         arg_min(vec, concat(md5(CAST(vid AS VARCHAR)),
+                             lpad(CAST(vid AS VARCHAR), 20, '0'))) AS cvec
+  FROM base GROUP BY 1
 )""",
     ]
     for i in range(iters):

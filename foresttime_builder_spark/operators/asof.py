@@ -46,11 +46,18 @@ def asof_join(
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
 
     l2 = left.withColumns({"_t": F.col(left_on), "_src": F.lit(1)})
+    # All value columns ride in ONE struct carried only by right rows, and a
+    # single last(ignorenulls=True) picks it: every value is guaranteed to
+    # come from the SAME, truly-latest right row — including that row's
+    # NULLs.  Per-column fills would instead skip over a NULL in one value
+    # column and silently substitute an older right row's value for it
+    # (mixing rows), diverging from the correlated-subquery semantics.
     r2 = right.select(
         *by,
         F.col(right_on).alias("_t"),
         F.lit(0).alias("_src"),
-        *[F.col(c) for c in (*right_order, *value_cols) if c not in by],
+        *[F.col(c) for c in right_order if c not in by],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
@@ -58,8 +65,8 @@ def asof_join(
         .orderBy("_t", "_src", *right_order)
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    filled = u.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
+    filled = u.withColumn("_vals", F.last("_vals", ignorenulls=True).over(w))
+    return filled.filter(F.col("_src") == 1).select(
+        *left.columns,
+        *[F.col("_vals").getField(c).alias(c) for c in value_cols],
     )
-    drop = ["_t", "_src", *[c for c in right_order if c not in left.columns]]
-    return filled.filter(F.col("_src") == 1).drop(*drop)

@@ -23,7 +23,35 @@ Scale design notes:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Unpersist ``cached`` frames when ``result`` is garbage-collected.
+
+    Operators here persist() intermediate relations (the tokenized corpus,
+    the mask table) because they feed several plan branches; the cache must
+    outlive the *returned* lazy plan, so it cannot be released inside the
+    builder.  Tying release to the result's lifetime means a long-lived
+    session looping many invocations (the 50-query correctness gate, a
+    service) frees each query's blocks as soon as its result is dropped,
+    instead of accumulating until executor storage is exhausted.  If the
+    result is dropped before execution the plan merely recomputes — a perf
+    hiccup, never a correctness issue.
+    """
+    jdfs = [c._jdf for c in cached]
+
+    def _release(jdfs=jdfs):
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass  # session already stopped / JVM gone
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def hash60(col: Column | str) -> Column:
@@ -77,7 +105,13 @@ def token_jaccard_pairs(
       frequencies are small relative to the corpus (real text).
     - ``naive``: full inverted-index self-join (the test oracle's shape).
     - ``auto``: ``bitmask`` if the vocabulary fits in 64 bits else
-      ``prefix`` (costs one tiny count() action to decide).
+      ``prefix``.  Decided from a bounded document sample first: a sample
+      vocabulary > 64 already *proves* the full vocabulary is > 64 (sample
+      ⊆ corpus), so the common big-corpus case is settled by scanning a few
+      thousand docs — no full-corpus pass.  Only when the sample stays ≤ 64
+      (plausibly tiny vocabulary) does an exact full count confirm, and the
+      bitmask path would immediately rescan the corpus anyway.  Callers that
+      know their corpus should pass the strategy explicitly.
     """
     # the tokenized relation feeds the candidate join AND both verification
     # sides — persist it so the corpus is tokenized once, not 3-4 times
@@ -89,16 +123,10 @@ def token_jaccard_pairs(
     )
 
     if strategy == "auto":
-        vocab_size = (
-            docsets.select(F.explode("toks").alias("token"))
-            .select("token")
-            .distinct()
-            .count()
-        )
-        strategy = "bitmask" if vocab_size <= 64 else "prefix"
+        strategy = "bitmask" if _vocab_fits_mask(docsets) else "prefix"
 
     if strategy == "bitmask":
-        return _jaccard_bitmask(docsets, threshold)
+        return _release_on_gc(_jaccard_bitmask(docsets, threshold), docsets)
 
     if strategy == "prefix":
         tok = docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
@@ -168,7 +196,35 @@ def token_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", "n_common", "jaccard")
+    return _release_on_gc(
+        verified.select("doc_a", "doc_b", "n_common", "jaccard"), docsets
+    )
+
+
+def _vocab_fits_mask(docsets: DataFrame, sample_docs: int = 4096) -> bool:
+    """True iff the corpus vocabulary fits a 64-bit mask, decided cheaply.
+
+    Stage 1 counts distinct tokens in a bounded ``limit(sample_docs)``
+    sample — on any real text corpus this exceeds 64 within the first few
+    documents and the answer is certain (sample vocabulary is a lower bound
+    on corpus vocabulary), costing a scan of a handful of input splits
+    instead of a full-corpus explode+distinct shuffle.  Stage 2 (reached
+    only for genuinely tiny-vocabulary corpora) confirms with the exact
+    count; in that branch the bitmask path rescans the corpus to build the
+    vocabulary anyway, so the confirm is not an extra asymptotic cost.
+    """
+    sample_vocab = (
+        docsets.limit(sample_docs)
+        .select(F.explode("toks").alias("token"))
+        .distinct()
+        .count()
+    )
+    if sample_vocab > 64:
+        return False
+    full_vocab = (
+        docsets.select(F.explode("toks").alias("token")).distinct().count()
+    )
+    return full_vocab <= 64
 
 
 def _doc_masks(docsets: DataFrame) -> DataFrame:
@@ -259,7 +315,7 @@ def _jaccard_bitmask(docsets: DataFrame, threshold: float) -> DataFrame:
             "jaccard",
         )
     )
-    return intra.unionByName(inter)
+    return _release_on_gc(intra.unionByName(inter), masks)
 
 
 def minhash_signatures(
@@ -328,10 +384,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
     ).withColumn("sz", F.size("toks"))
     if verify == "auto":
-        vocab_size = (
-            docsets.select(F.explode("toks").alias("token")).distinct().count()
-        )
-        verify = "bitmask" if vocab_size <= 64 else "arrays"
+        verify = "bitmask" if _vocab_fits_mask(docsets) else "arrays"
     if verify == "bitmask":
         masks = _doc_masks(docsets)
         va = masks.select(F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"))

@@ -24,15 +24,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: Shared propagation-depth bound.  The q50 test oracle unrolls exactly this
+#: many label-propagation layers, so keeping the operator's default and the
+#: oracle's depth defined in ONE place guarantees they can never disagree
+#: (a graph needing more rounds raises here instead of gate-failing
+#: confusingly).  Min-label propagation needs rounds ~= graph diameter;
+#: near-dup clusters are dense (measured diameter <= ~8 on the synthetic
+#: corpus), so 16 leaves ample headroom.
+MAX_ITER_DEFAULT = 16
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = MAX_ITER_DEFAULT,
 ) -> DataFrame:
     """``(id, comp)`` for every node in ``edges``; ``comp`` is the smallest
-    node id in the component.  Edges are treated as undirected."""
+    node id in the component.  Edges are treated as undirected.
+
+    Raises ``RuntimeError`` if labels have not converged after ``max_iter``
+    rounds (rather than silently returning wrong component ids)."""
     # persist the edge list: it feeds every propagation round, and its
     # upstream (e.g. the whole jaccard pair join) must execute once
     sym = (
@@ -48,6 +60,7 @@ def connected_components(
     # to the materialized partitions.
     labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
 
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["a"] == labels["id"])
@@ -67,4 +80,14 @@ def connected_components(
         labels = new_labels.drop("_old")
         if changed == 0:
             break
+    # labels is materialized (localCheckpoint) — the edge cache has served
+    # its purpose; release it so repeated invocations in a long-lived
+    # session don't accumulate storage blocks
+    sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the graph diameter exceeds "
+            f"max_iter — raise it (and keep any fixed-depth oracle in sync)"
+        )
     return labels

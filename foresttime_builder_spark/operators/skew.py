@@ -65,6 +65,12 @@ def salted_agg(
     src = salt_from if salt_from is not None else [
         c for c in df.columns if c not in keys
     ]
+    if not src:
+        raise ValueError(
+            "salt_from resolved to zero columns (frame has only key columns); "
+            "pass salt_from explicitly — the salt must hash some stable "
+            "per-row identity to spread a hot key"
+        )
     salted = df.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in src]), F.lit(salt))
     )
@@ -93,10 +99,27 @@ def salted_join(
     """Equi-join with the right side replicated ``salt`` times and the left
     side scattered by a deterministic salt — no single reducer receives all
     rows of a hot key.  Only sensible when ``right`` is too big to broadcast
-    but small enough to replicate ``salt``-fold (classic medium-dim case)."""
+    but small enough to replicate ``salt``-fold (classic medium-dim case).
+
+    Only ``how`` in {'inner', 'left'} is supported: the construction
+    replicates every right row ``salt`` times, so any join shape that emits
+    unmatched RIGHT rows ('right'/'full'/right-semi/anti) would emit them
+    once per replica — structurally wrong, hence rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "right side is replicated per salt, so shapes preserving "
+            "unmatched right rows would duplicate them"
+        )
     src = salt_from if salt_from is not None else [
         c for c in left.columns if c not in on
     ]
+    if not src:
+        raise ValueError(
+            "salt_from resolved to zero columns (left frame has only join "
+            "columns); pass salt_from explicitly — the salt must hash some "
+            "stable per-row identity to scatter a hot key"
+        )
     lsalted = left.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in src]), F.lit(salt))
     )
