@@ -129,90 +129,58 @@ def linear_interpolate(
     """
     gcols = _group(group_cols)
     w = Window.partitionBy(*gcols).orderBy(x_col)
-    w_before = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_after = w.rowsBetween(0, Window.unboundedFollowing)
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    w_all = Window.partitionBy(*gcols)
 
     x = F.col(x_col).cast("double")
 
-    if not extrapolate:
-        filled = {}
-        for c in cols:
-            y = F.col(c).cast("double")
-            known_x = F.when(y.isNotNull(), x)
-            prev_y = F.last(y, ignorenulls=True).over(w_before)
-            prev_x = F.last(known_x, ignorenulls=True).over(w_before)
-            next_y = F.first(y, ignorenulls=True).over(w_after)
-            next_x = F.first(known_x, ignorenulls=True).over(w_after)
-            interp = prev_y + (next_y - prev_y) / (next_x - prev_x) * (x - prev_x)
-            n_known = F.count(y).over(w_all)
-            filled[c] = (
+    # ONE window function per column: collect the sorted known-point array
+    # as a group constant.  An unbounded frame is evaluated once per group
+    # (UnboundedWindowFunctionFrame aggregates the partition a single time),
+    # and every derived quantity — nearest points either side, boundary
+    # lines, known-count — is ordinary codegen'd array algebra over that
+    # attribute.  The round-1 shape spent 7 interpreted per-row window
+    # evaluations per column across 3 sequential Window passes; this is the
+    # dominant-cost fix for the annualize pipeline.  collect_list drops the
+    # nulls (unknown rows), and WindowExec's partition sort makes the array
+    # x-ascending.  Groups are small (a tree has tens of rows), so the
+    # per-row O(k) array filters are cheap and the arrays never approach
+    # collect_list's size limits.
+    karrs = {}
+    for c in cols:
+        y = F.col(c).cast("double")
+        kp = F.when(y.isNotNull(), F.struct(x.alias("x"), y.alias("y")))
+        karrs[f"_li_{c}_k"] = F.collect_list(kp).over(w_full)
+    out = df.withColumns(karrs)
+
+    final, drops = {}, []
+    for c in cols:
+        y = F.col(c).cast("double")
+        karr = F.col(f"_li_{c}_k")
+        drops.append(f"_li_{c}_k")
+        n_known = F.size(karr)
+        # nearest known point at-or-before / at-or-after this row
+        prev = F.try_element_at(F.filter(karr, lambda e: e.getField("x") <= x), F.lit(-1))
+        nxt = F.try_element_at(F.filter(karr, lambda e: e.getField("x") >= x), F.lit(1))
+        prev_x, prev_y = prev.getField("x"), prev.getField("y")
+        next_x, next_y = nxt.getField("x"), nxt.getField("y")
+        interp = prev_y + (next_y - prev_y) / (next_x - prev_x) * (x - prev_x)
+
+        if not extrapolate:
+            final[c] = (
                 F.when(y.isNotNull(), y)
                 .when(n_known <= 1, y)
-                .when(prev_y.isNotNull() & next_y.isNotNull(), interp)
+                .when(prev.isNotNull() & nxt.isNotNull(), interp)
                 .otherwise(F.lit(None).cast("double"))
             )
-        return df.withColumns(filled)
+            continue
 
-    # Boundary lines are group constants: the two known points nearest each
-    # end. Materialize the nearest point first (pass 1) so the second-nearest
-    # (pass 2) can mask against it — a group-constant column is safe to
-    # reference inside another window aggregate, unlike a per-row window
-    # expression (no nesting allowed). Each (x, y) pair rides ONE window
-    # expression as a struct: window functions evaluate interpreted
-    # per-row-per-function (WindowExec is outside codegen), so halving the
-    # function count halves the dominant cost of this operator; field
-    # extraction happens in ordinary codegen'd projections afterwards.
-    pass1, pass2, pass3, final = {}, {}, {}, {}
-    for c in cols:
-        y = F.col(c).cast("double")
-        kp = F.when(y.isNotNull(), F.struct(x.alias("x"), y.alias("y")))
-        t = f"_li_{c}"
-        # count over the unbounded ORDERED frame == whole-partition count,
-        # but shares the w_full Window node instead of adding a w_all one
-        pass1[f"{t}_n"] = F.count(y).over(w_full)
-        pass1[f"{t}_l"] = F.last(kp, ignorenulls=True).over(w_full)
-        pass1[f"{t}_f"] = F.first(kp, ignorenulls=True).over(w_full)
-    out = df.withColumns(pass1)
-    for c in cols:
-        y = F.col(c).cast("double")
-        t = f"_li_{c}"
-        lx = F.col(f"{t}_l").getField("x")
-        fx = F.col(f"{t}_f").getField("x")
-        kp = F.struct(x.alias("x"), y.alias("y"))
-        pass2[f"{t}_l2"] = F.last(
-            F.when(y.isNotNull() & (x < lx), kp), ignorenulls=True
-        ).over(w_full)
-        pass2[f"{t}_f2"] = F.first(
-            F.when(y.isNotNull() & (x > fx), kp), ignorenulls=True
-        ).over(w_full)
-    out = out.withColumns(pass2)
-    for c in cols:
-        y = F.col(c).cast("double")
-        t = f"_li_{c}"
-        kp = F.when(y.isNotNull(), F.struct(x.alias("x"), y.alias("y")))
-        pass3[f"{t}_p"] = F.last(kp, ignorenulls=True).over(w_before)
-        pass3[f"{t}_x"] = F.first(kp, ignorenulls=True).over(w_after)
-    out = out.withColumns(pass3)
-    drops = []
-    for c in cols:
-        y = F.col(c).cast("double")
-        t = f"_li_{c}"
-        prev_x = F.col(f"{t}_p").getField("x")
-        prev_y = F.col(f"{t}_p").getField("y")
-        next_x = F.col(f"{t}_x").getField("x")
-        next_y = F.col(f"{t}_x").getField("y")
-        interp = prev_y + (next_y - prev_y) / (next_x - prev_x) * (x - prev_x)
-        lx = F.col(f"{t}_l").getField("x")
-        ly = F.col(f"{t}_l").getField("y")
-        fx = F.col(f"{t}_f").getField("x")
-        fy = F.col(f"{t}_f").getField("y")
-        l2x = F.col(f"{t}_l2").getField("x")
-        l2y = F.col(f"{t}_l2").getField("y")
-        f2x = F.col(f"{t}_f2").getField("x")
-        f2y = F.col(f"{t}_f2").getField("y")
-        n_known = F.col(f"{t}_n")
+        # boundary lines through the two known points nearest each end
+        l, l2 = F.try_element_at(karr, F.lit(-1)), F.try_element_at(karr, F.lit(-2))
+        f1, f2 = F.try_element_at(karr, F.lit(1)), F.try_element_at(karr, F.lit(2))
+        lx, ly = l.getField("x"), l.getField("y")
+        l2x, l2y = l2.getField("x"), l2.getField("y")
+        fx, fy = f1.getField("x"), f1.getField("y")
+        f2x, f2y = f2.getField("x"), f2.getField("y")
         fwd = ly + (ly - l2y) / (lx - l2x) * (x - lx)
         bwd = fy + (fy - f2y) / (fx - f2x) * (x - fx)
         final[c] = (
@@ -221,16 +189,12 @@ def linear_interpolate(
             # single known value: carry forward only (leading rows null)
             .when(n_known == 1, prev_y)
             # interior gap
-            .when(prev_y.isNotNull() & next_y.isNotNull(), interp)
+            .when(prev.isNotNull() & nxt.isNotNull(), interp)
             # trailing gap: extend line through last two known points
             .when(x > lx, fwd)
             # leading gap: extend line through first two known points
             .otherwise(bwd)
         )
-        drops += [
-            f"{t}_n", f"{t}_l", f"{t}_f", f"{t}_l2", f"{t}_f2",
-            f"{t}_p", f"{t}_x",
-        ]
     return out.withColumns(final).drop(*drops)
 
 
@@ -255,37 +219,39 @@ def step_interpolate(
     """
     gcols = _group(group_cols)
     w = Window.partitionBy(*gcols).orderBy(order_col)
-    w_before = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_after = w.rowsBetween(0, Window.unboundedFollowing)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     idx = F.row_number().over(w)
     out = df.withColumn("_sg_i", idx)
     i = F.col("_sg_i")
-    # one struct-packed window expression per (value, index) pair per
-    # direction — window functions evaluate interpreted per-row-per-function,
-    # so packing halves the dominant cost (see linear_interpolate)
-    packed = {}
+    # ONE window function per column (same design as linear_interpolate):
+    # the sorted (index, value) known array is a group constant computed
+    # once per group; nearest-known lookups either side are codegen'd array
+    # filters instead of interpreted per-row window evaluations.  The
+    # row_number pass stays a separate (cheap, single-function) Window node
+    # since the packed struct depends on it.
+    karrs = {}
     for c in cols:
         v = F.col(c)
         kp = F.when(v.isNotNull(), F.struct(i.alias("i"), v.alias("v")))
-        packed[f"_sg_{c}_p"] = F.last(kp, ignorenulls=True).over(w_before)
-        packed[f"_sg_{c}_n"] = F.first(kp, ignorenulls=True).over(w_after)
-    out = out.withColumns(packed)
+        karrs[f"_sg_{c}_k"] = F.collect_list(kp).over(w_full)
+    out = out.withColumns(karrs)
     filled = {}
     drops = ["_sg_i"]
     for c in cols:
         v = F.col(c)
-        prev_v = F.col(f"_sg_{c}_p").getField("v")
-        prev_i = F.col(f"_sg_{c}_p").getField("i")
-        next_v = F.col(f"_sg_{c}_n").getField("v")
-        next_i = F.col(f"_sg_{c}_n").getField("i")
+        karr = F.col(f"_sg_{c}_k")
+        drops.append(f"_sg_{c}_k")
+        prev = F.try_element_at(F.filter(karr, lambda e: e.getField("i") <= i), F.lit(-1))
+        nxt = F.try_element_at(F.filter(karr, lambda e: e.getField("i") >= i), F.lit(1))
+        prev_v, prev_i = prev.getField("v"), prev.getField("i")
+        next_v, next_i = nxt.getField("v"), nxt.getField("i")
         switch_at = prev_i + F.ceil((next_i - prev_i) / F.lit(2.0))
         filled[c] = (
             F.when(v.isNotNull(), v)
-            .when(prev_v.isNull(), F.lit(None))  # leading: stay null
-            .when(next_v.isNull(), prev_v)  # trailing: last value
+            .when(prev.isNull(), F.lit(None))  # leading: stay null
+            .when(nxt.isNull(), prev_v)  # trailing: last value
             .when(i < switch_at, prev_v)
             .otherwise(next_v)
         )
-        drops += [f"_sg_{c}_p", f"_sg_{c}_n"]
     return out.withColumns(filled).drop(*drops)

@@ -167,10 +167,14 @@ def fia_tidy(db: dict[str, DataFrame]) -> DataFrame:
     )
 
     # snapshot of every plot-year before any row-dropping cleaning, then
-    # full-join back so "empty" plots survive the pipeline
-    all_plots = (
-        data.select("plot_ID", "INVYR").distinct().join(plot, ["plot_ID", "INVYR"])
-    )
+    # full-join back so "empty" plots survive the pipeline.  ``data`` is
+    # built from ``plot`` by LEFT joins, so its (plot_ID, INVYR) set is
+    # exactly plot's — the snapshot IS the plot relation.  Deriving it from
+    # ``data`` (as the reference's dataflow reads, R/fia_tidy.R:47,126)
+    # would execute the whole PLOT⋈TREE⋈PLOTGEOM⋈COND subtree twice: the
+    # round-1 plan carried two scan branches per source and doubled the
+    # most expensive shuffle stage.
+    all_plots = plot
 
     data = data.withColumn("ACTUALHT", F.coalesce("ACTUALHT", "HT"))
 
