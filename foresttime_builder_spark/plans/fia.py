@@ -158,12 +158,14 @@ def fia_tidy(db: dict[str, DataFrame]) -> DataFrame:
     # with the expand/interpolate windows AND keeps the national empty-plot
     # population from collapsing into a single NULL-key partition (skew).
     w = Window.partitionBy(*GROUP).orderBy("INVYR")
-    w_all = Window.partitionBy(*GROUP)
-    data = data.withColumn("MORTYR", F.max("MORTYR").over(w_all)).withColumn(
-        "SPCD",
-        F.last("SPCD", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ),
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # both over the SAME ordered unbounded spec (max over the full frame ==
+    # whole-partition max), so they share one Window node and one projection
+    data = data.withColumns(
+        {
+            "MORTYR": F.max("MORTYR").over(w_full),
+            "SPCD": F.last("SPCD", ignorenulls=True).over(w_full),
+        }
     )
 
     # snapshot of every plot-year before any row-dropping cleaning, then
