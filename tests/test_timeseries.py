@@ -62,6 +62,45 @@ def test_linear_interp_leading_backward_extrapolation(spark):
     assert _col(out) == [2.0, 4.0, 6.0, 8.0]
 
 
+def test_linear_interp_leading_gap_reference_divergence_pinned(spark):
+    """Pins the DELIBERATE divergence from the reference on leading gaps.
+
+    The reference returns ``c(interpolated[!is.na(...)], extrapolated)``
+    (``R/inter_extra_polate.R:52-58``): the extrapolated values — computed
+    for BOTH ends' missing x's — are appended at the END of the vector, so
+    whenever a leading gap exists the values are right but their positions
+    are scrambled relative to YEAR (the column is assigned back
+    positionally by ``mutate(across(...))``).  Its own golden tests
+    (``tests/testthat/test-inter_extra_polate.R:1-20``) only cover trailing
+    gaps and carry-forward, where the concatenation happens to be
+    positionally correct.
+
+    Hand-evaluated reference output for x=2015..2021,
+    y=(NA, NA, 10, 13, NA, 19, NA):
+      - stats::approx  → (NA, NA, 10, 13, 16, 19, NA)
+      - approxExtrap at xout=(2015, 2016, 2021) → (4, 7, 22)
+      - returned vector: c(10, 13, 16, 19, 4, 7, 22)   # scrambled
+    This engine instead places every value at its own year:
+      (4, 7, 10, 13, 16, 19, 22) — same value multiset, correct positions.
+    The q25/q08 DuckDB oracles pin the engine's (positionally correct)
+    semantics; this test pins the divergence itself so the choice is
+    explicit and visible.
+    """
+    ref_output = [10.0, 13.0, 16.0, 19.0, 4.0, 7.0, 22.0]  # reference, by hand
+    engine_expected = [4.0, 7.0, 10.0, 13.0, 16.0, 19.0, 22.0]
+
+    df = _series(
+        spark,
+        [None, None, 10.0, 13.0, None, 19.0, None],
+        xs=list(range(2015, 2022)),
+    )
+    got = _col(linear_interpolate(df, ["g"], "x", ["y"]))
+    assert got == engine_expected
+    # same values, different placement — the divergence is position-only
+    assert sorted(got) == sorted(ref_output)
+    assert got != ref_output
+
+
 def test_linear_interp_all_null(spark):
     df = _series(spark, [None, None, None])
     out = linear_interpolate(df, ["g"], "x", ["y"])
