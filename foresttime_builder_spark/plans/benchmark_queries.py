@@ -1413,6 +1413,25 @@ def q50_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_state_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end per-state production job on the scenario fixture: FIA CSVs
+    → CSV source layer → tidy → annualize (BOTH mortality variants) → NSVB
+    estimate → parquet sink → read-back (``scripts/state-parquet.R:10-49``).
+    The oracle rebuilds the identical CSV rows as VALUES and runs the SQL
+    twin of every stage (plans.state_on_fixture)."""
+    from foresttime_builder_spark.plans.state_on_fixture import (
+        state_pipeline_roundtrip,
+    )
+
+    return state_pipeline_roundtrip(spark, sf_dir)
+
+
+def _state_pipeline_oracle() -> str:
+    from foresttime_builder_spark.plans.state_on_fixture import oracle_sql
+
+    return oracle_sql()
+
+
 def _dup_clusters_oracle(rounds: int | None = None) -> str:
     """Min-label propagation unrolled to a fixed depth: exact once
     ``rounds`` >= the dup-graph diameter (measured <= ~8 on the synthetic
@@ -1609,4 +1628,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q48_group_percentiles": QuerySpec(q48_group_percentiles, ORACLE_Q48),
     "q49_merge_latest": QuerySpec(q49_merge_latest, ORACLE_Q49),
     "q50_dup_clusters": QuerySpec(q50_dup_clusters, _dup_clusters_oracle()),
+    "q51_state_pipeline": QuerySpec(q51_state_pipeline, _state_pipeline_oracle()),
 }

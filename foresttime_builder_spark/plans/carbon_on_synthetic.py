@@ -322,19 +322,33 @@ bz{i} AS (
     return ",\n".join(parts)
 
 
-def carbon_cte() -> str:
+def carbon_cte(
+    panel_sql: str | None = None,
+    jcase: str | None = None,
+    use_mortyr: bool = True,
+) -> str:
     """The full panel → annualize → NSVB-estimate oracle chain as a CTE
     string ending with ``carbonout`` (keyed plot_ID/tree_ID/YEAR with every
-    estimated response) — reused by the population-scaling oracles."""
-    return _chain()
+    estimated response) — reused by the population-scaling oracles and the
+    end-to-end state-pipeline gate (q51), which passes its own panel SQL,
+    species→Jenkins mapping, and mortality variant."""
+    return _chain(panel_sql, jcase, use_mortyr)
 
 
 def _oracle() -> str:
     return "WITH " + _chain() + "\n" + _final_select()
 
 
-def _chain() -> str:
-    ann = annualize_cte(_CPANEL_SQL, _JCASE)
+def _chain(
+    panel_sql: str | None = None,
+    jcase: str | None = None,
+    use_mortyr: bool = True,
+) -> str:
+    ann = annualize_cte(
+        panel_sql if panel_sql is not None else _CPANEL_SQL,
+        jcase if jcase is not None else _JCASE,
+        use_mortyr=use_mortyr,
+    )
 
     refsp = f"""refsp AS (
   SELECT CAST(SPCD AS INT) AS SPCD, CAST(JENKINS_SPGRPCD AS INT) AS JENKINS_SPGRPCD,

@@ -127,12 +127,18 @@ _INVARIANT = ["INTENSITY", "SPCD", "ECOSUBCD", "DESIGNCD", "PROP_BASIS", "MORTYR
 _DEFAULT_JCASE = "CASE WHEN SPCD = 475 THEN 10 ELSE 7 END"
 
 
-def annualize_cte(panel_sql: str, jcase: str = _DEFAULT_JCASE) -> str:
+def annualize_cte(
+    panel_sql: str, jcase: str = _DEFAULT_JCASE, use_mortyr: bool = True
+) -> str:
     """Generate the stage-by-stage SQL twin of the annualization pipeline as
     a CTE chain ``panel AS (...) ... final AS (...)`` (no leading WITH, no
     final SELECT) so downstream oracles (the NSVB carbon chain) can extend
     it.  ``jcase`` is the SQL expression giving JENKINS_SPGRPCD for the
-    panel's species (the Spark side joins REF_SPECIES instead)."""
+    panel's species (the Spark side joins REF_SPECIES instead).
+    ``use_mortyr=False`` mirrors ``adjust_mortality(use_mortyr=False)`` —
+    the MORTYR-override and DECAYCD/STANDING_DEAD_CD up-fill stages are
+    skipped entirely (the reference's midpt variant,
+    ``scripts/state-parquet.R:29-33``)."""
     pg = "PARTITION BY plot_ID, tree_ID"
     before = f"{pg} ORDER BY YEAR ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     after = f"{pg} ORDER BY YEAR ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
@@ -212,6 +218,49 @@ def annualize_cte(panel_sql: str, jcase: str = _DEFAULT_JCASE) -> str:
     desent = ",\n      ".join(
         f"CASE WHEN {c} = 999 THEN NULL ELSE {c} END AS {c}" for c in _SENTINEL
     )
+
+    if use_mortyr:
+        masks_src = "backfill"
+        mort_stages = """eff AS (
+  SELECT *,
+    CASE WHEN YEAR = MORTYR AND STATUSCD = 1 THEN MORTYR + 1
+         WHEN NOT (YEAR = MORTYR AND STATUSCD = 1) THEN MORTYR
+         ELSE NULL END AS _eff
+  FROM fallen
+),
+eff2 AS (
+  SELECT *,
+    CASE WHEN sum(CASE WHEN _eff IS NULL THEN 1 ELSE 0 END)
+              OVER (PARTITION BY tree_ID) > 0 THEN NULL
+         ELSE max(_eff) OVER (PARTITION BY tree_ID) END AS MORTYR_eff,
+    min(CASE WHEN STATUSCD = 2 THEN YEAR END)
+      OVER (PARTITION BY tree_ID) AS first_dead
+  FROM eff
+),
+mort AS (
+  SELECT * REPLACE (
+    CASE WHEN MORTYR_eff IS NULL THEN STATUSCD
+         WHEN MORTYR_eff = first_dead THEN STATUSCD
+         WHEN MORTYR_eff < first_dead AND YEAR >= MORTYR_eff
+              AND YEAR < first_dead THEN 2
+         WHEN MORTYR_eff > first_dead AND YEAR < MORTYR_eff
+              AND YEAR >= first_dead THEN 1
+         ELSE STATUSCD END AS STATUSCD)
+  FROM eff2
+),
+backfill AS (
+  SELECT * REPLACE (
+    first_value(DECAYCD IGNORE NULLS) OVER
+      (PARTITION BY tree_ID ORDER BY YEAR
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DECAYCD,
+    first_value(STANDING_DEAD_CD IGNORE NULLS) OVER
+      (PARTITION BY tree_ID ORDER BY YEAR
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS STANDING_DEAD_CD)
+  FROM mort
+),"""
+    else:
+        masks_src = "fallen"
+        mort_stages = ""
 
     return f"""
 panel AS ({panel_sql}),
@@ -302,48 +351,12 @@ fallen AS (
       AS STANDING_DEAD_CD)
   FROM thresh
 ),
-eff AS (
-  SELECT *,
-    CASE WHEN YEAR = MORTYR AND STATUSCD = 1 THEN MORTYR + 1
-         WHEN NOT (YEAR = MORTYR AND STATUSCD = 1) THEN MORTYR
-         ELSE NULL END AS _eff
-  FROM fallen
-),
-eff2 AS (
-  SELECT *,
-    CASE WHEN sum(CASE WHEN _eff IS NULL THEN 1 ELSE 0 END)
-              OVER (PARTITION BY tree_ID) > 0 THEN NULL
-         ELSE max(_eff) OVER (PARTITION BY tree_ID) END AS MORTYR_eff,
-    min(CASE WHEN STATUSCD = 2 THEN YEAR END)
-      OVER (PARTITION BY tree_ID) AS first_dead
-  FROM eff
-),
-mort AS (
-  SELECT * REPLACE (
-    CASE WHEN MORTYR_eff IS NULL THEN STATUSCD
-         WHEN MORTYR_eff = first_dead THEN STATUSCD
-         WHEN MORTYR_eff < first_dead AND YEAR >= MORTYR_eff
-              AND YEAR < first_dead THEN 2
-         WHEN MORTYR_eff > first_dead AND YEAR < MORTYR_eff
-              AND YEAR >= first_dead THEN 1
-         ELSE STATUSCD END AS STATUSCD)
-  FROM eff2
-),
-backfill AS (
-  SELECT * REPLACE (
-    first_value(DECAYCD IGNORE NULLS) OVER
-      (PARTITION BY tree_ID ORDER BY YEAR
-       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DECAYCD,
-    first_value(STANDING_DEAD_CD IGNORE NULLS) OVER
-      (PARTITION BY tree_ID ORDER BY YEAR
-       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS STANDING_DEAD_CD)
-  FROM mort
-),
+{mort_stages}
 masks1 AS (
   SELECT * REPLACE (
     CASE WHEN STATUSCD = 2 THEN STANDING_DEAD_CD ELSE NULL END
       AS STANDING_DEAD_CD)
-  FROM backfill
+  FROM {masks_src}
 ),
 masks2 AS (
   SELECT * REPLACE (

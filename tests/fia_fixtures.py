@@ -1,171 +1,29 @@
-"""Deterministic FIA-shaped micro-fixtures: one named tree per reference test
-scenario (see the reference's ``tests/testthat/test-interpolate_data.R`` and
-``test-adjust_mortality.R`` scenario coverage).
+"""Test-side shim over the package fixture module.
 
-Surveys at 2002 / 2007 / 2012; plot 44_1_1_N; DESIGNCD 1; ECOSUBCD '232Aa'.
-Species: 316 (hardwood), 131 (softwood), 475 (woodland, JENKINS 10).
+The fixture rows moved to
+:mod:`foresttime_builder_spark.sources.fixture_state` so the end-to-end
+state-pipeline gate (q51) and the pytest suite share one source of truth.
+``build_db`` keeps the historical pandas-DataFrame return shape for the
+CSV-writing tests.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
-YEARS = [2002, 2007, 2012]
-
-TREE_COLS = [
-    "CN", "PLT_CN", "STATECD", "UNITCD", "COUNTYCD", "PLOT", "SUBP", "TREE",
-    "INVYR", "CONDID", "MORTYR", "STATUSCD", "RECONCILECD", "DECAYCD",
-    "STANDING_DEAD_CD", "DIA", "CR", "HT", "ACTUALHT", "CULL", "SPCD",
-]
-
-
-def _plt_cn(plot: int, year: int) -> str:
-    return f"{plot:03d}{year}0000000001"
-
-
-def _tree_rows(plot, tree, records):
-    """records: list of (year, dict of overrides); None value → NA."""
-    rows = []
-    for year, over in records:
-        row = {
-            "CN": f"{plot:03d}{tree:03d}{year}",
-            "PLT_CN": _plt_cn(plot, year),
-            "STATECD": 44, "UNITCD": 1, "COUNTYCD": 1, "PLOT": plot,
-            "SUBP": 1, "TREE": tree, "INVYR": year, "CONDID": 1,
-            "MORTYR": None, "STATUSCD": 1, "RECONCILECD": None,
-            "DECAYCD": None, "STANDING_DEAD_CD": None,
-            "DIA": 8.0, "CR": 30.0, "HT": 50.0, "ACTUALHT": None,
-            "CULL": 0.0, "SPCD": 316,
-        }
-        row.update(over)
-        rows.append(row)
-    return rows
+from foresttime_builder_spark.sources.fixture_state import (  # noqa: F401
+    COND_SCHEMA,
+    GEOM_SCHEMA,
+    PLOT_SCHEMA,
+    TREE_SCHEMA,
+    YEARS,
+    build_rows,
+    spark_db,
+)
 
 
 def build_db() -> dict[str, pd.DataFrame]:
-    trees = []
-    # 1: steady growth, alive throughout
-    trees += _tree_rows(1, 1, [
-        (2002, {"DIA": 6.0, "HT": 40.0}),
-        (2007, {"DIA": 7.0, "HT": 45.0}),
-        (2012, {"DIA": 8.0, "HT": 50.0}),
-    ])
-    # 2: dies then falls: alive 2002, dead+fallen 2007 with no measurements
-    trees += _tree_rows(1, 2, [
-        (2002, {"DIA": 8.0, "HT": 50.0}),
-        (2007, {"STATUSCD": 2, "STANDING_DEAD_CD": 0, "DIA": None, "HT": None,
-                "CR": None, "CULL": None}),
-    ])
-    # 3: shrinking height → extrapolates below 4.5 ft threshold
-    trees += _tree_rows(1, 3, [
-        (2002, {"DIA": 2.0, "HT": 12.0}),
-        (2007, {"DIA": 1.8, "HT": 7.0}),
-        (2012, {"DIA": 1.6, "HT": 5.0}),
-    ])
-    # 4: woodland species (1 ft threshold, excluded from carbon)
-    trees += _tree_rows(1, 4, [
-        (2002, {"SPCD": 475, "DIA": 3.0, "HT": 3.0}),
-        (2007, {"SPCD": 475, "DIA": 3.5, "HT": 2.0}),
-    ])
-    # 5: sapling CULL: DIA crosses 5.0 between surveys
-    trees += _tree_rows(1, 5, [
-        (2002, {"DIA": 4.0, "HT": 20.0, "CULL": None}),
-        (2007, {"DIA": 6.0, "HT": 30.0, "CULL": 10.0}),
-    ])
-    # 6: moves to a non-sampled condition
-    trees += _tree_rows(2, 6, [
-        (2002, {"CONDID": 1}),
-        (2007, {"CONDID": 2}),
-    ])
-    # 7: MORTYR 2003 recorded before the interpolated midpoint (2005);
-    #    tree is interpolated-alive in 2003 so effective death = 2004
-    trees += _tree_rows(2, 7, [
-        (2002, {"MORTYR": None}),
-        (2007, {"STATUSCD": 2, "STANDING_DEAD_CD": 1, "DECAYCD": 2,
-                "MORTYR": 2003, "DIA": None, "HT": None}),
-    ])
-    # 8: alive in its recorded MORTYR (2007) → effective death 2008
-    trees += _tree_rows(2, 8, [
-        (2002, {}),
-        (2007, {"MORTYR": 2007}),
-        (2012, {"STATUSCD": 2, "STANDING_DEAD_CD": 1, "DECAYCD": 3,
-                "MORTYR": 2007, "DIA": None, "HT": None}),
-    ])
-    # 9: single measurement, carried forward only
-    trees += _tree_rows(2, 9, [
-        (2007, {"DIA": 9.0, "HT": 55.0}),
-    ])
-    # 10: species change: last SPCD wins
-    trees += _tree_rows(2, 10, [
-        (2002, {"SPCD": 316}),
-        (2007, {"SPCD": 318}),
-    ])
-    # 12: 1 → 2 → 0 with RECONCILECD 5 (left sample)
-    trees += _tree_rows(2, 12, [
-        (2002, {}),
-        (2007, {"STATUSCD": 2, "STANDING_DEAD_CD": 1, "DECAYCD": 1,
-                "DIA": None, "HT": None}),
-        (2012, {"STATUSCD": 0, "RECONCILECD": 5, "DIA": None, "HT": None,
-                "CR": None}),
-    ])
-    tree_df = pd.DataFrame(trees, columns=TREE_COLS)
-
-    plots, conds, geoms = [], [], []
-    for plot in (1, 2, 3):  # plot 3 = empty plot (no trees)
-        for year in YEARS:
-            plots.append({
-                "CN": _plt_cn(plot, year), "INVYR": year, "STATECD": 44,
-                "UNITCD": 1, "COUNTYCD": 1, "PLOT": plot, "DESIGNCD": 1,
-                "INTENSITY": 1,
-            })
-            geoms.append({
-                "CN": _plt_cn(plot, year), "INVYR": year,
-                "ECOSUBCD": "232Aa" if plot != 2 else "M221Dc",
-            })
-            conds.append({
-                "PLT_CN": _plt_cn(plot, year), "INVYR": year, "STATECD": 44,
-                "UNITCD": 1, "COUNTYCD": 1, "PLOT": plot, "CONDID": 1,
-                "CONDPROP_UNADJ": 1.0, "PROP_BASIS": "SUBP",
-                "COND_STATUS_CD": 1, "STDORGCD": 0,
-            })
-            if plot == 2:  # second, non-sampled condition
-                conds.append({
-                    "PLT_CN": _plt_cn(plot, year), "INVYR": year, "STATECD": 44,
-                    "UNITCD": 1, "COUNTYCD": 1, "PLOT": plot, "CONDID": 2,
-                    "CONDPROP_UNADJ": 0.0, "PROP_BASIS": "SUBP",
-                    "COND_STATUS_CD": 2, "STDORGCD": None,
-                })
     return {
-        "TREE": tree_df,
-        "PLOT": pd.DataFrame(plots),
-        "COND": pd.DataFrame(conds),
-        "PLOTGEOM": pd.DataFrame(geoms),
-    }
-
-
-TREE_SCHEMA = (
-    "CN string, PLT_CN string, STATECD int, UNITCD int, COUNTYCD int, "
-    "PLOT int, SUBP int, TREE int, INVYR int, CONDID int, MORTYR int, "
-    "STATUSCD int, RECONCILECD int, DECAYCD int, STANDING_DEAD_CD int, "
-    "DIA double, CR double, HT double, ACTUALHT double, CULL double, SPCD int"
-)
-PLOT_SCHEMA = (
-    "CN string, INVYR int, STATECD int, UNITCD int, COUNTYCD int, PLOT int, "
-    "DESIGNCD int, INTENSITY int"
-)
-COND_SCHEMA = (
-    "PLT_CN string, INVYR int, STATECD int, UNITCD int, COUNTYCD int, "
-    "PLOT int, CONDID int, CONDPROP_UNADJ double, PROP_BASIS string, "
-    "COND_STATUS_CD int, STDORGCD int"
-)
-GEOM_SCHEMA = "CN string, INVYR int, ECOSUBCD string"
-
-
-def spark_db(spark):
-    pdb = build_db()
-    return {
-        "TREE": spark.createDataFrame(pdb["TREE"], TREE_SCHEMA),
-        "PLOT": spark.createDataFrame(pdb["PLOT"], PLOT_SCHEMA),
-        "COND": spark.createDataFrame(pdb["COND"], COND_SCHEMA),
-        "PLOTGEOM": spark.createDataFrame(pdb["PLOTGEOM"], GEOM_SCHEMA),
+        table: pd.DataFrame(rows, columns=cols)
+        for table, (cols, rows) in build_rows().items()
     }

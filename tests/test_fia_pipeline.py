@@ -182,6 +182,30 @@ def test_qa_suite_clean_on_pipeline_output(annual):
     assert result == {k: 0 for k in qa.ANNUALIZED_SUITE}
 
 
+def test_qa_suite_clean_on_state_parquet_roundtrip(spark, tmp_path):
+    """The end-to-end production path (CSV source → run_states → parquet)
+    passes the QA suite for BOTH mortality variants after read-back — the
+    q51 gate checks values, this checks the structural invariants."""
+    from foresttime_builder_spark.plans import qa, state_pipeline
+    from foresttime_builder_spark.sources import fixture_state
+    from foresttime_builder_spark.sources.fia import fia_load
+
+    csv_dir = tmp_path / "csv"
+    fixture_state.write_csvs(str(csv_dir))
+    db = fia_load(spark, [fixture_state.STATE], str(csv_dir))
+    # estimate=False: the QA suite pins the ANNUALIZED contract; the
+    # estimated table intentionally carries prep_carbon's mutations
+    # (live STANDING_DEAD_CD=0, CULL nulls → 0, R/prep_carbon.R:62-90)
+    # which the fallen/nonsampled nullness checks do not apply to
+    paths = state_pipeline.run_states(
+        spark, db, str(tmp_path / "out"), estimate=False
+    )
+    for path in paths.values():
+        out = spark.read.parquet(path)
+        result = qa.run_qa(out, qa.ANNUALIZED_SUITE)
+        assert result == {k: 0 for k in qa.ANNUALIZED_SUITE}, path
+
+
 def test_qa_detects_violations(spark):
     from foresttime_builder_spark.plans import qa
 
