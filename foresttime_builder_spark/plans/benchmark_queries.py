@@ -893,6 +893,27 @@ def _pop_oracle() -> str:
     return ORACLE_POPULATION.format(chain=carbon_cte())
 
 
+def q52_population_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-based (POP_STRATUM / POP_PLOT_STRATUM_ASSGN) population
+    scaling: each plot inherits its stratum's EXPNS and ADJ_FACTOR_SUBP —
+    the rFIA/EVALIDator-style estimator the simplified per-year EXPNS
+    (q27) approximates (SURVEY §3.3; vignettes/pop_scaling.qmd:36-44)."""
+    from foresttime_builder_spark.plans.carbon_on_synthetic import (
+        population_stratified_panel,
+    )
+
+    return population_stratified_panel(spark, sf_dir)
+
+
+def _pop_stratified_oracle() -> str:
+    from foresttime_builder_spark.plans.carbon_on_synthetic import (
+        ORACLE_POPULATION_STRATIFIED,
+        carbon_cte,
+    )
+
+    return ORACLE_POPULATION_STRATIFIED.format(chain=carbon_cte())
+
+
 def q38_sapling_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sapling state machine over the annualized panel: lag/lead year-over-
     year transitions + per-from-state proportions (SURVEY §2.5 W9, the
@@ -1629,4 +1650,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q49_merge_latest": QuerySpec(q49_merge_latest, ORACLE_Q49),
     "q50_dup_clusters": QuerySpec(q50_dup_clusters, _dup_clusters_oracle()),
     "q51_state_pipeline": QuerySpec(q51_state_pipeline, _state_pipeline_oracle()),
+    "q52_population_stratified": QuerySpec(
+        q52_population_stratified, _pop_stratified_oracle()
+    ),
 }

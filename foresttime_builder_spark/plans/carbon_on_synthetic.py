@@ -812,6 +812,118 @@ def population_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-based (POP-table) population scaling over the estimated panel:
+    synthetic POP_PLOT_STRATUM_ASSGN / POP_STRATUM dims with three
+    non-uniform strata per year (EXPNS 1000/2000/3000, ADJ 1.0/1.1/1.2)
+    derived deterministically from PLT_CN, pushed through
+    :func:`..population.estimate_population_stratified`."""
+    from foresttime_builder_spark.plans.population import (
+        estimate_population_stratified,
+    )
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    panel = spark.sql(_CPANEL_SQL)
+    ann = fia.adjust_mortality(
+        fia.interpolate_data(fia.expand_data(panel)), use_mortyr=True
+    )
+    est = carbon.estimate_carbon(carbon.prep_carbon(ann)).persist()
+
+    # synthetic POP dims: stratum h = ck % 3 within each survey year
+    # (PLT_CN = '{ck}_{yr}' in the synthetic panel)
+    plt = est.select("PLT_CN").distinct()
+    h = (F.split(F.col("PLT_CN"), "_").getItem(0).cast("int") % 3).cast("int")
+    yr = F.split(F.col("PLT_CN"), "_").getItem(1)
+    assgn = plt.select(
+        "PLT_CN",
+        F.concat_ws("_", yr, h.cast("string")).alias("STRATUM_CN"),
+        h.alias("_h"),
+    )
+    stratum = (
+        assgn.select("STRATUM_CN", "_h")
+        .distinct()
+        .select(
+            F.col("STRATUM_CN").alias("CN"),
+            (F.lit(1000.0) * (1 + F.col("_h"))).alias("EXPNS"),
+            (F.lit(1.0) + F.col("_h") * F.lit(0.1)).alias("ADJ_FACTOR_SUBP"),
+        )
+    )
+    pop = estimate_population_stratified(
+        est, stratum, assgn.select("PLT_CN", "STRATUM_CN")
+    )
+    return pop.select(
+        "YEAR",
+        (F.floor(F.col("total_tons") * 100 + F.lit(0.5)) / 100).alias("total_tons"),
+        (F.floor(F.col("total_area") * 100 + F.lit(0.5)) / 100).alias("total_area"),
+        (F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "tons_per_acre"
+        ),
+    )
+
+
+ORACLE_POPULATION_STRATIFIED = """WITH {chain},
+annest AS (
+  SELECT f.*, c.CARBON AS CARBON_AG
+  FROM final f
+  LEFT JOIN carbonout c
+    ON f.plot_ID = c.plot_ID AND f.tree_ID = c.tree_ID AND f.YEAR = c.YEAR
+),
+plt AS (SELECT DISTINCT PLT_CN FROM annest),
+assgn AS (
+  SELECT PLT_CN,
+    concat(split_part(PLT_CN, '_', 2), '_',
+           CAST(CAST(split_part(PLT_CN, '_', 1) AS INT) % 3 AS INT)) AS STRATUM_CN,
+    CAST(split_part(PLT_CN, '_', 1) AS INT) % 3 AS h
+  FROM plt
+),
+stratum AS (
+  SELECT DISTINCT STRATUM_CN AS CN, 1000.0 * (1 + h) AS EXPNS,
+         1.0 + h * 0.1 AS ADJ_FACTOR_SUBP
+  FROM assgn
+),
+popdim AS (
+  SELECT a.PLT_CN, s.EXPNS, s.ADJ_FACTOR_SUBP
+  FROM assgn a JOIN stratum s ON a.STRATUM_CN = s.CN
+),
+d AS (
+  SELECT a.*, m.EXPNS, m.ADJ_FACTOR_SUBP,
+    CASE WHEN a.COND_STATUS_CD = 1 AND a.INTENSITY = 1 THEN 1.0 ELSE 0.0 END AS aDI,
+    (CASE WHEN a.STATUSCD = 1 THEN 1.0 ELSE 0.0 END)
+      * (CASE WHEN a.COND_STATUS_CD = 1 AND a.INTENSITY = 1 THEN 1.0 ELSE 0.0 END)
+      AS tDI
+  FROM annest a LEFT JOIN popdim m ON a.PLT_CN = m.PLT_CN
+),
+tree_tot AS (
+  SELECT plot_ID, YEAR,
+    sum(coalesce(CARBON_AG, 0.0) * coalesce(TPA_UNADJ, 0.0)
+        * coalesce(ADJ_FACTOR_SUBP, 0.0) * coalesce(EXPNS, 0.0) * tDI / 2000.0)
+      AS _plot_tons
+  FROM d GROUP BY 1, 2
+),
+conds AS (
+  SELECT DISTINCT plot_ID, YEAR, CONDID, CONDPROP_UNADJ, EXPNS,
+         ADJ_FACTOR_SUBP, aDI
+  FROM d
+),
+area_tot AS (
+  SELECT plot_ID, YEAR,
+    sum(coalesce(CONDPROP_UNADJ, 0.0) * coalesce(ADJ_FACTOR_SUBP, 0.0)
+        * coalesce(EXPNS, 0.0) * aDI) AS _plot_area
+  FROM conds GROUP BY 1, 2
+),
+yearly AS (
+  SELECT t.YEAR, sum(t._plot_tons) AS total_tons, sum(a._plot_area) AS total_area
+  FROM tree_tot t JOIN area_tot a ON t.plot_ID = a.plot_ID AND t.YEAR = a.YEAR
+  GROUP BY 1
+)
+SELECT YEAR,
+  floor(total_tons * 100 + 0.5) / 100 AS total_tons,
+  floor(total_area * 100 + 0.5) / 100 AS total_area,
+  floor(total_tons / total_area * 1000000 + 0.5) / 1000000 AS tons_per_acre
+FROM yearly
+"""
+
+
 ORACLE_POPULATION = f"""WITH {{chain}},
 annest AS (
   SELECT f.*, c.CARBON AS CARBON_AG

@@ -101,6 +101,101 @@ def estimate_population(
     )
 
 
+def estimate_population_stratified(
+    df: DataFrame,
+    pop_stratum: DataFrame,
+    pop_assgn: DataFrame,
+    tree_domain: Column | None = None,
+    area_domain: Column | None = None,
+    value_col: str = "CARBON_AG",
+) -> DataFrame:
+    """Design-based population totals using the FIA POP tables
+    (the reference downloads-but-never-reads them, ``R/fia_download.R:2-12``;
+    ``vignettes/pop_scaling.qmd:36-44,112-118`` names design-based
+    stratified estimation — rFIA / EVALIDator style — as the sanity band
+    the simplified per-year EXPNS approximates).
+
+    Each plot inherits its stratum's expansion: ``POP_PLOT_STRATUM_ASSGN``
+    maps ``PLT_CN → STRATUM_CN`` and ``POP_STRATUM`` carries ``EXPNS``
+    (acres represented per plot in the stratum) and ``ADJ_FACTOR_SUBP``
+    (non-sampled-area adjustment).  Totals are then
+
+        Σ value · TPA · ADJ_FACTOR_SUBP · EXPNS      (tree domain)
+        Σ CONDPROP · ADJ_FACTOR_SUBP · EXPNS         (area domain)
+
+    summed per plot-year and rolled up per year — the textbook
+    post-stratified expansion.  With one stratum per year and
+    ``EXPNS = area / n_plots``, ``ADJ = 1`` this reduces exactly to
+    :func:`estimate_population` (pinned by a pytest equivalence case).
+
+    Scale notes: the POP tables are dimension-sized (one row per plot
+    assignment / per stratum) and broadcast; the fact-side plan is
+    identical to the simplified mode — same two grouped sums on
+    (plot_ID, YEAR), no extra shuffle.
+    """
+    adi_cond = (
+        area_domain
+        if area_domain is not None
+        else (F.col("COND_STATUS_CD") == 1) & (F.col("INTENSITY") == 1)
+    )
+    tdi_cond = (
+        tree_domain if tree_domain is not None else (F.col("STATUSCD") == 1)
+    )
+    adi = F.when(adi_cond, 1.0).otherwise(0.0)
+    tdi = F.when(tdi_cond, 1.0).otherwise(0.0) * adi
+
+    strat = pop_stratum.select(
+        F.col("CN").alias("STRATUM_CN"), "EXPNS", "ADJ_FACTOR_SUBP"
+    )
+    dim = pop_assgn.select("PLT_CN", "STRATUM_CN").join(
+        F.broadcast(strat), on="STRATUM_CN"
+    )
+    d = (
+        df.join(F.broadcast(dim), on="PLT_CN", how="left")
+        .withColumn("aDI", adi)
+        .withColumn("tDI", tdi)
+    )
+
+    tree_tot = d.groupBy("plot_ID", "YEAR").agg(
+        F.sum(
+            F.coalesce(F.col(value_col), F.lit(0.0))
+            * F.coalesce(F.col("TPA_UNADJ"), F.lit(0.0))
+            * F.coalesce(F.col("ADJ_FACTOR_SUBP"), F.lit(0.0))
+            * F.coalesce(F.col("EXPNS"), F.lit(0.0))
+            * F.col("tDI")
+            / LB_PER_TON
+        ).alias("_plot_tons")
+    )
+    conds = d.select(
+        "plot_ID",
+        "YEAR",
+        "CONDID",
+        "CONDPROP_UNADJ",
+        "EXPNS",
+        "ADJ_FACTOR_SUBP",
+        "aDI",
+    ).distinct()
+    area_tot = conds.groupBy("plot_ID", "YEAR").agg(
+        F.sum(
+            F.coalesce(F.col("CONDPROP_UNADJ"), F.lit(0.0))
+            * F.coalesce(F.col("ADJ_FACTOR_SUBP"), F.lit(0.0))
+            * F.coalesce(F.col("EXPNS"), F.lit(0.0))
+            * F.col("aDI")
+        ).alias("_plot_area")
+    )
+    joined = tree_tot.join(area_tot, on=["plot_ID", "YEAR"], how="inner")
+    return (
+        joined.groupBy("YEAR")
+        .agg(
+            F.sum("_plot_tons").alias("total_tons"),
+            F.sum("_plot_area").alias("total_area"),
+        )
+        .withColumn(
+            "tons_per_acre", F.col("total_tons") / F.col("total_area")
+        )
+    )
+
+
 def multi_grain_sweep(
     df: DataFrame,
     grains: Sequence[Sequence[str]],
