@@ -35,23 +35,37 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: physical schema of the events parquet (ts stored as INT64 nanos)
-EVENTS_SCHEMA = (
-    "event_id bigint, user_id bigint, event_type string, value double, ts bigint"
-)
+#: logical schema of the events parquet minus ``ts``, whose physical type has
+#: varied across testdata generations (INT64 TIMESTAMP(NANOS) vs timestamp[us])
+_EVENTS_SCHEMA_BASE = "event_id bigint, user_id bigint, event_type string, value double"
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the nano→timestamp
-    conversion matching :func:`..sources.load_table`."""
+    """``readStream`` over the events parquet.
+
+    readStream needs a pinned schema, but the physical type of ``ts`` depends
+    on how the parquet was written: older testdata stored INT64 nanos
+    (surfacing as LongType under ``nanosAsLong``), current testdata stores a
+    proper ``timestamp[us]``. Probe the footer with a batch read (cheap,
+    metadata-only) and mirror :func:`..sources.readers.load_table`'s guard:
+    apply the nanos→timestamp conversion only when the column is physically
+    a long.
+    """
+    batch_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
+    )
+    ts_is_long = isinstance(batch_ts, T.LongType)
+    schema = _EVENTS_SCHEMA_BASE + (", ts bigint" if ts_is_long else ", ts timestamp")
     # file-source streams take a directory; select just the events file
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def windowed_rollup(
