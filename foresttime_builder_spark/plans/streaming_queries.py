@@ -21,6 +21,20 @@ from foresttime_builder_spark.streaming import (
 SESSION_GAP = "36 hours"
 
 
+def _e4(col) -> F.Column:
+    """Fixed-point gate emission: 1e-4 units as BIGINT.  The operators
+    already round their value sums to 4 decimals; scaling the rounded double
+    (which is within ~1e-12 of k/1e4) recovers k exactly, and an integer
+    column can never sit near a float rounding boundary, so the cross-engine
+    hash is exact."""
+    return F.floor(F.col(col) * 10000 + F.lit(0.5)).cast("long")
+
+
+#: DuckDB twin of :func:`_e4` applied to a 4-rounded expression
+def _sql_e4(x: str) -> str:
+    return f"CAST(floor(round({x}, 4) * 10000 + 0.5) AS BIGINT)"
+
+
 def q29_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window rollup, streamed to completion."""
     out = run_to_memory(
@@ -30,14 +44,15 @@ def q29_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("long").alias("window_start"),
         "event_type",
         "n_events",
-        "total_value",
+        _e4("total_value").alias("total_value_e4"),
     )
 
 
-ORACLE_STREAM_ROLLUP = """
+ORACLE_STREAM_ROLLUP = f"""
 SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
          AS window_start,
-       event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+       event_type, count(*) AS n_events,
+       {_sql_e4('sum(value)')} AS total_value_e4
 FROM events GROUP BY 1, 2
 """
 
@@ -53,13 +68,13 @@ def q30_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("long").alias("session_end"),
         "user_id",
         "n_events",
-        "session_value",
+        _e4("session_value").alias("session_value_e4"),
     )
 
 
 # gaps-and-islands twin of session_window: a new session starts when the gap
 # to the previous event is >= the session gap (Spark merges on strict overlap)
-ORACLE_STREAM_SESSIONS = """
+ORACLE_STREAM_SESSIONS = f"""
 WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
 m AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
@@ -74,7 +89,8 @@ g AS (
 )
 SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        CAST(floor(epoch(max(ts) + INTERVAL 36 HOURS)) AS BIGINT) AS session_end,
-       user_id, count(*) AS n_events, round(sum(value), 4) AS session_value
+       user_id, count(*) AS n_events,
+       {_sql_e4('sum(value)')} AS session_value_e4
 FROM g GROUP BY user_id, sid
 """
 
@@ -87,12 +103,13 @@ def q31_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     # last update per user (robust to multi-micro-batch splits)
-    return out.groupBy("user_id").agg(
+    agg = out.groupBy("user_id").agg(
         F.max_by("total", "n").alias("total"), F.max("n").alias("n")
     )
+    return agg.select("user_id", _e4("total").alias("total_e4"), "n")
 
 
-ORACLE_STREAM_STATEFUL = """
-SELECT user_id, round(sum(coalesce(value, 0.0)), 4) AS total, count(*) AS n
+ORACLE_STREAM_STATEFUL = f"""
+SELECT user_id, {_sql_e4('sum(coalesce(value, 0.0))')} AS total_e4, count(*) AS n
 FROM events GROUP BY 1
 """
