@@ -48,19 +48,29 @@ def signature_bits(vec: Column, dims: int, n_bits: int) -> Column:
     return F.concat(*bits)
 
 
+#: hard ceiling on the probe set a brute-force scan will ship to every task.
+#: Probes ride in the task closure (they must: each partition matmuls the
+#: whole probe matrix), so an unbounded probe side is a driver/executor OOM
+#: at scale — callers with more probes should batch them or use lsh/ivf.
+MAX_BRUTE_PROBES = 1024
+
+
 def brute_topk_np(
     base: DataFrame,
-    probes_pdf,
+    probes: DataFrame,
     k: int,
     vec_col: str = "vec",
     id_col: str = "vec_id",
     margin: int = 32,
+    max_probes: int = MAX_BRUTE_PROBES,
 ) -> DataFrame:
     """Brute-force cosine top-k with a vectorized numpy kernel.
 
-    ``probes_pdf`` is a small pandas frame (probe_id, probe_vec) captured in
-    the task closure — the probe set is by definition tiny next to the
-    corpus, which is the side that scales.  Each input partition computes
+    ``probes`` is a DataFrame of (probe_id, probe_vec).  It is collected to
+    the driver and shipped in the task closure — the probe set must be tiny
+    next to the corpus, which is the side that scales — so the collect is
+    bounded: if it exceeds ``max_probes`` rows the operator raises instead
+    of silently OOM-ing the driver at scale.  Each input partition computes
     the full probe×partition similarity matrix with one BLAS matmul and
     emits only its local top ``k + margin`` per probe; a global window then
     takes the exact top-k.  Arrow traffic is O(partitions × probes ×
@@ -74,6 +84,15 @@ def brute_topk_np(
     """
     import numpy as np
     import pandas as pd
+
+    # bounded collect: fetch at most cap+1 rows so even a huge probe side
+    # never materializes past the cap before the error fires
+    probes_pdf = probes.limit(max_probes + 1).toPandas()
+    if len(probes_pdf) > max_probes:
+        raise ValueError(
+            f"brute_topk_np probe set exceeds max_probes={max_probes}; "
+            "batch the probes or use lsh_topk/ivf_topk for large probe sides"
+        )
 
     P = np.stack(probes_pdf["probe_vec"].to_numpy()).astype("float64")
     pnorm = np.linalg.norm(P, axis=1, keepdims=True)

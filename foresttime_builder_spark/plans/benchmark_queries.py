@@ -703,12 +703,10 @@ def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
     )
-    probes_pdf = (
-        base.filter(F.col("vec_id") % 25 == 0)
-        .select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec"))
-        .toPandas()
+    probes = base.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec")
     )
-    return brute_topk_np(base, probes_pdf, k=5)
+    return brute_topk_np(base, probes, k=5)
 
 
 ORACLE_Q17 = """
