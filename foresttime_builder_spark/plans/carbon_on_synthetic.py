@@ -28,6 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from foresttime_builder_spark.operators.cache import release_on_gc
 from foresttime_builder_spark.plans import carbon, fia
 from foresttime_builder_spark.plans.fia_on_synthetic import _r4, annualize_cte
 from foresttime_builder_spark.sources import load_table
@@ -802,13 +803,16 @@ def population_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output of run_states and the reuse is free
     est = carbon.estimate_carbon(carbon.prep_carbon(ann)).persist()
     pop = estimate_population(est, area=_POP_AREA)
-    return pop.select(
-        "YEAR",
-        (F.floor(F.col("total_tons") * 100 + F.lit(0.5)) / 100).alias("total_tons"),
-        (F.floor(F.col("total_area") * 100 + F.lit(0.5)) / 100).alias("total_area"),
-        (F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)) / 1000000).alias(
-            "tons_per_acre"
+    return release_on_gc(
+        pop.select(
+            "YEAR",
+            (F.floor(F.col("total_tons") * 100 + F.lit(0.5)) / 100).alias("total_tons"),
+            (F.floor(F.col("total_area") * 100 + F.lit(0.5)) / 100).alias("total_area"),
+            (F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "tons_per_acre"
+            ),
         ),
+        est,
     )
 
 
@@ -830,8 +834,11 @@ def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = carbon.estimate_carbon(carbon.prep_carbon(ann)).persist()
 
     # synthetic POP dims: stratum h = ck % 3 within each survey year
-    # (PLT_CN = '{ck}_{yr}' in the synthetic panel)
-    plt = est.select("PLT_CN").distinct()
+    # (PLT_CN = '{ck}_{yr}' in the synthetic panel).  Derived from the
+    # pre-expansion panel, not the ~250-column estimate plan: the annualize
+    # chain never invents or drops PLT_CNs, so the distinct sets are equal
+    # and the dim build costs one scan of the tiny survey snapshot.
+    plt = panel.select("PLT_CN").distinct()
     h = (F.split(F.col("PLT_CN"), "_").getItem(0).cast("int") % 3).cast("int")
     yr = F.split(F.col("PLT_CN"), "_").getItem(1)
     assgn = plt.select(
@@ -851,13 +858,16 @@ def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = estimate_population_stratified(
         est, stratum, assgn.select("PLT_CN", "STRATUM_CN")
     )
-    return pop.select(
-        "YEAR",
-        (F.floor(F.col("total_tons") * 100 + F.lit(0.5)) / 100).alias("total_tons"),
-        (F.floor(F.col("total_area") * 100 + F.lit(0.5)) / 100).alias("total_area"),
-        (F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)) / 1000000).alias(
-            "tons_per_acre"
+    return release_on_gc(
+        pop.select(
+            "YEAR",
+            (F.floor(F.col("total_tons") * 100 + F.lit(0.5)) / 100).alias("total_tons"),
+            (F.floor(F.col("total_area") * 100 + F.lit(0.5)) / 100).alias("total_area"),
+            (F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "tons_per_acre"
+            ),
         ),
+        est,
     )
 
 
@@ -984,14 +994,17 @@ def grain_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = multi_grain_sweep(
         est, grains=[["SPCD"], ["YEAR"], ["SPCD", "YEAR"], []]
     )
-    return out.select(
-        F.col("SPCD").cast("int").alias("spcd"),
-        F.col("YEAR").cast("int").alias("year"),
-        "grain",
-        (F.floor(F.col("weighted_value") * 100 + F.lit(0.5)) / 100).alias(
-            "weighted_value"
+    return release_on_gc(
+        out.select(
+            F.col("SPCD").cast("int").alias("spcd"),
+            F.col("YEAR").cast("int").alias("year"),
+            "grain",
+            (F.floor(F.col("weighted_value") * 100 + F.lit(0.5)) / 100).alias(
+                "weighted_value"
+            ),
+            "n_rows",
         ),
-        "n_rows",
+        est,
     )
 
 
