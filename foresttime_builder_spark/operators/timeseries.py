@@ -127,11 +127,12 @@ def linear_interpolate(
     backward extrapolation. The reference's own golden tests only pin
     trailing extrapolation and carry-forward, which match exactly.
     """
-    gcols = _group(group_cols)
-    w = Window.partitionBy(*gcols).orderBy(x_col)
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-
-    x = F.col(x_col).cast("double")
+    part = ", ".join(f"`{g}`" for g in group_cols)
+    over = (
+        f"OVER (PARTITION BY {part} ORDER BY `{x_col}` "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    x = f"CAST(`{x_col}` AS DOUBLE)"
 
     # ONE window function per column: collect the sorted known-point array
     # as a group constant.  An unbounded frame is evaluated once per group
@@ -145,57 +146,73 @@ def linear_interpolate(
     # x-ascending.  Groups are small (a tree has tens of rows), so the
     # per-row O(k) array filters are cheap and the arrays never approach
     # collect_list's size limits.
+    #
+    # Expressions are assembled as SQL text and parsed JVM-side in one
+    # F.expr call per column: the equivalent Column-API construction costs
+    # ~40 py4j round trips per column, which dominated the q25 wall time
+    # (plan construction measured ~2x the actual execution).
     karrs = {}
     for c in cols:
-        y = F.col(c).cast("double")
-        kp = F.when(y.isNotNull(), F.struct(x.alias("x"), y.alias("y")))
-        karrs[f"_li_{c}_k"] = F.collect_list(kp).over(w_full)
+        y = f"CAST(`{c}` AS DOUBLE)"
+        kp = f"CASE WHEN {y} IS NOT NULL THEN named_struct('x', {x}, 'y', {y}) END"
+        karrs[f"_li_{c}_k"] = F.expr(f"collect_list({kp}) {over}")
     out = df.withColumns(karrs)
 
     final, drops = {}, []
     for c in cols:
-        y = F.col(c).cast("double")
-        karr = F.col(f"_li_{c}_k")
+        y = f"CAST(`{c}` AS DOUBLE)"
+        k = f"`_li_{c}_k`"
         drops.append(f"_li_{c}_k")
-        n_known = F.size(karr)
         # nearest known point at-or-before / at-or-after this row
-        prev = F.try_element_at(F.filter(karr, lambda e: e.getField("x") <= x), F.lit(-1))
-        nxt = F.try_element_at(F.filter(karr, lambda e: e.getField("x") >= x), F.lit(1))
-        prev_x, prev_y = prev.getField("x"), prev.getField("y")
-        next_x, next_y = nxt.getField("x"), nxt.getField("y")
-        interp = prev_y + (next_y - prev_y) / (next_x - prev_x) * (x - prev_x)
+        prev = f"try_element_at(filter({k}, e -> e.x <= {x}), -1)"
+        nxt = f"try_element_at(filter({k}, e -> e.x >= {x}), 1)"
+        interp = (
+            f"({prev}).y + (({nxt}).y - ({prev}).y)"
+            f" / (({nxt}).x - ({prev}).x) * ({x} - ({prev}).x)"
+        )
 
         if not extrapolate:
-            final[c] = (
-                F.when(y.isNotNull(), y)
-                .when(n_known <= 1, y)
-                .when(prev.isNotNull() & nxt.isNotNull(), interp)
-                .otherwise(F.lit(None).cast("double"))
+            final[c] = F.expr(
+                f"CASE WHEN {y} IS NOT NULL THEN {y} "
+                f"WHEN size({k}) <= 1 THEN {y} "
+                f"WHEN {prev} IS NOT NULL AND {nxt} IS NOT NULL THEN {interp} "
+                "ELSE CAST(NULL AS DOUBLE) END"
             )
             continue
 
         # boundary lines through the two known points nearest each end
-        l, l2 = F.try_element_at(karr, F.lit(-1)), F.try_element_at(karr, F.lit(-2))
-        f1, f2 = F.try_element_at(karr, F.lit(1)), F.try_element_at(karr, F.lit(2))
-        lx, ly = l.getField("x"), l.getField("y")
-        l2x, l2y = l2.getField("x"), l2.getField("y")
-        fx, fy = f1.getField("x"), f1.getField("y")
-        f2x, f2y = f2.getField("x"), f2.getField("y")
-        fwd = ly + (ly - l2y) / (lx - l2x) * (x - lx)
-        bwd = fy + (fy - f2y) / (fx - f2x) * (x - fx)
-        final[c] = (
-            F.when(y.isNotNull(), y)
-            .when(n_known == 0, F.lit(None).cast("double"))
-            # single known value: carry forward only (leading rows null)
-            .when(n_known == 1, prev_y)
-            # interior gap
-            .when(prev.isNotNull() & nxt.isNotNull(), interp)
-            # trailing gap: extend line through last two known points
-            .when(x > lx, fwd)
-            # leading gap: extend line through first two known points
-            .otherwise(bwd)
+        l, l2 = f"try_element_at({k}, -1)", f"try_element_at({k}, -2)"
+        f1, f2 = f"try_element_at({k}, 1)", f"try_element_at({k}, 2)"
+        fwd = (
+            f"({l}).y + (({l}).y - ({l2}).y)"
+            f" / (({l}).x - ({l2}).x) * ({x} - ({l}).x)"
         )
-    return out.withColumns(final).drop(*drops)
+        bwd = (
+            f"({f1}).y + (({f1}).y - ({f2}).y)"
+            f" / (({f1}).x - ({f2}).x) * ({x} - ({f1}).x)"
+        )
+        final[c] = F.expr(
+            f"CASE WHEN {y} IS NOT NULL THEN {y} "
+            f"WHEN size({k}) = 0 THEN CAST(NULL AS DOUBLE) "
+            # single known value: carry forward only (leading rows null)
+            f"WHEN size({k}) = 1 THEN ({prev}).y "
+            # interior gap
+            f"WHEN {prev} IS NOT NULL AND {nxt} IS NOT NULL THEN {interp} "
+            # trailing gap: extend line through last two known points
+            f"WHEN {x} > ({l}).x THEN {fwd} "
+            # leading gap: extend line through first two known points
+            f"ELSE {bwd} END"
+        )
+    # one projection for fill + scratch-column drop (every DataFrame
+    # transform is a full analyzer pass; see the py4j note above)
+    dropset = set(drops)
+    return out.select(
+        *[
+            final[c].alias(c) if c in final else F.col(c)
+            for c in out.columns
+            if c not in dropset
+        ]
+    )
 
 
 def step_interpolate(
@@ -217,41 +234,50 @@ def step_interpolate(
     Works for any column dtype (the reference applies it to string ``PLT_CN``
     and integer status codes alike).
     """
-    gcols = _group(group_cols)
-    w = Window.partitionBy(*gcols).orderBy(order_col)
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    part = ", ".join(f"`{g}`" for g in group_cols)
+    over = (
+        f"OVER (PARTITION BY {part} ORDER BY `{order_col}` "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
 
-    idx = F.row_number().over(w)
-    out = df.withColumn("_sg_i", idx)
-    i = F.col("_sg_i")
+    out = df.withColumn(
+        "_sg_i", F.expr(f"row_number() OVER (PARTITION BY {part} ORDER BY `{order_col}`)")
+    )
     # ONE window function per column (same design as linear_interpolate):
     # the sorted (index, value) known array is a group constant computed
     # once per group; nearest-known lookups either side are codegen'd array
     # filters instead of interpreted per-row window evaluations.  The
     # row_number pass stays a separate (cheap, single-function) Window node
-    # since the packed struct depends on it.
+    # since the packed struct depends on it.  SQL-text expressions for the
+    # same py4j-chatter reason as linear_interpolate.
     karrs = {}
     for c in cols:
-        v = F.col(c)
-        kp = F.when(v.isNotNull(), F.struct(i.alias("i"), v.alias("v")))
-        karrs[f"_sg_{c}_k"] = F.collect_list(kp).over(w_full)
+        kp = (
+            f"CASE WHEN `{c}` IS NOT NULL"
+            f" THEN named_struct('i', _sg_i, 'v', `{c}`) END"
+        )
+        karrs[f"_sg_{c}_k"] = F.expr(f"collect_list({kp}) {over}")
     out = out.withColumns(karrs)
     filled = {}
     drops = ["_sg_i"]
     for c in cols:
-        v = F.col(c)
-        karr = F.col(f"_sg_{c}_k")
+        k = f"`_sg_{c}_k`"
         drops.append(f"_sg_{c}_k")
-        prev = F.try_element_at(F.filter(karr, lambda e: e.getField("i") <= i), F.lit(-1))
-        nxt = F.try_element_at(F.filter(karr, lambda e: e.getField("i") >= i), F.lit(1))
-        prev_v, prev_i = prev.getField("v"), prev.getField("i")
-        next_v, next_i = nxt.getField("v"), nxt.getField("i")
-        switch_at = prev_i + F.ceil((next_i - prev_i) / F.lit(2.0))
-        filled[c] = (
-            F.when(v.isNotNull(), v)
-            .when(prev.isNull(), F.lit(None))  # leading: stay null
-            .when(nxt.isNull(), prev_v)  # trailing: last value
-            .when(i < switch_at, prev_v)
-            .otherwise(next_v)
+        prev = f"try_element_at(filter({k}, e -> e.i <= _sg_i), -1)"
+        nxt = f"try_element_at(filter({k}, e -> e.i >= _sg_i), 1)"
+        switch_at = f"({prev}).i + CEIL((({nxt}).i - ({prev}).i) / 2.0D)"
+        filled[c] = F.expr(
+            f"CASE WHEN `{c}` IS NOT NULL THEN `{c}` "
+            f"WHEN {prev} IS NULL THEN NULL "  # leading: stay null
+            f"WHEN {nxt} IS NULL THEN ({prev}).v "  # trailing: last value
+            f"WHEN _sg_i < {switch_at} THEN ({prev}).v "
+            f"ELSE ({nxt}).v END"
         )
-    return out.withColumns(filled).drop(*drops)
+    dropset = set(drops)
+    return out.select(
+        *[
+            filled[c].alias(c) if c in filled else F.col(c)
+            for c in out.columns
+            if c not in dropset
+        ]
+    )

@@ -222,20 +222,18 @@ def interpolate_data(data_expanded: DataFrame) -> DataFrame:
         data_expanded, GROUP, "YEAR", [c for c in LINEAR_COLS if c in cols]
     )
     out = step_interpolate(out, GROUP, "YEAR", [c for c in STEP_COLS if c in cols])
-    out = out.withColumns(
-        {
-            c: F.when(F.col(c) == 999, None).otherwise(F.col(c))
-            for c in SENTINEL_COLS
-            if c in cols
-        }
-    )
-
-    # CULL is only measured for trees with DIA >= 5 (R if_else: unknown DIA
-    # → unknown CULL)
+    # one projection: de-sentinel + the CULL-only-when-measurable rule (CULL
+    # is only measured for trees with DIA >= 5; R if_else: unknown DIA →
+    # unknown CULL).  DIA is not a sentinel column, so the rule reads the
+    # same value whether or not it shares the projection with the swaps.
+    desentinel = {
+        c: F.when(F.col(c) == 999, None).otherwise(F.col(c))
+        for c in SENTINEL_COLS
+        if c in cols
+    }
     if "CULL" in cols:
-        out = out.withColumn(
-            "CULL", r_if_else(F.col("DIA") < 5, None, F.col("CULL"))
-        )
+        desentinel["CULL"] = r_if_else(F.col("DIA") < 5, None, F.col("CULL"))
+    out = out.withColumns(desentinel)
 
     # TPA assignment: DESIGNCD × DIA ∈ [min_DIA, max_DIA) band rules
     rules = ref_tables.tpa_rules(spark)
@@ -298,19 +296,23 @@ def adjust_mortality(
 
     if use_mortyr:
         # tree alive in its recorded MORTYR → effective death the year after;
-        # R max() without na.rm poisons the whole tree when any row is NA
+        # R max() without na.rm poisons the whole tree when any row is NA.
+        # _eff is inlined into both window functions so the stage is one
+        # projection (each DataFrame transform is a full analyzer pass over
+        # an already-deep plan; the chain's wall time is construction-bound
+        # at small SF).
         year_eq = (F.col("YEAR") == F.col("MORTYR")) & (F.col("STATUSCD") == 1)
-        df = df.withColumn(
-            "_eff", r_if_else(year_eq, F.col("MORTYR") + 1, F.col("MORTYR"))
-        )
-        n_null = F.sum(F.col("_eff").isNull().cast("int")).over(w_all)
-        df = df.withColumn(
-            "MORTYR_eff",
-            F.when(n_null > 0, None).otherwise(F.max("_eff").over(w_all)),
-        ).drop("_eff")
-        df = df.withColumn(
-            "first_dead",
-            F.min(F.when(F.col("STATUSCD") == 2, F.col("YEAR"))).over(w_all),
+        eff_expr = r_if_else(year_eq, F.col("MORTYR") + 1, F.col("MORTYR"))
+        n_null = F.sum(eff_expr.isNull().cast("int")).over(w_all)
+        df = df.withColumns(
+            {
+                "MORTYR_eff": F.when(n_null > 0, None).otherwise(
+                    F.max(eff_expr).over(w_all)
+                ),
+                "first_dead": F.min(
+                    F.when(F.col("STATUSCD") == 2, F.col("YEAR"))
+                ).over(w_all),
+            }
         )
         eff, fd, yr = F.col("MORTYR_eff"), F.col("first_dead"), F.col("YEAR")
         df = df.withColumn(
@@ -326,23 +328,21 @@ def adjust_mortality(
         )
         df = df.drop("first_dead", "MORTYR_eff")
 
-    # STANDING_DEAD_CD only applies to dead trees; DECAYCD only to standing
-    # dead (when/otherwise(None) matches R if_else NA-condition → NA here)
-    df = df.withColumn(
-        "STANDING_DEAD_CD",
-        F.when(F.col("STATUSCD") == 2, F.col("STANDING_DEAD_CD")).otherwise(None),
-    ).withColumn(
-        "DECAYCD",
-        F.when(F.col("STANDING_DEAD_CD") == 1, F.col("DECAYCD")).otherwise(None),
-    )
-
-    # fallen trees and trees in non-sampled conditions have no measurements
-    # (missing = keep, hence when(cond, NULL).otherwise(x))
-    fallen = F.col("STANDING_DEAD_CD") == 0
+    # One projection for the applicability masks, with the dependency chain
+    # inlined: STANDING_DEAD_CD only applies to dead trees; DECAYCD only to
+    # standing dead; fallen trees (new SDC == 0) and trees in non-sampled
+    # conditions have no measurements (when/otherwise(None) matches R
+    # if_else NA-condition → NA; missing = keep).
+    sdc = F.when(F.col("STATUSCD") == 2, F.col("STANDING_DEAD_CD")).otherwise(None)
+    fallen = sdc == 0
     nonsampled = (
         (F.col("STATUSCD") == 0) & r_isin(F.col("RECONCILECD"), [5, 6, 9])
     ) | (F.col("COND_STATUS_CD") != 1)
-    return df.withColumns(
+    masks = {
+        "STANDING_DEAD_CD": sdc,
+        "DECAYCD": F.when(sdc == 1, F.col("DECAYCD")).otherwise(None),
+    }
+    masks.update(
         {
             c: F.when(nonsampled, None).otherwise(
                 F.when(fallen, None).otherwise(F.col(c))
@@ -350,6 +350,7 @@ def adjust_mortality(
             for c in ("DIA", "HT", "ACTUALHT", "CULL", "CR")
         }
     )
+    return df.withColumns(masks)
 
 
 def fia_annualize(data_tidy: DataFrame, use_mortyr: bool = True) -> DataFrame:
