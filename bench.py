@@ -1,13 +1,18 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "sf": ...}.  Each per-query number is the
+MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3) timed runs after a warm-up
+run, with the per-query min/max spread reported alongside — single-run
+numbers at this scale swing +/-30% on scheduler jitter alone, which made
+round-over-round trends unreadable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,24 +50,29 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "region", "nation"):
         load_table(spark, sf_dir, t).limit(1).count()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         # noop sink: full computation of every output column (count() would
         # let Catalyst prune the row-level expression DAGs of q25/q26),
-        # with no driver-side materialization.  Each query runs twice and
-        # the second run is reported: the first pays one-time whole-stage
-        # codegen compilation (~seconds for the ~250-column NSVB plan),
-        # a fixed per-query-shape cost that a production job amortizes
-        # across every partition it processes — steady-state throughput is
-        # what a 100 TB run experiences.
+        # with no driver-side materialization.  The warm-up run pays the
+        # one-time whole-stage codegen compilation (~seconds for the
+        # ~250-column NSVB plan), a fixed per-query-shape cost that a
+        # production job amortizes across every partition it processes —
+        # steady-state throughput is what a 100 TB run experiences.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # fresh plan object for the timed run — only the JVM-level caches
-        # (codegen, scan metadata) stay warm, every stage re-executes
-        df = fn(spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            # fresh plan object per timed run — only the JVM-level caches
+            # (codegen, scan metadata) stay warm, every stage re-executes
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -72,6 +82,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": n_runs,
                 "sf": float(sf) if sf else None,
             }
         )
