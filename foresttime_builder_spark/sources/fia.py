@@ -44,33 +44,57 @@ FIA_TABLES = (
 DATAMART_URL = "https://apps.fs.usda.gov/fia/datamart/CSV/{state}_CSV.zip"
 
 
+def _fetch_zip(url: str, dest: str, timeout: int) -> None:
+    """Download ``url`` to ``dest`` with resume: a leftover ``.part`` file
+    from an interrupted run continues via an HTTP Range request (the
+    DataMart serves static zips and honors ranges), falling back to a full
+    re-fetch if the server ignores the range."""
+    import urllib.request
+
+    tmp = dest + ".part"
+    start = os.path.getsize(tmp) if os.path.exists(tmp) else 0
+    req = urllib.request.Request(url)
+    if start:
+        req.add_header("Range", f"bytes={start}-")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        partial = resp.status == 206
+        mode = "ab" if (start and partial) else "wb"
+        with open(tmp, mode) as out:
+            while chunk := resp.read(1 << 20):
+                out.write(chunk)
+    os.replace(tmp, dest)
+
+
 def fia_download(
     states: Sequence[str],
     download_dir: str,
     extract: bool = True,
     keep_zip: bool = False,
     timeout: int = 600,
+    max_workers: int = 6,
 ) -> list[str]:
     """Fetch ``{STATE}_CSV.zip`` archives from the FIA DataMart
-    (reference ``R/fia_download.R:27-96``). Skips files that already exist;
-    returns the list of zip paths. Network access is attempted lazily so
-    offline environments can still import this module."""
-    import urllib.request
+    (reference ``R/fia_download.R:27-96``). Concurrent + resumable to match
+    the reference's ``curl::multi_download(multiplex = TRUE)``
+    (``R/fia_download.R:77-84``): states download in parallel threads
+    (I/O-bound), interrupted ``.part`` files resume via Range requests, and
+    already-complete zips are skipped. Returns the list of zip paths.
+    Network access is attempted lazily so offline environments can still
+    import this module."""
+    from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(download_dir, exist_ok=True)
-    zips = []
-    for state in states:
-        dest = os.path.join(download_dir, f"{state}_CSV.zip")
-        if not os.path.exists(dest):
-            url = DATAMART_URL.format(state=state)
-            tmp = dest + ".part"
-            with urllib.request.urlopen(url, timeout=timeout) as resp, open(
-                tmp, "wb"
-            ) as out:
-                while chunk := resp.read(1 << 20):
-                    out.write(chunk)
-            os.replace(tmp, dest)
-        zips.append(dest)
+    zips = [os.path.join(download_dir, f"{state}_CSV.zip") for state in states]
+    todo = [
+        (DATAMART_URL.format(state=s), d)
+        for s, d in zip(states, zips)
+        if not os.path.exists(d)
+    ]
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(todo))) as ex:
+            futures = [ex.submit(_fetch_zip, u, d, timeout) for u, d in todo]
+            for f in futures:
+                f.result()  # surface the first failure
     if extract:
         unzip_csvs(zips, download_dir, keep_zip=keep_zip)
     return zips

@@ -103,3 +103,63 @@ def test_csv_roundtrip_staging(spark, csv_dir, tmp_path):
     )
     assert staged["TREE"].count() == db["TREE"].count()
     assert dict(staged["TREE"].dtypes)["CN"] == "string"
+
+
+class _FakeResponse:
+    """Minimal urlopen response serving a byte string, honoring Range."""
+
+    def __init__(self, payload: bytes, start: int = 0, partial: bool = True):
+        self._data = payload[start:] if partial else payload
+        self.status = 206 if (start and partial) else 200
+        self._pos = 0
+
+    def read(self, n: int) -> bytes:
+        chunk = self._data[self._pos : self._pos + n]
+        self._pos += len(chunk)
+        return chunk
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def test_fia_download_concurrent_and_resume(tmp_path, monkeypatch):
+    """Offline twin of the DataMart fetch: parallel states, Range resume of
+    an interrupted .part, skip of complete zips (R/fia_download.R:77-96)."""
+    import urllib.request
+
+    payloads = {
+        st: f"zipbytes-{st}".encode() * 100 for st in ("AA", "BB", "CC")
+    }
+    calls = []
+
+    def fake_urlopen(req, timeout=0):
+        url = req.full_url if hasattr(req, "full_url") else req
+        st = url.split("/")[-1].split("_")[0]
+        rng = req.headers.get("Range") if hasattr(req, "headers") else None
+        start = int(rng.split("=")[1].rstrip("-")) if rng else 0
+        calls.append((st, start))
+        return _FakeResponse(payloads[st], start)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    d = str(tmp_path)
+    # AA: pre-completed (must be skipped); BB: interrupted .part (must resume)
+    with open(os.path.join(d, "AA_CSV.zip"), "wb") as f:
+        f.write(payloads["AA"])
+    with open(os.path.join(d, "BB_CSV.zip.part"), "wb") as f:
+        f.write(payloads["BB"][:137])
+
+    zips = fia_src.fia_download(["AA", "BB", "CC"], d, extract=False)
+    assert [os.path.basename(z) for z in zips] == [
+        "AA_CSV.zip", "BB_CSV.zip", "CC_CSV.zip"
+    ]
+    for st in ("AA", "BB", "CC"):
+        with open(os.path.join(d, f"{st}_CSV.zip"), "rb") as f:
+            assert f.read() == payloads[st]
+    fetched = dict(calls)
+    assert "AA" not in fetched  # skip-if-present
+    assert fetched["BB"] == 137  # Range resume from the .part offset
+    assert fetched["CC"] == 0
