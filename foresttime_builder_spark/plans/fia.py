@@ -323,8 +323,10 @@ def adjust_mortality(
             .when((eff > fd) & (yr < eff) & (yr >= fd), 1)
             .otherwise(F.col("STATUSCD")),
         )
+        # grouped on the full tree key (value-identical: tree_ID embeds
+        # plot_ID) so the up-fill window reuses the chain's one exchange
         df = fill_gaps(
-            df, ["tree_ID"], "YEAR", ["DECAYCD", "STANDING_DEAD_CD"], direction="up"
+            df, GROUP, "YEAR", ["DECAYCD", "STANDING_DEAD_CD"], direction="up"
         )
         df = df.drop("first_dead", "MORTYR_eff")
 
