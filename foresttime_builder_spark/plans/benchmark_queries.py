@@ -126,9 +126,9 @@ def q03_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spend"
-            ),
+            F.floor(
+                F.coalesce(F.sum("o_totalprice"), F.lit(0.0)) * 100 + F.lit(0.5)
+            ).cast("long").alias("total_spend_e2"),
         )
     )
 
@@ -136,7 +136,8 @@ def q03_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q03 = """
 SELECT c_custkey, c_mktsegment,
        count(o_orderkey) AS n_orders,
-       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+       CAST(floor(coalesce(sum(o_totalprice), 0.0) * 100 + 0.5) AS BIGINT)
+         AS total_spend_e2
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
 """
@@ -220,19 +221,31 @@ def q06_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
     ).over(w)
     return (
-        ev.withColumn("last_click_value", F.round(last_click, 4))
+        ev.withColumn(
+            "last_click_value_e4",
+            F.floor(last_click * 10000 + F.lit(0.5)).cast("long"),
+        )
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", F.round("value", 4).alias("purchase_value"), "last_click_value")
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias(
+                "purchase_value_e4"
+            ),
+            "last_click_value_e4",
+        )
     )
 
 
 ORACLE_Q06 = """
-SELECT event_id, user_id, round(value, 4) AS purchase_value, last_click_value
+SELECT event_id, user_id,
+       CAST(floor(value * 10000 + 0.5) AS BIGINT) AS purchase_value_e4,
+       CAST(floor(last_click_value * 10000 + 0.5) AS BIGINT) AS last_click_value_e4
 FROM (
   SELECT event_id, user_id, event_type, value,
-         round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS last_click_value
   FROM events
 ) t
@@ -403,13 +416,18 @@ def q07_expand_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.3 J5 — ``expand_data``'s sequence/explode + flagged join)."""
     panel = _orders_panel(spark, sf_dir)
     return expand_grid(panel, ["custkey"], "year").select(
-        "custkey", "year", "val", "interpolated"
+        "custkey",
+        "year",
+        F.floor(F.col("val") * 10000 + F.lit(0.5)).cast("long").alias("val_e4"),
+        "interpolated",
     )
 
 
 ORACLE_Q07 = f"""
 WITH {_GRID_SQL}
-SELECT custkey, year, val, interpolated FROM joined
+SELECT custkey, year,
+       CAST(floor(val * 10000 + 0.5) AS BIGINT) AS val_e4, interpolated
+FROM joined
 """
 
 
@@ -419,7 +437,10 @@ def q08_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = expand_grid(panel, ["custkey"], "year")
     out = linear_interpolate(g, ["custkey"], "year", ["val"])
     return out.select(
-        "custkey", "year", F.round("val", 4).alias("val"), "interpolated"
+        "custkey",
+        "year",
+        F.floor(F.col("val") * 10000 + F.lit(0.5)).cast("long").alias("val_e4"),
+        "interpolated",
     )
 
 
@@ -442,11 +463,11 @@ w AS (
   FROM joined
 )
 SELECT custkey, year,
-  round(CASE
+  CAST(floor((CASE
     WHEN val IS NOT NULL THEN val
     WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
       THEN prev_v + (next_v - prev_v) / (next_x - prev_x) * (year - prev_x)
-    ELSE NULL END, 4) AS val,
+    ELSE NULL END) * 10000 + 0.5) AS BIGINT) AS val_e4,
   interpolated
 FROM w
 """
@@ -594,10 +615,13 @@ def q13_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(F.length("text") / n_tok, 4).alias("mean_tok_len"),
-        F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tok, 4
-        ).alias("stopword_ratio"),
+        F.floor(F.length("text") / n_tok * 10000 + F.lit(0.5)).cast("long").alias(
+            "mean_tok_len_e4"
+        ),
+        F.floor(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            / n_tok * 10000 + F.lit(0.5)
+        ).cast("long").alias("stopword_ratio_e4"),
         (n_stop > 0).alias("has_stopword"),
     )
 
@@ -605,10 +629,12 @@ def q13_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q13 = """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
-       round(length(text) / len(string_split(text, ' ')), 4) AS mean_tok_len,
-       round(len(list_filter(string_split(text, ' '),
-                             t -> list_contains(['the','a','of','and','to'], t)))
-             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       CAST(floor(length(text) / len(string_split(text, ' ')) * 10000 + 0.5)
+            AS BIGINT) AS mean_tok_len_e4,
+       CAST(floor(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains(['the','a','of','and','to'], t)))
+                  / len(string_split(text, ' ')) * 10000 + 0.5) AS BIGINT)
+         AS stopword_ratio_e4,
        len(list_intersect(string_split(text, ' '),
                           ['the','a','of','and','to'])) > 0 AS has_stopword
 FROM documents
@@ -736,7 +762,7 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so candidate recall is bit-for-bit reproducible."""
     d = load_table(spark, sf_dir, "documents")
     # verify pinned to the mask path: 31-token vocabulary (see q16 note)
-    return minhash_lsh_pairs(
+    pairs = minhash_lsh_pairs(
         d,
         "doc_id",
         "text",
@@ -744,6 +770,15 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_MH_BAND,
         threshold=0.5,
         verify="bitmask",
+    )
+    # fixed-point gate emission of the (already 4-rounded) jaccard
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
+            "jaccard_e4"
+        ),
     )
 
 
@@ -797,9 +832,10 @@ docsets AS (
 )
 SELECT doc_a, doc_b,
        len(list_intersect(sa.toks, sb.toks)) AS n_common,
-       round(len(list_intersect(sa.toks, sb.toks))
-             / (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))), 4)
-         AS jaccard
+       CAST(floor(round(len(list_intersect(sa.toks, sb.toks))
+                        / (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))), 4)
+                  * 10000 + 0.5) AS BIGINT)
+         AS jaccard_e4
 FROM cand
 JOIN docsets sa ON sa.doc_id = doc_a
 JOIN docsets sb ON sb.doc_id = doc_b
@@ -1073,7 +1109,12 @@ def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "byte_len",
         "thumb_hash",
-        *[F.round(F.col("features").getItem(j), 6).alias(f"f{j}") for j in range(8)],
+        *[
+            F.floor(F.col("features").getItem(j) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias(f"f{j}_e6")
+            for j in range(8)
+        ],
     )
 
 
@@ -1084,8 +1125,8 @@ SELECT doc_id, length(text) AS byte_len,
 FROM documents
 """.format(
     feats=", ".join(
-        "round(CAST(concat('0x', substr(md5(text), 1 + 2 * %d, 2)) AS BIGINT)"
-        " / 255.0, 6) AS f%d" % (j, j)
+        "CAST(floor(CAST(concat('0x', substr(md5(text), 1 + 2 * %d, 2)) AS BIGINT)"
+        " / 255.0 * 1000000 + 0.5) AS BIGINT) AS f%d_e6" % (j, j)
         for j in range(8)
     )
 )
@@ -1132,7 +1173,16 @@ def q37_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic similarity-search path (similarity family)."""
     from foresttime_builder_spark.operators.ann import lsh_topk
 
-    return lsh_topk(load_table(spark, sf_dir, "embeddings"))
+    out = lsh_topk(load_table(spark, sf_dir, "embeddings"))
+    # fixed-point gate emission of the (already 6-rounded) cosine
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "cosine_e6"
+        ),
+        "rank",
+    )
 
 
 def q40_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,18 +1383,23 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id",
         "user_id",
-        F.round("value", 4).alias("purchase_value"),
-        F.round("click_value", 4).alias("asof_click_value"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias(
+            "purchase_value_e4"
+        ),
+        F.floor(F.col("click_value") * 10000 + F.lit(0.5)).cast("long").alias(
+            "asof_click_value_e4"
+        ),
     )
 
 
 ORACLE_Q47 = """
 WITH clicks AS (SELECT * FROM events WHERE event_type = 'click')
-SELECT p.event_id, p.user_id, round(p.value, 4) AS purchase_value,
-       round((SELECT c.value FROM clicks c
-              WHERE c.user_id = p.user_id AND c.ts <= p.ts
-              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 4)
-         AS asof_click_value
+SELECT p.event_id, p.user_id,
+       CAST(floor(p.value * 10000 + 0.5) AS BIGINT) AS purchase_value_e4,
+       CAST(floor((SELECT c.value FROM clicks c
+                   WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) * 10000 + 0.5)
+            AS BIGINT) AS asof_click_value_e4
 FROM events p WHERE p.event_type = 'purchase'
 """
 
@@ -1392,13 +1447,18 @@ def q49_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         version_col="ts", tie_break=["event_id"],
     )
     return merged.select(
-        "user_id", "event_type", "event_id",
-        F.round("value", 4).alias("last_value"),
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias(
+            "last_value_e4"
+        ),
     )
 
 
 ORACLE_Q49 = """
-SELECT user_id, event_type, event_id, round(value, 4) AS last_value
+SELECT user_id, event_type, event_id,
+       CAST(floor(value * 10000 + 0.5) AS BIGINT) AS last_value_e4
 FROM (
   SELECT *, row_number() OVER (
     PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
@@ -1543,7 +1603,11 @@ def _neardup_oracle() -> str:
 def _ann_oracle() -> str:
     from foresttime_builder_spark.operators.ann import lsh_topk_oracle_sql
 
-    return lsh_topk_oracle_sql()
+    return (
+        "SELECT probe_id, neighbor_id, "
+        "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6, rank "
+        f"FROM ({lsh_topk_oracle_sql()}) z"
+    )
 
 
 def _ivf_oracle() -> str:

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from foresttime_builder_spark.operators.cache import release_on_gc
 from foresttime_builder_spark.plans import carbon, fia
-from foresttime_builder_spark.plans.fia_on_synthetic import _r4, annualize_cte
+from foresttime_builder_spark.plans.fia_on_synthetic import annualize_cte
 from foresttime_builder_spark.sources import load_table
 from foresttime_builder_spark.sources.ref_tables import COEF_NAMES
 
@@ -119,21 +119,24 @@ def estimate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("YEAR"),
         F.col("STATUSCD").cast("int").alias("statuscd"),
         F.when(elig, F.col("SPCD")).alias("spcd"),
-        _nan_r4(F.col("DIA")).alias("dia"),
-        _nan_r4(F.col("HT")).alias("ht"),
+        _nan_e4(F.col("DIA")).alias("dia_e4"),
+        _nan_e4(F.col("HT")).alias("ht_e4"),
     ]
     for p in _OUT_R4:
         out_name, src = p.split(":")
         if src in ("DIA", "HT"):
             continue
-        sel.append(_nan_r4(F.when(elig, F.col(src))).alias(out_name))
+        sel.append(_nan_e4(F.when(elig, F.col(src))).alias(out_name + "_e4"))
     return est.select(*sel)
 
 
-def _nan_r4(col):
-    """Portable 4-decimal rounding with NaN → null (IEEE NaN floors to 0 in
-    Spark but stays NaN in DuckDB; both engines emit null instead)."""
-    return F.when(F.isnan(col), None).otherwise(_r4(col))
+def _nan_e4(col):
+    """Fixed-point gate emission (1e-4-unit BIGINT) with NaN → null (IEEE
+    NaN floors to 0 in Spark but stays NaN in DuckDB; both engines emit
+    null instead).  Integer emission removes float hash-flap risk — same
+    convention as the q51/q29-q31 gates."""
+    scaled = F.floor(col * 10000 + F.lit(0.5)).cast("long")
+    return F.when(F.isnan(col), None).otherwise(scaled)
 
 
 # ---------------------------------------------------------------------------
@@ -747,31 +750,32 @@ est AS (
     return ",\n".join(pieces)
 
 
-def _sql_r4(x: str) -> str:
+def _sql_e4(x: str) -> str:
+    """DuckDB twin of :func:`_nan_e4`."""
     return (
         f"CASE WHEN isnan({x}) THEN NULL"
-        f" ELSE floor({x} * 10000 + 0.5) / 10000 END"
+        f" ELSE CAST(floor({x} * 10000 + 0.5) AS BIGINT) END"
     )
 
 
 def _final_select() -> str:
-    r4 = _sql_r4
+    e4 = _sql_e4
     return f"""SELECT f.tree_ID, f.YEAR,
   CAST(f.STATUSCD AS INT) AS statuscd,
   c.spcd_est AS spcd,
-  {r4('f.DIA')} AS dia,
-  {r4('f.HT')} AS ht,
-  {r4('c.HT4')} AS ht4,
-  {r4('c.HTSAW')} AS htsaw,
-  {r4('c.VTOTIB_SOUND')} AS vtotib_sound,
-  {r4('c.VMEROB_SOUND')} AS vmerob_sound,
-  {r4('c.VSAWIB_SOUND')} AS vsawib_sound,
-  {r4('c.WTOTIB')} AS wtotib,
-  {r4('c.WMERBCH')} AS wmerbch,
-  {r4('c.FOLIAGE')} AS foliage,
-  {r4('c.AGB')} AS agb,
-  {r4('c.BIOMASS')} AS drybio_ag,
-  {r4('c.CARBON')} AS carbon_ag
+  {e4('f.DIA')} AS dia_e4,
+  {e4('f.HT')} AS ht_e4,
+  {e4('c.HT4')} AS ht4_e4,
+  {e4('c.HTSAW')} AS htsaw_e4,
+  {e4('c.VTOTIB_SOUND')} AS vtotib_sound_e4,
+  {e4('c.VMEROB_SOUND')} AS vmerob_sound_e4,
+  {e4('c.VSAWIB_SOUND')} AS vsawib_sound_e4,
+  {e4('c.WTOTIB')} AS wtotib_e4,
+  {e4('c.WMERBCH')} AS wmerbch_e4,
+  {e4('c.FOLIAGE')} AS foliage_e4,
+  {e4('c.AGB')} AS agb_e4,
+  {e4('c.BIOMASS')} AS drybio_ag_e4,
+  {e4('c.CARBON')} AS carbon_ag_e4
 FROM final f
 LEFT JOIN carbonout c
   ON f.plot_ID = c.plot_ID AND f.tree_ID = c.tree_ID AND f.YEAR = c.YEAR"""
@@ -806,10 +810,14 @@ def population_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return release_on_gc(
         pop.select(
             "YEAR",
-            (F.floor(F.col("total_tons") * 100 + F.lit(0.5)) / 100).alias("total_tons"),
-            (F.floor(F.col("total_area") * 100 + F.lit(0.5)) / 100).alias("total_area"),
-            (F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)) / 1000000).alias(
-                "tons_per_acre"
+            F.floor(F.col("total_tons") * 100 + F.lit(0.5)).cast("long").alias(
+                "total_tons_e2"
+            ),
+            F.floor(F.col("total_area") * 100 + F.lit(0.5)).cast("long").alias(
+                "total_area_e2"
+            ),
+            F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "tons_per_acre_e6"
             ),
         ),
         est,
@@ -861,10 +869,14 @@ def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return release_on_gc(
         pop.select(
             "YEAR",
-            (F.floor(F.col("total_tons") * 100 + F.lit(0.5)) / 100).alias("total_tons"),
-            (F.floor(F.col("total_area") * 100 + F.lit(0.5)) / 100).alias("total_area"),
-            (F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)) / 1000000).alias(
-                "tons_per_acre"
+            F.floor(F.col("total_tons") * 100 + F.lit(0.5)).cast("long").alias(
+                "total_tons_e2"
+            ),
+            F.floor(F.col("total_area") * 100 + F.lit(0.5)).cast("long").alias(
+                "total_area_e2"
+            ),
+            F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "tons_per_acre_e6"
             ),
         ),
         est,
@@ -927,9 +939,9 @@ yearly AS (
   GROUP BY 1
 )
 SELECT YEAR,
-  floor(total_tons * 100 + 0.5) / 100 AS total_tons,
-  floor(total_area * 100 + 0.5) / 100 AS total_area,
-  floor(total_tons / total_area * 1000000 + 0.5) / 1000000 AS tons_per_acre
+  CAST(floor(total_tons * 100 + 0.5) AS BIGINT) AS total_tons_e2,
+  CAST(floor(total_area * 100 + 0.5) AS BIGINT) AS total_area_e2,
+  CAST(floor(total_tons / total_area * 1000000 + 0.5) AS BIGINT) AS tons_per_acre_e6
 FROM yearly
 """
 
@@ -973,9 +985,9 @@ yearly AS (
   GROUP BY 1
 )
 SELECT YEAR,
-  floor(total_tons * 100 + 0.5) / 100 AS total_tons,
-  floor(total_area * 100 + 0.5) / 100 AS total_area,
-  floor(total_tons / total_area * 1000000 + 0.5) / 1000000 AS tons_per_acre
+  CAST(floor(total_tons * 100 + 0.5) AS BIGINT) AS total_tons_e2,
+  CAST(floor(total_area * 100 + 0.5) AS BIGINT) AS total_area_e2,
+  CAST(floor(total_tons / total_area * 1000000 + 0.5) AS BIGINT) AS tons_per_acre_e6
 FROM yearly
 """
 
@@ -999,8 +1011,8 @@ def grain_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("SPCD").cast("int").alias("spcd"),
             F.col("YEAR").cast("int").alias("year"),
             "grain",
-            (F.floor(F.col("weighted_value") * 100 + F.lit(0.5)) / 100).alias(
-                "weighted_value"
+            F.floor(F.col("weighted_value") * 100 + F.lit(0.5)).cast("long").alias(
+                "weighted_value_e2"
             ),
             "n_rows",
         ),
@@ -1022,7 +1034,7 @@ d AS (
 SELECT CAST(SPCD AS INT) AS spcd, CAST(YEAR AS INT) AS year,
   concat_ws('|', CASE WHEN grouping(SPCD) = 0 THEN 'SPCD' END,
                  CASE WHEN grouping(YEAR) = 0 THEN 'YEAR' END) AS grain,
-  floor(sum(_wv) * 100 + 0.5) / 100 AS weighted_value,
+  CAST(floor(sum(_wv) * 100 + 0.5) AS BIGINT) AS weighted_value_e2,
   count(*) AS n_rows
 FROM d
 GROUP BY GROUPING SETS ((SPCD), (YEAR), (SPCD, YEAR), ())

@@ -72,6 +72,15 @@ def _r4(c) -> F.Column:
     return F.floor(col * 10000 + F.lit(0.5)) / 10000
 
 
+def _e4(c) -> F.Column:
+    """Fixed-point gate emission: 1e-4 units as BIGINT.  A rounded double
+    whose nearest binary representation sits a hair below the decimal value
+    can hash-flap across engines; integers cannot (same convention as the
+    q51/q29-q31 gates)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * 10000 + F.lit(0.5)).cast("long")
+
+
 def synthetic_tree_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PANEL_SQL)
@@ -86,17 +95,17 @@ def annualize_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tree_ID",
         "YEAR",
         "interpolated",
-        _r4("DIA").alias("dia"),
-        _r4("HT").alias("ht"),
-        _r4("ACTUALHT").alias("actualht"),
-        _r4("CULL").alias("cull"),
-        _r4("CR").alias("cr"),
+        _e4("DIA").alias("dia_e4"),
+        _e4("HT").alias("ht_e4"),
+        _e4("ACTUALHT").alias("actualht_e4"),
+        _e4("CULL").alias("cull_e4"),
+        _e4("CR").alias("cr_e4"),
         F.col("STATUSCD").cast("int").alias("statuscd"),
         F.col("STANDING_DEAD_CD").cast("int").alias("standing_dead_cd"),
         F.col("DECAYCD").cast("int").alias("decaycd"),
         F.col("RECONCILECD").cast("int").alias("reconcilecd"),
         F.col("COND_STATUS_CD").cast("int").alias("cond_status_cd"),
-        _r4("TPA_UNADJ").alias("tpa_unadj"),
+        _e4("TPA_UNADJ").alias("tpa_unadj_e4"),
         "PLT_CN",
     )
 
@@ -390,17 +399,17 @@ def _oracle() -> str:
     return f"""
 WITH {annualize_cte(_PANEL_SQL)}
 SELECT tree_ID, YEAR, interpolated,
-       floor(DIA * 10000 + 0.5) / 10000 AS dia,
-       floor(HT * 10000 + 0.5) / 10000 AS ht,
-       floor(ACTUALHT * 10000 + 0.5) / 10000 AS actualht,
-       floor(CULL * 10000 + 0.5) / 10000 AS cull,
-       floor(CR * 10000 + 0.5) / 10000 AS cr,
+       CAST(floor(DIA * 10000 + 0.5) AS BIGINT) AS dia_e4,
+       CAST(floor(HT * 10000 + 0.5) AS BIGINT) AS ht_e4,
+       CAST(floor(ACTUALHT * 10000 + 0.5) AS BIGINT) AS actualht_e4,
+       CAST(floor(CULL * 10000 + 0.5) AS BIGINT) AS cull_e4,
+       CAST(floor(CR * 10000 + 0.5) AS BIGINT) AS cr_e4,
        CAST(STATUSCD AS INT) AS statuscd,
        CAST(STANDING_DEAD_CD AS INT) AS standing_dead_cd,
        CAST(DECAYCD AS INT) AS decaycd,
        CAST(RECONCILECD AS INT) AS reconcilecd,
        CAST(COND_STATUS_CD AS INT) AS cond_status_cd,
-       floor(TPA_UNADJ * 10000 + 0.5) / 10000 AS tpa_unadj,
+       CAST(floor(TPA_UNADJ * 10000 + 0.5) AS BIGINT) AS tpa_unadj_e4,
        PLT_CN
 FROM final
 """
