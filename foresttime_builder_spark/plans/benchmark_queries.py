@@ -970,7 +970,10 @@ def q38_sapling_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("DIA") >= 5.0, "tree")
         .otherwise("unknown")
     )
-    w = W.partitionBy("tree_ID").orderBy("YEAR")
+    # full tree key (value-identical: a tree lives in one plot) so the lag
+    # window reuses the annualize chain's (plot_ID, tree_ID) partitioning
+    # instead of forcing a private tree_ID-only exchange
+    w = W.partitionBy("plot_ID", "tree_ID").orderBy("YEAR")
     d = (
         ann.withColumn("state", state)
         .withColumn("prev_state", F.lag("state", 1).over(w))
