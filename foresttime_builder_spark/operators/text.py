@@ -97,9 +97,9 @@ def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.size(pieces).alias("n_bpe_tokens"),
         F.size(words).alias("n_words"),
-        F.round(
-            F.size(pieces) / F.nullif(F.size(words), F.lit(0)), 4
-        ).alias("tokens_per_word"),
+        F.floor(
+            F.size(pieces) / F.nullif(F.size(words), F.lit(0)) * 10000 + F.lit(0.5)
+        ).cast("long").alias("tokens_per_word_e4"),
     )
 
 
@@ -111,7 +111,8 @@ def token_count_bpe_oracle_sql(id_col: str, text_col: str, table: str) -> str:
 SELECT {id_col},
        {pieces} AS n_bpe_tokens,
        {words} AS n_words,
-       round({pieces} / nullif({words}, 0), 4) AS tokens_per_word
+       CAST(floor({pieces} / nullif({words}, 0) * 10000 + 0.5) AS BIGINT)
+         AS tokens_per_word_e4
 FROM {table}
 """
 

@@ -60,11 +60,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)).cast("long").alias(
+                "sum_qty_e2"
+            ),
+            F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias(
+                "sum_base_price_e2"
+            ),
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+                + F.lit(0.5)
+            ).cast("long").alias("sum_disc_price_e2"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -72,9 +77,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q01 = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2,
+       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_price_e2,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+         AS sum_disc_price_e2,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -96,9 +102,10 @@ def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.year("o_orderdate").alias("year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+                + F.lit(0.5)
+            ).cast("long").alias("revenue_e2"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -106,7 +113,8 @@ def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q02 = """
 SELECT r_name AS region, year(o_orderdate) AS year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+         AS revenue_e2,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -194,12 +202,15 @@ def q05_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("band_price"),
+        F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias(
+            "band_price_e2"
+        ),
     )
 
 
 ORACLE_Q05 = """
-SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS band_price
+SELECT band, count(*) AS n,
+       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS band_price_e2
 FROM lineitem
 LEFT JOIN (VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
                   ('mid', 25.0, 40.0), ('large', 40.0, 1e9)) bands(band, lo, hi)
@@ -259,13 +270,15 @@ def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)).cast("long").alias(
+                "sum_qty_e2"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "sum_qty",
+            "sum_qty_e2",
             "n",
         )
     )
@@ -274,7 +287,8 @@ def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q18 = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2,
+       count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -285,17 +299,29 @@ def q19_manual_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     flag = F.col("l_returnflag")
     return li.groupBy("l_linestatus").agg(
-        F.round(F.sum(F.when(flag == "A", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_A"),
-        F.round(F.sum(F.when(flag == "N", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_N"),
-        F.round(F.sum(F.when(flag == "R", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_R"),
+        F.floor(
+            F.sum(F.when(flag == "A", F.col("l_quantity")).otherwise(0.0)) * 100
+            + F.lit(0.5)
+        ).cast("long").alias("qty_A_e2"),
+        F.floor(
+            F.sum(F.when(flag == "N", F.col("l_quantity")).otherwise(0.0)) * 100
+            + F.lit(0.5)
+        ).cast("long").alias("qty_N_e2"),
+        F.floor(
+            F.sum(F.when(flag == "R", F.col("l_quantity")).otherwise(0.0)) * 100
+            + F.lit(0.5)
+        ).cast("long").alias("qty_R_e2"),
     )
 
 
 ORACLE_Q19 = """
 SELECT l_linestatus,
-       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END), 2) AS qty_A,
-       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END), 2) AS qty_N,
-       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 2) AS qty_R
+       CAST(floor(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END)
+                  * 100 + 0.5) AS BIGINT) AS qty_A_e2,
+       CAST(floor(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END)
+                  * 100 + 0.5) AS BIGINT) AS qty_N_e2,
+       CAST(floor(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END)
+                  * 100 + 0.5) AS BIGINT) AS qty_R_e2
 FROM lineitem
 GROUP BY l_linestatus
 """
@@ -312,12 +338,18 @@ def q20_yearly_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust_year.groupBy("year")
         .agg(
-            F.round(F.sum("cust_total"), 2).alias("total_revenue"),
+            F.round(F.sum("cust_total"), 2).alias("_tr"),
             F.countDistinct("custkey").alias("n_customers"),
         )
-        .withColumn(
-            "revenue_per_customer",
-            F.round(F.col("total_revenue") / F.col("n_customers"), 4),
+        .select(
+            "year",
+            F.floor(F.col("_tr") * 100 + F.lit(0.5)).cast("long").alias(
+                "total_revenue_e2"
+            ),
+            "n_customers",
+            F.floor(
+                F.col("_tr") / F.col("n_customers") * 10000 + F.lit(0.5)
+            ).cast("long").alias("revenue_per_customer_e4"),
         )
     )
 
@@ -328,10 +360,12 @@ WITH per_cust_year AS (
          sum(o_totalprice) AS cust_total
   FROM orders GROUP BY 1, 2
 )
-SELECT year, round(sum(cust_total), 2) AS total_revenue,
+SELECT year,
+       CAST(floor(round(sum(cust_total), 2) * 100 + 0.5) AS BIGINT)
+         AS total_revenue_e2,
        count(DISTINCT custkey) AS n_customers,
-       round(round(sum(cust_total), 2) / count(DISTINCT custkey), 4)
-         AS revenue_per_customer
+       CAST(floor(round(sum(cust_total), 2) / count(DISTINCT custkey) * 10000
+                  + 0.5) AS BIGINT) AS revenue_per_customer_e4
 FROM per_cust_year GROUP BY year
 """
 
@@ -349,9 +383,13 @@ def q21_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suppkey",
         "year",
         "month",
-        "qty",
-        F.lag("qty", 1).over(w).alias("prev_qty"),
-        F.round(F.col("qty") - F.lag("qty", 1).over(w), 2).alias("qty_delta"),
+        F.floor(F.col("qty") * 100 + F.lit(0.5)).cast("long").alias("qty_e2"),
+        F.floor(F.lag("qty", 1).over(w) * 100 + F.lit(0.5)).cast("long").alias(
+            "prev_qty_e2"
+        ),
+        F.floor(
+            (F.col("qty") - F.lag("qty", 1).over(w)) * 100 + F.lit(0.5)
+        ).cast("long").alias("qty_delta_e2"),
     )
 
 
@@ -361,9 +399,11 @@ WITH monthly AS (
          month(l_shipdate) AS month, round(sum(l_quantity), 2) AS qty
   FROM lineitem GROUP BY 1, 2, 3
 )
-SELECT suppkey, year, month, qty,
-       lag(qty, 1) OVER w AS prev_qty,
-       round(qty - lag(qty, 1) OVER w, 2) AS qty_delta
+SELECT suppkey, year, month,
+       CAST(floor(qty * 100 + 0.5) AS BIGINT) AS qty_e2,
+       CAST(floor(lag(qty, 1) OVER w * 100 + 0.5) AS BIGINT) AS prev_qty_e2,
+       CAST(floor((qty - lag(qty, 1) OVER w) * 100 + 0.5) AS BIGINT)
+         AS qty_delta_e2
 FROM monthly
 WINDOW w AS (PARTITION BY suppkey ORDER BY year, month)
 """
@@ -570,14 +610,20 @@ def q22_expns_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(F.year("o_orderdate").alias("year"))
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
-        .withColumn("expns", F.round(F.lit(area) / F.col("n_customers"), 4))
+        .withColumn(
+            "expns_e4",
+            F.floor(F.lit(area) / F.col("n_customers") * 10000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
     )
 
 
 ORACLE_Q22 = """
 SELECT year(o_orderdate) AS year,
        count(DISTINCT o_custkey) AS n_customers,
-       round(1000000.0 / count(DISTINCT o_custkey), 4) AS expns
+       CAST(floor(1000000.0 / count(DISTINCT o_custkey) * 10000 + 0.5) AS BIGINT)
+         AS expns_e4
 FROM orders GROUP BY 1
 """
 
@@ -692,7 +738,17 @@ def q16_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strategy pinned: the synthetic corpus has a 31-token vocabulary at
     # every sf (verified via DuckDB), so the 64-bit-mask path is provably
     # applicable and 'auto' would spend a probe job rediscovering that
-    return token_jaccard_pairs(d, "doc_id", "text", threshold=0.8, strategy="bitmask")
+    pairs = token_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.8, strategy="bitmask"
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
+            "jaccard_e4"
+        ),
+    )
 
 
 ORACLE_Q16 = """
@@ -707,7 +763,8 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common,
-       round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+       CAST(floor(round(n_common / (sa.sz + sb.sz - n_common), 4) * 10000 + 0.5)
+            AS BIGINT) AS jaccard_e4
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -732,7 +789,15 @@ def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = base.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec")
     )
-    return brute_topk_np(base, probes, k=5)
+    out = brute_topk_np(base, probes, k=5)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "cosine_e6"
+        ),
+        "rank",
+    )
 
 
 ORACLE_Q17 = """
@@ -752,7 +817,9 @@ ranked AS (
     (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs
 )
-SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+SELECT probe_id, neighbor_id,
+       CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6, rank
+FROM ranked WHERE rank <= 5
 """
 
 
@@ -985,8 +1052,9 @@ def q38_sapling_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_state",
         "state",
         "n",
-        (F.floor(F.col("n") / F.sum("n").over(tot) * 10000 + F.lit(0.5)) / 10000
-         ).alias("prop"),
+        F.floor(F.col("n") / F.sum("n").over(tot) * 10000 + F.lit(0.5)).cast(
+            "long"
+        ).alias("prop_e4"),
     )
 
 
@@ -1018,8 +1086,8 @@ counts AS (
   WHERE prev_state IS NOT NULL GROUP BY 1, 2
 )
 SELECT prev_state, state, n,
-       floor(n / (sum(n) OVER (PARTITION BY prev_state)) * 10000 + 0.5) / 10000
-         AS prop
+       CAST(floor(n / (sum(n) OVER (PARTITION BY prev_state)) * 10000 + 0.5)
+            AS BIGINT) AS prop_e4
 FROM counts
 """
 
@@ -1193,7 +1261,14 @@ def q40_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine verification (dedup family)."""
     from foresttime_builder_spark.operators.ann import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    out = embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "cosine_e6"
+        ),
+    )
 
 
 def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,7 +1277,15 @@ def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complements the LSH path, q37)."""
     from foresttime_builder_spark.operators.ann import ivf_topk
 
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    out = ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "cosine_e6"
+        ),
+        "rank",
+    )
 
 
 def q43_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,21 +1336,18 @@ def q43_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("year"),
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (
-            F.floor(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
-                + F.lit(0.5)
-            )
-            / 100
-        ).alias("revenue"),
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            + F.lit(0.5)
+        ).cast("long").alias("revenue_e2"),
     )
 
 
 ORACLE_Q43 = """
 SELECT o_orderpriority AS priority, year(o_orderdate) AS year,
        count(*) AS n_rows,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
-         AS revenue
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+         AS revenue_e2
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1, 2
 """
@@ -1296,19 +1376,25 @@ def q44_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        F.floor(F.col("sum_qty") * 100 + F.lit(0.5)).cast("long").alias(
+            "sum_qty_e2"
+        ),
         "n_items",
-        "min_price",
-        "max_price",
+        F.floor(F.col("min_price") * 100 + F.lit(0.5)).cast("long").alias(
+            "min_price_e2"
+        ),
+        F.floor(F.col("max_price") * 100 + F.lit(0.5)).cast("long").alias(
+            "max_price_e2"
+        ),
     )
 
 
 ORACLE_Q44 = """
 SELECT l_returnflag,
-       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2,
        count(*) AS n_items,
-       min(l_extendedprice) AS min_price,
-       max(l_extendedprice) AS max_price
+       CAST(floor(min(l_extendedprice) * 100 + 0.5) AS BIGINT) AS min_price_e2,
+       CAST(floor(max(l_extendedprice) * 100 + 0.5) AS BIGINT) AS max_price_e2
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -1331,14 +1417,16 @@ def q45_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, o, ["l_orderkey"], salt=8, salt_from=["l_orderkey", "l_linenumber"]
     )
     return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)).cast("long").alias(
+            "sum_qty_e2"
+        ),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
 
 ORACLE_Q45 = """
 SELECT o_orderpriority AS priority,
-       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2,
        count(*) AS n_rows
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
@@ -1352,13 +1440,23 @@ def q46_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from foresttime_builder_spark.operators.sketch import kmv_distinct
 
     o = load_table(spark, sf_dir, "orders")
-    return kmv_distinct(o, "o_custkey", k=64)
+    out = kmv_distinct(o, "o_custkey", k=64)
+    return out.select(
+        F.floor(F.col("est_distinct") * 10000 + F.lit(0.5)).cast("long").alias(
+            "est_distinct_e4"
+        ),
+        "n_exact",
+    )
 
 
 def _kmv_oracle() -> str:
     from foresttime_builder_spark.operators.sketch import kmv_oracle_sql
 
-    return kmv_oracle_sql("orders", "o_custkey", k=64)
+    return (
+        "SELECT CAST(floor(est_distinct * 10000 + 0.5) AS BIGINT) "
+        "AS est_distinct_e4, n_exact "
+        f"FROM ({kmv_oracle_sql('orders', 'o_custkey', k=64)}) z"
+    )
 
 
 def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1414,18 +1512,21 @@ def q48_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))")
     return li.groupBy("l_returnflag").agg(
-        F.round(pct.getItem(0), 4).alias("p25"),
-        F.round(pct.getItem(1), 4).alias("p50"),
-        F.round(pct.getItem(2), 4).alias("p90"),
+        F.floor(pct.getItem(0) * 10000 + F.lit(0.5)).cast("long").alias("p25_e4"),
+        F.floor(pct.getItem(1) * 10000 + F.lit(0.5)).cast("long").alias("p50_e4"),
+        F.floor(pct.getItem(2) * 10000 + F.lit(0.5)).cast("long").alias("p90_e4"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 ORACLE_Q48 = """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       CAST(floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) AS BIGINT)
+         AS p25_e4,
+       CAST(floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) AS BIGINT)
+         AS p50_e4,
+       CAST(floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) AS BIGINT)
+         AS p90_e4,
        count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -1582,7 +1683,8 @@ def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment, year(o_orderdate) AS year,
                count(*) AS n_orders,
-               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                 AS revenue_e2
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
         """
@@ -1591,7 +1693,7 @@ def q41_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q41 = """
 SELECT c_mktsegment, year(o_orderdate) AS year, count(*) AS n_orders,
-       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+       CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS revenue_e2
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
 """
@@ -1600,7 +1702,11 @@ GROUP BY 1, 2
 def _neardup_oracle() -> str:
     from foresttime_builder_spark.operators.ann import embedding_neardup_oracle_sql
 
-    return embedding_neardup_oracle_sql()
+    return (
+        "SELECT id_a, id_b, "
+        "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6 "
+        f"FROM ({embedding_neardup_oracle_sql()}) z"
+    )
 
 
 def _ann_oracle() -> str:
@@ -1616,7 +1722,11 @@ def _ann_oracle() -> str:
 def _ivf_oracle() -> str:
     from foresttime_builder_spark.operators.ann import ivf_topk_oracle_sql
 
-    return ivf_topk_oracle_sql()
+    return (
+        "SELECT probe_id, neighbor_id, "
+        "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6, rank "
+        f"FROM ({ivf_topk_oracle_sql()}) z"
+    )
 
 
 def _text_oracle(fn_name: str) -> str:
