@@ -15,6 +15,7 @@ import argparse
 import math
 import os
 import sys
+import tempfile
 import time
 
 import duckdb
@@ -100,11 +101,23 @@ def main() -> int:
         keep = set(args.only.split(","))
         qs = {k: v for k, v in qs.items() if any(k.startswith(p) for p in keep)}
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(args.sf, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    def fresh_con():
+        """One connection per query: a query that hits DuckDB's memory
+        ceiling otherwise poisons the connection and every later oracle
+        fails with bad-allocation too. A temp_directory lets the big
+        NSVB-twin CTE chains spill instead of dying at larger SFs."""
+        c = duckdb.connect()
+        spill = os.path.join(tempfile.gettempdir(), "ftb_duckdb_spill")
+        os.makedirs(spill, exist_ok=True)
+        c.execute(f"SET temp_directory='{spill}'")
+        # default (80% of RAM) collides with the Spark JVM's RSS at larger
+        # SFs and dies on malloc; an explicit cap makes DuckDB spill instead
+        c.execute(f"SET memory_limit='{os.environ.get('FTB_DUCKDB_MEM', '24GB')}'")
+        for t in TABLES:
+            p = os.path.join(args.sf, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
 
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
@@ -121,7 +134,9 @@ def main() -> int:
             n_pass += 1
             continue
         try:
+            con = fresh_con()
             odf = con.execute(oracles[name]).fetchdf()
+            con.close()
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
             n_fail += 1
