@@ -20,8 +20,9 @@ from foresttime_builder_spark.plans.benchmark_queries import QUERIES  # noqa: E4
 
 
 def _ensure_nanos_ok(spark: SparkSession) -> None:
-    # the testdata parquet stores INT64 TIMESTAMP(NANOS); read as long and
-    # convert in sources.readers.load_table
+    # older testdata generations stored INT64 TIMESTAMP(NANOS); with this
+    # set they arrive as longs and sources.readers.load_table converts
+    # (a no-op for the current timestamp[us] encoding)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
