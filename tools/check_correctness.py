@@ -111,8 +111,9 @@ def main() -> int:
         os.makedirs(spill, exist_ok=True)
         c.execute(f"SET temp_directory='{spill}'")
         # default (80% of RAM) collides with the Spark JVM's RSS at larger
-        # SFs and dies on malloc; an explicit cap makes DuckDB spill instead
-        c.execute(f"SET memory_limit='{os.environ.get('FTB_DUCKDB_MEM', '24GB')}'")
+        # SFs and dies on malloc; an explicit cap below system headroom
+        # (but big enough for the sf0.1 NSVB twins' transients) avoids that
+        c.execute(f"SET memory_limit='{os.environ.get('FTB_DUCKDB_MEM', '64GB')}'")
         for t in TABLES:
             p = os.path.join(args.sf, f"{t}.parquet")
             if os.path.exists(p):
