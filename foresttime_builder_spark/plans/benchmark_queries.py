@@ -1828,4 +1828,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q52_population_stratified": QuerySpec(
         q52_population_stratified, _pop_stratified_oracle()
     ),
+    "q53_stream_attribution": QuerySpec(
+        _stream("q53_stream_attribution"),
+        _stream_oracle("ORACLE_STREAM_ATTRIBUTION"),
+    ),
 }

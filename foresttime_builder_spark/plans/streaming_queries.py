@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from foresttime_builder_spark.streaming import (
+    purchase_attribution,
     read_event_stream,
     run_to_memory,
     running_user_totals,
@@ -112,4 +113,32 @@ def q31_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_STATEFUL = f"""
 SELECT user_id, {_sql_e4('sum(coalesce(value, 0.0))')} AS total_e4, count(*) AS n
 FROM events GROUP BY 1
+"""
+
+
+def q53_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ⋈ preceding clicks within the
+    horizon), streamed to completion; the oracle is the equivalent batch
+    interval join."""
+    out = run_to_memory(
+        purchase_attribution(read_event_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("long").alias("click_ts"),
+        F.col("purchase_ts").cast("long").alias("purchase_ts"),
+    )
+
+
+ORACLE_STREAM_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS click_ts,
+       CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS purchase_ts
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 DAYS
 """
