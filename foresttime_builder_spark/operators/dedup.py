@@ -43,6 +43,18 @@ def tokens(text: Column | str, distinct: bool = True) -> Column:
     return F.array_distinct(arr) if distinct else arr
 
 
+def char_ngrams(text: str, n: int = 3) -> Column:
+    """Distinct character n-gram (shingle) set of a text column — the
+    n-gram flavor of set-similarity dedup (vs whitespace tokens). SQL-text
+    construction: one JVM round trip, and `sequence` is guarded because
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty."""
+    return F.expr(
+        f"CASE WHEN length(`{text}`) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, length(`{text}`) - {n - 1}), "
+        f"i -> substring(`{text}`, i, {n}))) END"
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Group identical content; emit (content_hash, keep_id, n_copies)."""
     return df.groupBy(F.md5(F.col(content_col)).alias("content_hash")).agg(
@@ -57,6 +69,7 @@ def token_jaccard_pairs(
     text_col: str,
     threshold: float = 0.8,
     strategy: str = "auto",
+    tokenizer: Column | None = None,
 ) -> DataFrame:
     """All pairs of documents with token-set Jaccard >= threshold (exact).
 
@@ -90,8 +103,12 @@ def token_jaccard_pairs(
     # the tokenized relation feeds the candidate join AND both verification
     # sides — persist it so the corpus is tokenized once, not 3-4 times
     # (the standard SSJoin practice of materializing the token relation)
+    # tokenizer defaults to whitespace tokens; pass e.g. char_ngrams(text_col)
+    # for shingle-based (n-gram) set similarity — everything downstream
+    # (prefix filter, bitmask, verification) is tokenization-agnostic
+    tok_col = tokens(text_col) if tokenizer is None else tokenizer
     docsets = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        df.select(F.col(id_col).alias("doc_id"), tok_col.alias("toks"))
         .withColumn("sz", F.size("toks"))
         .persist()
     )

@@ -772,6 +772,60 @@ WHERE round(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.8
 """
 
 
+def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram (shingle) set-similarity pairs — the n-gram flavor
+    of exact Jaccard dedup (vs q16's whitespace tokens). The trigram
+    vocabulary (~380) rules out the 64-bit mask path, so this exercises the
+    SSJoin prefix filter with a dense shingle alphabet."""
+    from foresttime_builder_spark.operators.dedup import (
+        char_ngrams,
+        token_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(
+        d,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        strategy="prefix",
+        tokenizer=char_ngrams("text"),
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
+            "jaccard_e4"
+        ),
+    )
+
+
+ORACLE_Q54 = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(text) < 3 THEN []
+         ELSE list_transform(range(1, length(text) - 1),
+                             i -> substring(text, CAST(i AS INT), 3)) END
+  )) AS token
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(floor(round(n_common / (sa.sz + sb.sz - n_common), 4) * 10000 + 0.5)
+            AS BIGINT) AS jaccard_e4
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 4) >= 0.8
+"""
+
+
 def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column for a probe subset
     (similarity-search baseline; the IVF/LSH variants prune the same plan).
@@ -1832,4 +1886,5 @@ QUERIES: dict[str, QuerySpec] = {
         _stream("q53_stream_attribution"),
         _stream_oracle("ORACLE_STREAM_ATTRIBUTION"),
     ),
+    "q54_ngram_jaccard": QuerySpec(q54_ngram_jaccard, ORACLE_Q54),
 }
