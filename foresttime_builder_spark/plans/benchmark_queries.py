@@ -782,7 +782,10 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_jaccard_pairs,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # deterministic corpus slice: the ORACLE is a naive trigram
+    # inverted-index self-join that goes quadratic at larger SFs (the Spark
+    # side's prefix filter would cope; the gate is sized for its twin)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     pairs = token_jaccard_pairs(
         d,
         "doc_id",
@@ -808,7 +811,7 @@ WITH toks AS (
          ELSE list_transform(range(1, length(text) - 1),
                              i -> substring(text, CAST(i AS INT), 3)) END
   )) AS token
-  FROM documents
+  FROM documents WHERE doc_id % 3 = 0
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
 inter AS (
