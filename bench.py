@@ -50,10 +50,16 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "region", "nation"):
         load_table(spark, sf_dir, t).limit(1).count()
 
+    import gc
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
+        # release prior queries' plan objects (and their GC-tied caches)
+        # before timing — accumulated session state showed up as occasional
+        # 2-3x outliers on the last queries in the list
+        gc.collect()
         fn = QUERIES[name].fn
         # noop sink: full computation of every output column (count() would
         # let Catalyst prune the row-level expression DAGs of q25/q26),
