@@ -28,5 +28,46 @@ def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
             except Exception:
                 pass  # session already stopped / JVM gone
 
-    weakref.finalize(result, _release)
+    fin = weakref.finalize(result, _release)
+    # bookkeeping so carry_cache() can transfer ownership to an enclosing
+    # frame: callers that derive a new DataFrame from `result` (a select, a
+    # filter) drop `result`'s refcount to zero the moment they return, which
+    # would fire the finalizer and unpersist the cache before the derived
+    # plan ever executes
+    result.__dict__.setdefault("_ft_cache_finalizers", []).append(fin)
+    result.__dict__.setdefault("_ft_cache_jdfs", []).extend(jdfs)
     return result
+
+
+def carry_cache(outer: DataFrame, *inners: DataFrame) -> DataFrame:
+    """Move cache-release ownership from ``inners`` onto ``outer``.
+
+    Query wrappers that post-project an operator result (``op(...).select(
+    ...)``) must call this on the frame they actually return, otherwise the
+    operator's persisted intermediates are unpersisted as soon as the inner
+    frame is garbage-collected — before execution — and the cache the
+    operator exists to provide is silently disabled (re-tokenizing the
+    corpus once per plan branch).  Inner finalizers are detached (they never
+    fire) and a single new finalizer owning all their cached relations is
+    attached to ``outer``.  Safe to call on frames without cache metadata —
+    it is then a no-op.
+    """
+    jdfs: list = []
+    for inner in inners:
+        for fin in inner.__dict__.pop("_ft_cache_finalizers", []):
+            fin.detach()
+        jdfs.extend(inner.__dict__.pop("_ft_cache_jdfs", []))
+    if not jdfs:
+        return outer
+
+    def _release(jdfs=jdfs):
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass  # session already stopped / JVM gone
+
+    fin = weakref.finalize(outer, _release)
+    outer.__dict__.setdefault("_ft_cache_finalizers", []).append(fin)
+    outer.__dict__.setdefault("_ft_cache_jdfs", []).extend(jdfs)
+    return outer

@@ -24,6 +24,7 @@ from foresttime_builder_spark.operators import (
     linear_interpolate,
     step_interpolate,
 )
+from foresttime_builder_spark.operators.cache import carry_cache
 from foresttime_builder_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash,
@@ -741,13 +742,19 @@ def q16_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = token_jaccard_pairs(
         d, "doc_id", "text", threshold=0.8, strategy="bitmask"
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
-            "jaccard_e4"
+    # carry_cache: the fixed-point projection is the frame we return; without
+    # re-attaching, the operator's persisted docsets would be unpersisted the
+    # moment `pairs` goes out of scope — before the plan ever executes
+    return carry_cache(
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
+                "jaccard_e4"
+            ),
         ),
+        pairs,
     )
 
 
@@ -794,13 +801,18 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="prefix",
         tokenizer=char_ngrams("text"),
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
-            "jaccard_e4"
+    # carry_cache: keep the persisted shingle relation alive past the
+    # wrapper's fixed-point projection (see q16)
+    return carry_cache(
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
+                "jaccard_e4"
+            ),
         ),
+        pairs,
     )
 
 
@@ -836,16 +848,22 @@ def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny probe set rides in the task closure, each partition emits only its
     local top-k, so nothing quadratic crosses Arrow — the JVM
     higher-order-function formulation evaluates ~3 lambdas per vector
-    element per pair and was measured ~4× slower."""
+    element per pair and was measured ~4× slower.
+
+    The probe predicate is FIXED-SIZE by construction: ``vec_id % 25 == 0
+    AND vec_id < 25 * 512`` selects at most 512 probes regardless of corpus
+    size, so the operator's MAX_BRUTE_PROBES guard can never fire as the
+    scale factor grows (at sf<=0.1 every vec_id is < 12800, so results are
+    identical to the previous %25-only sample)."""
     from foresttime_builder_spark.operators.ann import brute_topk_np
 
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
     )
-    probes = base.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec")
-    )
+    probes = base.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25 * 512)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec"))
     out = brute_topk_np(base, probes, k=5)
     return out.select(
         "probe_id",
@@ -867,7 +885,7 @@ pairs AS (
                / (sqrt(list_dot_product(p.vec, p.vec))
                   * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
   FROM base p JOIN base b ON p.vec_id != b.vec_id
-  WHERE p.vec_id % 25 = 0
+  WHERE p.vec_id % 25 = 0 AND p.vec_id < 25 * 512
 ),
 ranked AS (
   SELECT *, row_number() OVER
@@ -895,14 +913,19 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         verify="bitmask",
     )
-    # fixed-point gate emission of the (already 4-rounded) jaccard
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
-            "jaccard_e4"
+    # fixed-point gate emission of the (already 4-rounded) jaccard;
+    # carry_cache keeps the operator's persisted mask relation alive until
+    # this returned projection is itself dropped
+    return carry_cache(
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
+                "jaccard_e4"
+            ),
         ),
+        pairs,
     )
 
 
@@ -1302,14 +1325,19 @@ def q37_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from foresttime_builder_spark.operators.ann import lsh_topk
 
     out = lsh_topk(load_table(spark, sf_dir, "embeddings"))
-    # fixed-point gate emission of the (already 6-rounded) cosine
-    return out.select(
-        "probe_id",
-        "neighbor_id",
-        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
-            "cosine_e6"
+    # fixed-point gate emission of the (already 6-rounded) cosine;
+    # carry_cache is a no-op today (lsh_topk persists nothing) but keeps the
+    # wrapper safe if the operator ever gains a cached intermediate
+    return carry_cache(
+        out.select(
+            "probe_id",
+            "neighbor_id",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "cosine_e6"
+            ),
+            "rank",
         ),
-        "rank",
+        out,
     )
 
 
@@ -1319,12 +1347,15 @@ def q40_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from foresttime_builder_spark.operators.ann import embedding_neardup_pairs
 
     out = embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
-    return out.select(
-        "id_a",
-        "id_b",
-        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
-            "cosine_e6"
+    return carry_cache(
+        out.select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "cosine_e6"
+            ),
         ),
+        out,
     )
 
 
@@ -1335,13 +1366,16 @@ def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from foresttime_builder_spark.operators.ann import ivf_topk
 
     out = ivf_topk(load_table(spark, sf_dir, "embeddings"))
-    return out.select(
-        "probe_id",
-        "neighbor_id",
-        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
-            "cosine_e6"
+    return carry_cache(
+        out.select(
+            "probe_id",
+            "neighbor_id",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "cosine_e6"
+            ),
+            "rank",
         ),
-        "rank",
+        out,
     )
 
 
@@ -1498,11 +1532,14 @@ def q46_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     out = kmv_distinct(o, "o_custkey", k=64)
-    return out.select(
-        F.floor(F.col("est_distinct") * 10000 + F.lit(0.5)).cast("long").alias(
-            "est_distinct_e4"
+    return carry_cache(
+        out.select(
+            F.floor(F.col("est_distinct") * 10000 + F.lit(0.5)).cast("long").alias(
+                "est_distinct_e4"
+            ),
+            "n_exact",
         ),
-        "n_exact",
+        out,
     )
 
 
