@@ -25,6 +25,23 @@ def _group(cols: Sequence[str]) -> list[Column]:
     return [F.col(c) for c in cols]
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a SQL identifier, escaping embedded backticks — the
+    interpolators assemble SQL text, so a column literally named ``a`b``
+    must round-trip."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _partition_clause(group_cols: Sequence[str]) -> str:
+    """``"PARTITION BY `a`, `b` "`` — or ``""`` when ``group_cols`` is
+    empty: a bare ``PARTITION BY`` with no column list is invalid SQL,
+    whereas an absent clause correctly means one global partition (the
+    Window.partitionBy() no-arg semantics the SQL-text rewrite replaced)."""
+    if not group_cols:
+        return ""
+    return "PARTITION BY " + ", ".join(_qident(g) for g in group_cols) + " "
+
+
 def fill_gaps(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -127,12 +144,11 @@ def linear_interpolate(
     backward extrapolation. The reference's own golden tests only pin
     trailing extrapolation and carry-forward, which match exactly.
     """
-    part = ", ".join(f"`{g}`" for g in group_cols)
     over = (
-        f"OVER (PARTITION BY {part} ORDER BY `{x_col}` "
+        f"OVER ({_partition_clause(group_cols)}ORDER BY {_qident(x_col)} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     )
-    x = f"CAST(`{x_col}` AS DOUBLE)"
+    x = f"CAST({_qident(x_col)} AS DOUBLE)"
 
     # ONE window function per column: collect the sorted known-point array
     # as a group constant.  An unbounded frame is evaluated once per group
@@ -153,15 +169,15 @@ def linear_interpolate(
     # (plan construction measured ~2x the actual execution).
     karrs = {}
     for c in cols:
-        y = f"CAST(`{c}` AS DOUBLE)"
+        y = f"CAST({_qident(c)} AS DOUBLE)"
         kp = f"CASE WHEN {y} IS NOT NULL THEN named_struct('x', {x}, 'y', {y}) END"
         karrs[f"_li_{c}_k"] = F.expr(f"collect_list({kp}) {over}")
     out = df.withColumns(karrs)
 
     final, drops = {}, []
     for c in cols:
-        y = f"CAST(`{c}` AS DOUBLE)"
-        k = f"`_li_{c}_k`"
+        y = f"CAST({_qident(c)} AS DOUBLE)"
+        k = _qident(f"_li_{c}_k")
         drops.append(f"_li_{c}_k")
         # nearest known point at-or-before / at-or-after this row
         prev = f"try_element_at(filter({k}, e -> e.x <= {x}), -1)"
@@ -234,14 +250,15 @@ def step_interpolate(
     Works for any column dtype (the reference applies it to string ``PLT_CN``
     and integer status codes alike).
     """
-    part = ", ".join(f"`{g}`" for g in group_cols)
+    part = _partition_clause(group_cols)
     over = (
-        f"OVER (PARTITION BY {part} ORDER BY `{order_col}` "
+        f"OVER ({part}ORDER BY {_qident(order_col)} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     )
 
     out = df.withColumn(
-        "_sg_i", F.expr(f"row_number() OVER (PARTITION BY {part} ORDER BY `{order_col}`)")
+        "_sg_i",
+        F.expr(f"row_number() OVER ({part}ORDER BY {_qident(order_col)})"),
     )
     # ONE window function per column (same design as linear_interpolate):
     # the sorted (index, value) known array is a group constant computed
@@ -253,21 +270,21 @@ def step_interpolate(
     karrs = {}
     for c in cols:
         kp = (
-            f"CASE WHEN `{c}` IS NOT NULL"
-            f" THEN named_struct('i', _sg_i, 'v', `{c}`) END"
+            f"CASE WHEN {_qident(c)} IS NOT NULL"
+            f" THEN named_struct('i', _sg_i, 'v', {_qident(c)}) END"
         )
         karrs[f"_sg_{c}_k"] = F.expr(f"collect_list({kp}) {over}")
     out = out.withColumns(karrs)
     filled = {}
     drops = ["_sg_i"]
     for c in cols:
-        k = f"`_sg_{c}_k`"
+        k = _qident(f"_sg_{c}_k")
         drops.append(f"_sg_{c}_k")
         prev = f"try_element_at(filter({k}, e -> e.i <= _sg_i), -1)"
         nxt = f"try_element_at(filter({k}, e -> e.i >= _sg_i), 1)"
         switch_at = f"({prev}).i + CEIL((({nxt}).i - ({prev}).i) / 2.0D)"
         filled[c] = F.expr(
-            f"CASE WHEN `{c}` IS NOT NULL THEN `{c}` "
+            f"CASE WHEN {_qident(c)} IS NOT NULL THEN {_qident(c)} "
             f"WHEN {prev} IS NULL THEN NULL "  # leading: stay null
             f"WHEN {nxt} IS NULL THEN ({prev}).v "  # trailing: last value
             f"WHEN _sg_i < {switch_at} THEN ({prev}).v "

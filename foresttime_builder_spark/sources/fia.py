@@ -45,23 +45,53 @@ DATAMART_URL = "https://apps.fs.usda.gov/fia/datamart/CSV/{state}_CSV.zip"
 
 
 def _fetch_zip(url: str, dest: str, timeout: int) -> None:
-    """Download ``url`` to ``dest`` with resume: a leftover ``.part`` file
-    from an interrupted run continues via an HTTP Range request (the
-    DataMart serves static zips and honors ranges), falling back to a full
-    re-fetch if the server ignores the range."""
+    """Download ``url`` to ``dest`` with validated resume: a leftover
+    ``.part`` file from an interrupted run continues via an HTTP Range
+    request (the DataMart serves static zips and honors ranges), falling
+    back to a full re-fetch if the server ignores the range.  Three
+    integrity guards close the silent-corruption windows a bare resume
+    leaves open: (a) resumes send ``If-Range`` stamped with the ``.part``
+    file's mtime, so a remote zip superseded since the partial was written
+    makes the server reply 200 (full body) and the fetch restarts from
+    byte 0 instead of splicing two versions; (b) when the server does
+    reply 206, the Content-Range total must equal the resumed offset plus
+    the remaining body length, catching inconsistent ranged replies; (c)
+    the completed file must pass ``zipfile.is_zipfile``
+    (central-directory check) before being moved into place, otherwise
+    the ``.part`` is deleted and an error raised — the skip-if-present
+    logic upstream then never mistakes a truncated archive for done."""
     import urllib.request
+    from email.utils import formatdate
 
     tmp = dest + ".part"
     start = os.path.getsize(tmp) if os.path.exists(tmp) else 0
     req = urllib.request.Request(url)
     if start:
         req.add_header("Range", f"bytes={start}-")
+        req.add_header(
+            "If-Range", formatdate(os.path.getmtime(tmp), usegmt=True)
+        )
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         partial = resp.status == 206
+        if start and partial:
+            # Content-Range: bytes <start>-<end>/<total>; a total different
+            # from start + remaining body is an inconsistent ranged reply —
+            # restart clean rather than write a corrupt splice
+            crange = resp.headers.get("Content-Range", "")
+            total = crange.rsplit("/", 1)[-1]
+            length = resp.headers.get("Content-Length")
+            if total.isdigit() and length and total != str(start + int(length)):
+                partial = False
         mode = "ab" if (start and partial) else "wb"
         with open(tmp, mode) as out:
             while chunk := resp.read(1 << 20):
                 out.write(chunk)
+    if not zipfile.is_zipfile(tmp):
+        os.remove(tmp)
+        raise IOError(
+            f"downloaded archive failed zip validation: {url} "
+            "(connection dropped mid-chunk or stale resume) — partial removed, re-run to retry"
+        )
     os.replace(tmp, dest)
 
 

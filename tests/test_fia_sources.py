@@ -106,12 +106,18 @@ def test_csv_roundtrip_staging(spark, csv_dir, tmp_path):
 
 
 class _FakeResponse:
-    """Minimal urlopen response serving a byte string, honoring Range."""
+    """Minimal urlopen response serving a byte string, honoring Range, with
+    the Content-Range/Content-Length headers the resume validation reads."""
 
     def __init__(self, payload: bytes, start: int = 0, partial: bool = True):
         self._data = payload[start:] if partial else payload
         self.status = 206 if (start and partial) else 200
         self._pos = 0
+        self.headers = {"Content-Length": str(len(self._data))}
+        if self.status == 206:
+            self.headers["Content-Range"] = (
+                f"bytes {start}-{len(payload) - 1}/{len(payload)}"
+            )
 
     def read(self, n: int) -> bytes:
         chunk = self._data[self._pos : self._pos + n]
@@ -125,14 +131,23 @@ class _FakeResponse:
         return False
 
 
+def _zip_payload(tag: str) -> bytes:
+    """A real (validatable) zip archive as bytes — _fetch_zip now runs
+    zipfile.is_zipfile on the completed download."""
+    import io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(f"{tag}.txt", f"payload-{tag}" * 100)
+    return buf.getvalue()
+
+
 def test_fia_download_concurrent_and_resume(tmp_path, monkeypatch):
     """Offline twin of the DataMart fetch: parallel states, Range resume of
     an interrupted .part, skip of complete zips (R/fia_download.R:77-96)."""
     import urllib.request
 
-    payloads = {
-        st: f"zipbytes-{st}".encode() * 100 for st in ("AA", "BB", "CC")
-    }
+    payloads = {st: _zip_payload(st) for st in ("AA", "BB", "CC")}
     calls = []
 
     def fake_urlopen(req, timeout=0):
@@ -163,3 +178,59 @@ def test_fia_download_concurrent_and_resume(tmp_path, monkeypatch):
     assert "AA" not in fetched  # skip-if-present
     assert fetched["BB"] == 137  # Range resume from the .part offset
     assert fetched["CC"] == 0
+
+
+def test_fia_download_stale_part_restarts_clean(tmp_path, monkeypatch):
+    """A .part left over from a superseded remote zip must be discarded,
+    not spliced: the resume sends If-Range (the .part's mtime), an
+    If-Range-aware server whose content changed replies 200 with the full
+    new body, and the fetch must then write from byte 0."""
+    import urllib.request
+
+    new_payload = _zip_payload("NEWV")
+    stale_prefix = b"OLD-VERSION-BYTES" * 10
+    seen = {}
+
+    def fake_urlopen(req, timeout=0):
+        rng = req.headers.get("Range") if hasattr(req, "headers") else None
+        seen["if_range"] = req.headers.get("If-range") or req.headers.get(
+            "If-Range"
+        )
+        # remote changed after the .part's mtime: If-Range fails the
+        # validator check, server ignores Range and replies 200 + full body
+        if rng and seen["if_range"]:
+            return _FakeResponse(new_payload, 0, partial=False)
+        start = int(rng.split("=")[1].rstrip("-")) if rng else 0
+        return _FakeResponse(new_payload, start)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    d = str(tmp_path)
+    with open(os.path.join(d, "DD_CSV.zip.part"), "wb") as f:
+        f.write(stale_prefix)
+
+    fia_src.fia_download(["DD"], d, extract=False)
+    assert seen["if_range"], "resume request must carry If-Range"
+    with open(os.path.join(d, "DD_CSV.zip"), "rb") as f:
+        got = f.read()
+    # spliced output would start with the stale prefix; clean restart wins
+    assert got == new_payload
+    assert zipfile.is_zipfile(os.path.join(d, "DD_CSV.zip"))
+
+
+def test_fia_download_rejects_corrupt_archive(tmp_path, monkeypatch):
+    """A download whose bytes do not form a valid zip (connection dropped
+    mid-chunk, server error page) must raise and remove the .part so the
+    skip-if-present check can never treat it as complete."""
+    import urllib.request
+
+    junk = b"<html>not a zip</html>" * 50
+
+    def fake_urlopen(req, timeout=0):
+        return _FakeResponse(junk, 0)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    d = str(tmp_path)
+    with pytest.raises(IOError, match="zip validation"):
+        fia_src.fia_download(["EE"], d, extract=False)
+    assert not os.path.exists(os.path.join(d, "EE_CSV.zip"))
+    assert not os.path.exists(os.path.join(d, "EE_CSV.zip.part"))

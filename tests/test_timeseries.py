@@ -182,3 +182,32 @@ def test_fill_gaps_directions(spark):
     assert _col(fill_gaps(df, ["g"], "x", ["y"], "up")) == [5.0, 5.0, 7.0, 7.0, None]
     assert _col(fill_gaps(df, ["g"], "x", ["y"], "downup")) == [5.0, 5.0, 5.0, 7.0, 7.0]
     assert _col(fill_gaps(df, ["g"], "x", ["y"], "updown")) == [5.0, 5.0, 7.0, 7.0, 7.0]
+
+
+def test_linear_interp_empty_group_cols(spark):
+    # no PARTITION BY clause at all: one global partition (latent-SQL guard
+    # from the round-5 SQL-text rewrite — a bare "PARTITION BY " is invalid)
+    df = _series(spark, [1.0, None, 3.0])
+    assert _col(linear_interpolate(df, [], "x", ["y"])) == [1.0, 2.0, 3.0]
+
+
+def test_step_interp_empty_group_cols(spark):
+    rows = [
+        Row(g="g1", x=1, y="a"),
+        Row(g="g1", x=2, y=None),
+        Row(g="g1", x=3, y=None),
+        Row(g="g1", x=4, y="b"),
+    ]
+    df = spark.createDataFrame(rows, schema="g string, x int, y string")
+    assert _col(step_interpolate(df, [], "x", ["y"])) == ["a", "a", "b", "b"]
+
+
+def test_interp_backticked_identifiers(spark):
+    # a column literally containing a backtick must round-trip through the
+    # SQL-text expression assembly (identifier-escaping guard)
+    rows = [Row(**{"g": "g1", "x": 1}), Row(**{"g": "g1", "x": 2}), Row(**{"g": "g1", "x": 3})]
+    df = spark.createDataFrame(rows, schema="g string, x int").selectExpr(
+        "g", "x", "CASE WHEN x = 2 THEN CAST(NULL AS DOUBLE) ELSE CAST(x AS DOUBLE) END AS `y``z`"
+    )
+    out = linear_interpolate(df, ["g"], "x", ["y`z"])
+    assert [r["y`z"] for r in out.orderBy("x").collect()] == [1.0, 2.0, 3.0]

@@ -12,6 +12,7 @@ Usage: python tools/check_correctness.py [--sf DIR] [--only q08,q09]
 from __future__ import annotations
 
 import argparse
+import contextlib
 import math
 import os
 import sys
@@ -135,9 +136,11 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            con = fresh_con()
-            odf = con.execute(oracles[name]).fetchdf()
-            con.close()
+            # close on BOTH paths: an oracle OOM (the very scenario the
+            # per-query connection exists for) must not leak the
+            # connection's memory reservation and spill directory
+            with contextlib.closing(fresh_con()) as con:
+                odf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
             n_fail += 1
