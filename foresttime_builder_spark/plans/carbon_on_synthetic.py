@@ -839,7 +839,10 @@ def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = fia.adjust_mortality(
         fia.interpolate_data(fia.expand_data(panel)), use_mortyr=True
     )
-    est = carbon.estimate_carbon(carbon.prep_carbon(ann)).persist()
+    # no persist: the single-pass estimator scans the estimate exactly once
+    # (the broadcast POP dim is built from the pre-expansion panel), so a
+    # cache would only add write amplification
+    est = carbon.estimate_carbon(carbon.prep_carbon(ann))
 
     # synthetic POP dims: stratum h = ck % 3 within each survey year
     # (PLT_CN = '{ck}_{yr}' in the synthetic panel).  Derived from the
@@ -866,20 +869,17 @@ def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = estimate_population_stratified(
         est, stratum, assgn.select("PLT_CN", "STRATUM_CN")
     )
-    return release_on_gc(
-        pop.select(
-            "YEAR",
-            F.floor(F.col("total_tons") * 100 + F.lit(0.5)).cast("long").alias(
-                "total_tons_e2"
-            ),
-            F.floor(F.col("total_area") * 100 + F.lit(0.5)).cast("long").alias(
-                "total_area_e2"
-            ),
-            F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)).cast("long").alias(
-                "tons_per_acre_e6"
-            ),
+    return pop.select(
+        "YEAR",
+        F.floor(F.col("total_tons") * 100 + F.lit(0.5)).cast("long").alias(
+            "total_tons_e2"
         ),
-        est,
+        F.floor(F.col("total_area") * 100 + F.lit(0.5)).cast("long").alias(
+            "total_area_e2"
+        ),
+        F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "tons_per_acre_e6"
+        ),
     )
 
 

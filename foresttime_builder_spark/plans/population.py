@@ -65,35 +65,41 @@ def estimate_population(
         F.broadcast(expns_dim), on="YEAR", how="left"
     )
 
-    # tree totals per plot-year (qmd:141-147)
-    tree_tot = d.groupBy("plot_ID", "YEAR").agg(
+    # ONE fact pass for both rollups (qmd:141-155).  The reference (and the
+    # DuckDB oracle) compute tree totals per plot-year, area totals over
+    # DISTINCT condition tuples, then join the two — three shuffles plus a
+    # join.  Grouping the single pass by the full distinct tuple instead
+    # (the area term's inputs become group keys, so one group exists per
+    # row the old DISTINCT produced) makes the area term addable exactly
+    # once per group at the year rollup, while the tree terms — summed over
+    # a finer partition of the same rows than the old (plot, YEAR) grouping
+    # — re-sum to identical year totals.  Two exchanges, no join, and the
+    # per-plot intermediate the join existed to align disappears.  Note the
+    # tuple deliberately includes the attribute columns, NOT just
+    # (plot, YEAR, CONDID): interpolated panels can carry mixed attribute
+    # values within one condition (e.g. step-interpolated PLT_CN switching
+    # at different midpoints per tree), and the distinct-tuple semantics of
+    # the reference counts each combination.
+    cond_grp = d.groupBy(
+        "YEAR", "plot_ID", "CONDID", "CONDPROP_UNADJ", "EXPNS", "aDI"
+    ).agg(
         F.sum(
             F.coalesce(F.col(value_col), F.lit(0.0))
             * F.coalesce(F.col("TPA_UNADJ"), F.lit(0.0))
             * F.col("EXPNS")
             * F.col("tDI")
             / LB_PER_TON
-        ).alias("_plot_tons")
+        ).alias("_cond_tons")
     )
-
-    # area totals over distinct conditions per plot-year (qmd:148-155)
-    conds = d.select(
-        "plot_ID", "YEAR", "CONDID", "CONDPROP_UNADJ", "EXPNS", "aDI"
-    ).distinct()
-    area_tot = conds.groupBy("plot_ID", "YEAR").agg(
-        F.sum(
-            F.coalesce(F.col("CONDPROP_UNADJ"), F.lit(0.0))
-            * F.col("EXPNS")
-            * F.col("aDI")
-        ).alias("_plot_area")
-    )
-
-    joined = tree_tot.join(area_tot, on=["plot_ID", "YEAR"], how="inner")
     return (
-        joined.groupBy("YEAR")
+        cond_grp.groupBy("YEAR")
         .agg(
-            F.sum("_plot_tons").alias("total_tons"),
-            F.sum("_plot_area").alias("total_area"),
+            F.sum("_cond_tons").alias("total_tons"),
+            F.sum(
+                F.coalesce(F.col("CONDPROP_UNADJ"), F.lit(0.0))
+                * F.col("EXPNS")
+                * F.col("aDI")
+            ).alias("total_area"),
         )
         .withColumn(
             "tons_per_acre", F.col("total_tons") / F.col("total_area")
@@ -156,7 +162,20 @@ def estimate_population_stratified(
         .withColumn("tDI", tdi)
     )
 
-    tree_tot = d.groupBy("plot_ID", "YEAR").agg(
+    # same single-pass distinct-tuple shape as estimate_population (see the
+    # comment there).  The stratum attributes (EXPNS, ADJ_FACTOR_SUBP)
+    # join through the step-interpolated PLT_CN, which CAN differ across
+    # trees within one plot-year — including them in the group key is what
+    # keeps this exactly equal to the reference's DISTINCT-then-sum.
+    cond_grp = d.groupBy(
+        "YEAR",
+        "plot_ID",
+        "CONDID",
+        "CONDPROP_UNADJ",
+        "EXPNS",
+        "ADJ_FACTOR_SUBP",
+        "aDI",
+    ).agg(
         F.sum(
             F.coalesce(F.col(value_col), F.lit(0.0))
             * F.coalesce(F.col("TPA_UNADJ"), F.lit(0.0))
@@ -164,31 +183,18 @@ def estimate_population_stratified(
             * F.coalesce(F.col("EXPNS"), F.lit(0.0))
             * F.col("tDI")
             / LB_PER_TON
-        ).alias("_plot_tons")
+        ).alias("_cond_tons")
     )
-    conds = d.select(
-        "plot_ID",
-        "YEAR",
-        "CONDID",
-        "CONDPROP_UNADJ",
-        "EXPNS",
-        "ADJ_FACTOR_SUBP",
-        "aDI",
-    ).distinct()
-    area_tot = conds.groupBy("plot_ID", "YEAR").agg(
-        F.sum(
-            F.coalesce(F.col("CONDPROP_UNADJ"), F.lit(0.0))
-            * F.coalesce(F.col("ADJ_FACTOR_SUBP"), F.lit(0.0))
-            * F.coalesce(F.col("EXPNS"), F.lit(0.0))
-            * F.col("aDI")
-        ).alias("_plot_area")
-    )
-    joined = tree_tot.join(area_tot, on=["plot_ID", "YEAR"], how="inner")
     return (
-        joined.groupBy("YEAR")
+        cond_grp.groupBy("YEAR")
         .agg(
-            F.sum("_plot_tons").alias("total_tons"),
-            F.sum("_plot_area").alias("total_area"),
+            F.sum("_cond_tons").alias("total_tons"),
+            F.sum(
+                F.coalesce(F.col("CONDPROP_UNADJ"), F.lit(0.0))
+                * F.coalesce(F.col("ADJ_FACTOR_SUBP"), F.lit(0.0))
+                * F.coalesce(F.col("EXPNS"), F.lit(0.0))
+                * F.col("aDI")
+            ).alias("total_area"),
         )
         .withColumn(
             "tons_per_acre", F.col("total_tons") / F.col("total_area")
