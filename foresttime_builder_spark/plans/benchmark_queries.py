@@ -1283,6 +1283,66 @@ FROM documents
 )
 
 
+def q55_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: dependency-free container-header parsing
+    (``operators.multimodal.parse_image_header``) over payloads carrying
+    genuine PNG/GIF/JPEG headers, via the Arrow mapInPandas stage.
+
+    The payload column is synthesized JVM-side from doc attributes
+    (``unhex``/``concat`` column algebra — real magic bytes, IHDR/LSD/SOF0
+    layouts, correct endianness per format), with every 4th document left
+    as raw text to exercise the unrecognized→null path.  The oracle
+    recomputes the expected metadata arithmetically from the same doc
+    attributes, so the gate verifies the byte ENCODER (Spark column
+    algebra) and the byte DECODER (Python header parser) against an
+    independent closed form."""
+    from foresttime_builder_spark.operators.multimodal import decode_features
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (16 + F.col("doc_id") % 640).cast("int")
+    h = (16 + F.col("doc_id") % 480).cast("int")
+    be4 = lambda c: F.lpad(F.hex(c), 8, "0")  # 4-byte big-endian hex
+    be2 = lambda c: F.lpad(F.hex(c), 4, "0")
+    le2 = lambda c: F.concat(  # 2-byte little-endian hex
+        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex(F.floor(c / 256)), 2, "0")
+    )
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"), be4(w), be4(h)
+        )
+    )
+    gif = F.unhex(F.concat(F.lit("474946383961"), le2(w), le2(h)))
+    jpeg = F.unhex(F.concat(F.lit("FFD8FFC0001108"), be2(h), be2(w)))
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, gif)
+        .when(F.col("doc_id") % 4 == 2, jpeg)
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+    )
+    out = decode_features(
+        d.select("doc_id", payload.alias("payload")), impl="real"
+    )
+    return out.select(
+        "doc_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+ORACLE_Q55 = """
+SELECT doc_id,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 11
+       ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS byte_len,
+  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+       END AS format,
+  CAST(CASE WHEN doc_id % 4 <= 2 THEN 16 + doc_id % 640 END AS BIGINT) AS width,
+  CAST(CASE WHEN doc_id % 4 <= 2 THEN 16 + doc_id % 480 END AS BIGINT) AS height
+FROM documents
+"""
+
+
 def q36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-chunk 'frame' sampling over binary payloads, JVM-side
     (multimodal family)."""
@@ -1927,4 +1987,5 @@ QUERIES: dict[str, QuerySpec] = {
         _stream_oracle("ORACLE_STREAM_ATTRIBUTION"),
     ),
     "q54_ngram_jaccard": QuerySpec(q54_ngram_jaccard, ORACLE_Q54),
+    "q55_image_meta": QuerySpec(q55_image_meta, ORACLE_Q55),
 }
