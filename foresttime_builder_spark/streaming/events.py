@@ -40,7 +40,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _EVENTS_SCHEMA_BASE = "event_id bigint, user_id bigint, event_type string, value double"
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """``readStream`` over the events parquet.
 
     readStream needs a pinned schema, but the physical type of ``ts`` depends
@@ -50,19 +55,30 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only) and mirror :func:`..sources.readers.load_table`'s guard:
     apply the nanos→timestamp conversion only when the column is physically
     a long.
+
+    ``glob`` selects the files within ``sf_dir`` (default: the single
+    testdata events file).  ``max_files_per_trigger`` bounds each
+    micro-batch to N source files — with a time-chunked multi-file layout
+    this is how the differential tests force a genuinely incremental
+    multi-batch execution instead of one catch-all batch.
     """
     batch_ts = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
+        spark.read.option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+        .schema["ts"]
+        .dataType
     )
     ts_is_long = isinstance(batch_ts, T.LongType)
     schema = _EVENTS_SCHEMA_BASE + (", ts bigint" if ts_is_long else ", ts timestamp")
-    # file-source streams take a directory; select just the events file
-    stream = (
+    # file-source streams take a directory; glob selects the member files
+    reader = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.load(sf_dir)
     if ts_is_long:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream

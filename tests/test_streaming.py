@@ -136,3 +136,154 @@ def test_purchase_attribution_stream_equals_batch(spark, events_batch):
     cols = ["purchase_id", "user_id", "click_id", "click_ts", "purchase_ts"]
     assert _canon(out, cols) == _canon(batch, cols)
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# multi-micro-batch differentials: the single-file source above executes as
+# ONE availableNow batch, which cannot exercise cross-batch state (window
+# merge, session stitching, stream-stream join buffers, watermark advance).
+# These fixtures split events into 4 time-ordered chunk files and stream
+# them with maxFilesPerTrigger=1 -> 4 incremental batches, at BOTH the
+# default SF and sf0.1 (round-5 verdict task 6).
+# ---------------------------------------------------------------------------
+
+import glob as _glob
+import os
+import shutil
+
+_MULTI_SFS = [
+    pytest.param("/root/testdata/sf0.001", id="sf0.001"),
+    pytest.param("/root/testdata/sf0.1", id="sf0.1", marks=pytest.mark.slow),
+]
+
+
+@pytest.fixture(scope="module", params=_MULTI_SFS)
+def chunked(request, spark, tmp_path_factory):
+    sf = request.param
+    ev = load_table(spark, sf, "events")
+    d = str(tmp_path_factory.mktemp("evchunks"))
+    # ts may be TIMESTAMP_NTZ (not castable to DOUBLE directly): hop
+    # through TIMESTAMP for an epoch-seconds axis
+    qs = ev.selectExpr(
+        "percentile(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE),"
+        " array(0.25, 0.5, 0.75)) AS q"
+    ).first()["q"]
+    bounds = [float("-inf")] + [float(x) for x in qs] + [float("inf")]
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    for i in range(4):
+        staging = os.path.join(d, f"_stage{i}")
+        (
+            ev.filter((tsd >= bounds[i]) & (tsd < bounds[i + 1]))
+            .coalesce(1)
+            .write.parquet(staging)
+        )
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"chunk_{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        # the file source processes oldest-mtime-first: pin ascending mtimes
+        # so micro-batches arrive in event-time order (late data stays
+        # within the watermark, as it would from a time-ordered log)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return d, ev
+
+
+def _chunk_stream(spark, d):
+    return read_event_stream(
+        spark, d, glob="chunk_*.parquet", max_files_per_trigger=1
+    )
+
+
+def test_multibatch_rollup_equals_batch(spark, chunked):
+    d, ev = chunked
+    out = run_to_memory(
+        windowed_rollup(_chunk_stream(spark, d)), output_mode="complete"
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _canon(out, cols) == _canon(batch, cols)
+
+
+def test_multibatch_sessions_stitch_across_batches(spark, chunked):
+    d, ev = chunked
+    out = run_to_memory(
+        sessionized(_chunk_stream(spark, d)), output_mode="complete"
+    )
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "session_value"]
+    assert _canon(out, cols) == _canon(batch, cols)
+
+
+def test_multibatch_stateful_totals_accumulate(spark, chunked):
+    d, ev = chunked
+    out = run_to_memory(
+        running_user_totals(_chunk_stream(spark, d)), output_mode="update"
+    )
+    # users active in several chunks emit one update per batch: the memory
+    # sink holds the whole update history, final state = row with max n
+    final = out.groupBy("user_id").agg(
+        F.max_by("total", "n").alias("total"), F.max("n").alias("n")
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = _canon(final, ["user_id", "total", "n"])
+    want = _canon(batch, ["user_id", "total", "n"])
+    assert [(u, n) for u, t, n in got] == [(u, n) for u, t, n in want]
+    for (u1, t1, n1), (u2, t2, n2) in zip(got, want):
+        assert t1 == pytest.approx(t2, abs=1e-3)
+    # multi-batch really happened: some user must have >1 update row
+    assert out.count() > final.count()
+
+
+def test_multibatch_attribution_joins_across_batches(spark, chunked):
+    from foresttime_builder_spark.streaming.events import purchase_attribution
+
+    d, ev = chunked
+    out = run_to_memory(
+        purchase_attribution(_chunk_stream(spark, d)), output_mode="append"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purch.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 days")),
+    ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
+    cols = ["purchase_id", "user_id", "click_id", "click_ts", "purchase_ts"]
+    assert _canon(out, cols) == _canon(batch, cols)
