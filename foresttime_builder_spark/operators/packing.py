@@ -1,0 +1,85 @@
+"""Sequence packing: greedy first-fit-sequential binning of documents into
+fixed-capacity context windows — the step that turns a filtered corpus into
+training sequences.
+
+Packing is inherently sequential *within a stream*: bin assignment of doc k
+depends on the running fill after docs 1..k-1.  The scalable decomposition
+is the one production packers use — shard the corpus into many independent
+streams (here ``(group_cols..., doc_id % n_shards)``), pack each stream
+greedily in deterministic ``doc_id`` order, and run all streams in
+parallel.  At 100 TB the parallelism is ``n_groups × n_shards`` and no
+state crosses a stream boundary.
+
+The per-stream scan itself stays JVM-side: each stream's (doc_id, length)
+pairs are gathered with ``collect_list``, ordered with ``sort_array``, and
+folded with the higher-order ``F.aggregate`` — a sequential fold inside one
+codegen'd expression, no Python, no window-with-running-reset gymnastics
+(cumsum-with-reset is NOT expressible as a plain window function).  The
+per-stream array must fit in executor memory, which is exactly the
+``n_shards`` knob: streams of ~100k docs × 16 bytes are a few MB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    length_col: str,
+    capacity: int,
+    group_cols: Sequence[str] = (),
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Assign each row a ``bin_id`` within its ``(group_cols..., shard)``
+    stream such that consecutive rows (by ``id_col``) share a bin while
+    their lengths fit in ``capacity``; an item longer than ``capacity``
+    opens (and overflows) its own bin.
+
+    Returns the input id/group/shard columns plus ``n_tokens`` (the length)
+    and ``bin_id`` (1-based within the stream).
+    """
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    items = df.select(*group_cols, shard, F.struct(F.col(id_col).alias("id"), F.col(length_col).cast("long").alias("n")).alias("it"))
+    streams = items.groupBy(*group_cols, "shard").agg(
+        F.sort_array(F.collect_list("it")).alias("its")
+    )
+    # Fold state: (fill, bin, out[]).  fill starts at capacity+1 so the
+    # first item always triggers "open bin 1" through the same overflow
+    # branch — no special-casing the empty state inside the lambda.
+    zero = F.struct(
+        F.lit(capacity + 1).cast("long").alias("fill"),
+        F.lit(0).cast("long").alias("bin"),
+        F.expr(
+            "CAST(array() AS array<struct<id:bigint,n:bigint,bin_id:bigint>>)"
+        ).alias("out"),
+    )
+
+    def step(acc, x):
+        over = acc.fill + x.n > F.lit(capacity)
+        bin_id = F.when(over, acc.bin + 1).otherwise(acc.bin)
+        fill = F.when(over, x.n).otherwise(acc.fill + x.n)
+        entry = F.struct(
+            x.id.alias("id"), x.n.alias("n"), bin_id.alias("bin_id")
+        )
+        return F.struct(
+            fill.alias("fill"),
+            bin_id.alias("bin"),
+            F.concat(acc.out, F.array(entry)).alias("out"),
+        )
+
+    packed = streams.select(
+        *group_cols,
+        "shard",
+        F.explode(F.aggregate("its", zero, step, lambda acc: acc.out)).alias("p"),
+    )
+    return packed.select(
+        F.col("p.id").alias(id_col),
+        *group_cols,
+        "shard",
+        F.col("p.n").alias("n_tokens"),
+        F.col("p.bin_id").alias("bin_id"),
+    )

@@ -1343,6 +1343,120 @@ FROM documents
 """
 
 
+def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token context windows, sharded
+    ``(source, doc_id % 4)`` for parallelism (training-pipeline family;
+    see ``operators/packing.py`` for the scale decomposition).  The whole
+    fold runs JVM-side via the higher-order ``F.aggregate`` — the oracle is
+    a recursive CTE stepping the identical first-fit-sequential recurrence
+    one row at a time."""
+    from foresttime_builder_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_sequences(
+        d, "n_tok", capacity=256, group_cols=["source"], n_shards=4
+    )
+
+
+ORACLE_Q56 = """
+WITH RECURSIVE ordered AS (
+  SELECT doc_id, source, doc_id % 4 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source, doc_id % 4 ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, shard, n_tokens, rn,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.source, o.shard, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + o.n_tokens > 256 THEN o.n_tokens
+              ELSE p.fill + o.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.source = p.source AND o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, source, shard, n_tokens, bin_id FROM packed
+"""
+
+
+def q57_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota sampling (corpus mixing): each
+    source contributes its ``quota`` lowest-hash documents — a
+    reproducible uniform draw stable under repartitioning
+    (``operators/sampling.py``).  Quotas are a derived broadcast dim."""
+    from foresttime_builder_spark.operators.sampling import quota_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    quotas = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (5 + F.substring("source", 4, 10).cast("long") % 7).alias("quota"),
+        )
+    )
+    out = quota_sample(d.select("doc_id", "source"), quotas)
+    return out.select("doc_id", "source", "sample_rank", "quota")
+
+
+ORACLE_Q57 = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+), quotas AS (
+  SELECT source, 5 + CAST(substr(source, 4) AS BIGINT) % 7 AS quota
+  FROM (SELECT DISTINCT source FROM documents) s
+)
+SELECT r.doc_id, r.source, CAST(r.sample_rank AS INT) AS sample_rank, q.quota
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.sample_rank <= q.quota
+"""
+
+
+def q58_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (sources other than
+    src0/src1) sharing any token 5-gram with the eval slice (src0/src1).
+    Distinct-before-join + broadcast eval side — one shuffle total
+    (``operators/decontaminate.py``)."""
+    from foresttime_builder_spark.operators.decontaminate import contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("source").isin("src0", "src1"))
+    tr = d.filter(~F.col("source").isin("src0", "src1"))
+    return contamination(tr, ev, n=5)
+
+
+ORACLE_Q58 = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 4),
+                               i -> array_to_string(t[i:i+4], ' '))) AS gram
+  FROM toks
+), ev AS (
+  SELECT DISTINCT gram, doc_id AS eval_doc FROM grams
+  WHERE source IN ('src0', 'src1')
+), tr AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+  WHERE source NOT IN ('src0', 'src1')
+)
+SELECT t.doc_id,
+       count(DISTINCT t.gram) AS n_collided_grams,
+       count(DISTINCT e.eval_doc) AS n_eval_docs
+FROM tr t JOIN ev e USING (gram)
+GROUP BY t.doc_id
+"""
+
+
 def q36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-chunk 'frame' sampling over binary payloads, JVM-side
     (multimodal family)."""
@@ -1988,4 +2102,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q54_ngram_jaccard": QuerySpec(q54_ngram_jaccard, ORACLE_Q54),
     "q55_image_meta": QuerySpec(q55_image_meta, ORACLE_Q55),
+    "q56_sequence_packing": QuerySpec(q56_sequence_packing, ORACLE_Q56),
+    "q57_source_mixing": QuerySpec(q57_source_mixing, ORACLE_Q57),
+    "q58_decontamination": QuerySpec(q58_decontamination, ORACLE_Q58),
 }

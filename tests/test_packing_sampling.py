@@ -1,0 +1,74 @@
+"""Unit tests for sequence packing, quota sampling, and decontamination
+(training-pipeline operator family, q56-q58)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from foresttime_builder_spark.operators.decontaminate import contamination, token_ngrams
+from foresttime_builder_spark.operators.packing import pack_sequences
+from foresttime_builder_spark.operators.sampling import quota_sample
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    # one stream (single group, n_shards=1): lengths 100,100,100 at C=250
+    # -> bins [1,1,2]; an oversized 300 opens its own bin; following 10
+    # starts fresh after the overflowed bin.
+    rows = [(1, 100), (2, 100), (3, 100), (4, 300), (5, 10), (6, 240), (7, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "n", capacity=250, n_shards=1)
+    got = {r.doc_id: r.bin_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 5}
+
+
+def test_pack_sequences_streams_independent(spark):
+    # items land in doc_id%2 shards; each shard packs independently and
+    # every shard's bin ids restart at 1
+    rows = [(i, 200) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "n", capacity=450, n_shards=2).collect()
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.bin_id))
+    # 4 items of 200 per shard at C=450 -> two bins of two
+    for items in by_shard.values():
+        assert [b for _, b in items] == [1, 1, 2, 2]
+
+
+def test_quota_sample_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "doc_id long, source string"
+    )
+    quotas = spark.createDataFrame([("a", 3), ("b", 5)], "source string, quota long")
+    out1 = sorted(r.doc_id for r in quota_sample(df, quotas).collect())
+    out2 = sorted(r.doc_id for r in quota_sample(df, quotas).collect())
+    assert out1 == out2 and len(out1) == 8
+    # sample is hash-ranked: repartitioning must not change it
+    out3 = sorted(
+        r.doc_id for r in quota_sample(df.repartition(7), quotas).collect()
+    )
+    assert out3 == out1
+
+
+def test_token_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b c",), ("a b c d e f",)], "text string")
+    out = df.select(F.size(token_ngrams(F.col("text"), 5)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 2]
+
+
+def test_contamination_counts(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),  # shares grams with eval doc 10
+            (2, "x1 x2 x3 x4 x5"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_ = spark.createDataFrame(
+        [(10, "w1 w2 w3 w4 w5 zz"), (11, "w2 w3 w4 w5 w6")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_collided_grams, r.n_eval_docs) for r in
+           contamination(train, eval_, n=5).collect()}
+    # doc 1's grams: [w1..w5], [w2..w6]; first hits eval 10, second hits eval 11
+    assert got == {1: (2, 2)}

@@ -1,0 +1,87 @@
+"""Spark-only registry sweep at a large scale factor.
+
+The correctness gate runs at sf0.01 where the DuckDB oracle is cheap; this
+tool answers the question that gate can't: does every registered query still
+EXECUTE — and how do its runtime and cardinality scale — when the input is
+10-100x bigger?  It runs each ``queries()`` entry against ``--sf-dir``
+(default the ``tools/make_sf.py`` output), writes the result to the noop
+sink (full column computation, no driver materialization), and reports
+wall-time + output rows per query as one JSON line.
+
+A query that raises (e.g. a driver-side cap sized for small SFs, a collect
+that only fit in memory at sf0.1) is reported with ``"err"`` rather than
+aborting the sweep — those are exactly the regressions this sweep exists to
+catch.
+
+Usage: python tools/run_at_scale.py [--sf-dir DIR] [--only q16,q25]
+                                    [--skip q51] [--out SCALE_sf1.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from foresttime_builder_spark.session import get_spark
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.path.join(repo, ".localdata", "sf1"))
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--skip", default="")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    queries = entrymod.queries()
+    names = sorted(queries)
+    if args.only:
+        want = {w.strip() for w in args.only.split(",")}
+        names = [n for n in names if any(n.startswith(w) for w in want)]
+    skip = {w.strip() for w in args.skip.split(",") if w.strip()}
+    names = [n for n in names if not any(n.startswith(s) for s in skip)]
+
+    spark = get_spark(app_name="run_at_scale")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+    report: dict[str, dict] = {}
+    for name in names:
+        gc.collect()
+        t0 = time.time()
+        try:
+            df = queries[name](spark, args.sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            # count() re-executes but gives the cardinality the report needs;
+            # cache-free on purpose so the noop timing above stays honest.
+            rows = df.count()
+            report[name] = {"sec": round(time.time() - t0, 2), "rows": rows, "err": None}
+        except Exception as exc:  # noqa: BLE001 — sweep must not abort
+            report[name] = {
+                "sec": round(time.time() - t0, 2),
+                "rows": None,
+                "err": f"{type(exc).__name__}: {str(exc)[:300]}",
+            }
+        status = report[name]["err"] or f"{report[name]['rows']} rows"
+        print(f"{name}: {report[name]['sec']}s  {status}", file=sys.stderr)
+
+    errs = [n for n in report if report[n]["err"]]
+    line = json.dumps(
+        {"sf_dir": args.sf_dir, "queries": report, "n": len(report), "errors": errs}
+    )
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    sys.exit(1 if errs else 0)
+
+
+if __name__ == "__main__":
+    main()
