@@ -230,12 +230,24 @@ def _doc_masks(docsets: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("pos", F.row_number().over(Window.orderBy("token")) - 1)
     )
+    # Fail fast if the precondition is violated (a pinned strategy on a
+    # corpus that outgrew 64 tokens): pos >= 64 would wrap shiftleft
+    # (Java uses pos & 63), silently colliding bit positions — and the
+    # colliding sum then overflows under ANSI arithmetic.  raise_error
+    # keeps the check distributed (no extra driver action): it only fires
+    # on the offending row.
+    mask_term = F.expr(
+        "CASE WHEN pos >= 64 THEN raise_error("
+        "'bitmask dedup requires vocabulary <= 64 distinct tokens; "
+        "use strategy=prefix or auto') "
+        "ELSE shiftleft(CAST(1 AS BIGINT), pos) END"
+    )
     return (
         tok.join(F.broadcast(vocab), "token")
         .groupBy("doc_id")
         # arithmetic sum == bitwise OR for distinct bit positions (the sign
         # bit for pos 63 wraps but stays a valid mask in two's complement)
-        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).alias("mask"))
+        .agg(F.sum(mask_term).alias("mask"))
     )
 
 

@@ -736,11 +736,14 @@ def q16_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — prefix filtering is lossless, so results are identical while the
     Spark plan only self-joins each document's rarest-token prefix."""
     d = load_table(spark, sf_dir, "documents")
-    # strategy pinned: the synthetic corpus has a 31-token vocabulary at
-    # every sf (verified via DuckDB), so the 64-bit-mask path is provably
-    # applicable and 'auto' would spend a probe job rediscovering that
+    # strategy='auto': the driver SFs have a 31-token vocabulary, so the
+    # probe picks the 64-bit-mask path there; scaled corpora (tools/
+    # make_sf.py shifts the vocabulary per copy) exceed 64 tokens and the
+    # probe flips to the SSJoin prefix filter.  The probe job IS the scale
+    # path — pinning 'bitmask' here overflowed the mask sum the first time
+    # the query ran on a >64-token corpus (caught by run_at_scale at sf1).
     pairs = token_jaccard_pairs(
-        d, "doc_id", "text", threshold=0.8, strategy="bitmask"
+        d, "doc_id", "text", threshold=0.8, strategy="auto"
     )
     # carry_cache: the fixed-point projection is the frame we return; without
     # re-attaching, the operator's persisted docsets would be unpersisted the

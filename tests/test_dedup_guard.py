@@ -1,0 +1,52 @@
+"""Guard rails for the bitmask dedup path (the sf1 sweep found the pinned
+strategy silently overflowing once a corpus outgrew 64 distinct tokens)."""
+
+from __future__ import annotations
+
+import pytest
+
+from foresttime_builder_spark.operators.dedup import token_jaccard_pairs
+
+
+def _corpus(spark, vocab: int):
+    # doc i = tokens [i .. i+9] cyclically from a `vocab`-token alphabet:
+    # adjacent docs overlap 9/11 of their union -> near-dup pairs exist.
+    # One doc per alphabet position so the corpus vocabulary really is
+    # `vocab` distinct tokens.
+    rows = [
+        (i, " ".join(f"t{(i + j) % vocab:03d}" for j in range(10)))
+        for i in range(vocab)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pinned_bitmask_raises_on_wide_vocab(spark):
+    wide = _corpus(spark, vocab=120)
+    df = token_jaccard_pairs(wide, "doc_id", "text", threshold=0.5, strategy="bitmask")
+    with pytest.raises(Exception, match="64 distinct tokens"):
+        df.collect()
+
+
+def test_auto_flips_to_prefix_and_matches_bitmask_semantics(spark):
+    # small vocab: auto -> bitmask; wide vocab: auto -> prefix.  The two
+    # paths must agree where both are valid.
+    small = _corpus(spark, vocab=40)
+    got_auto = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in token_jaccard_pairs(
+            small, "doc_id", "text", threshold=0.5, strategy="auto"
+        ).collect()
+    }
+    got_prefix = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in token_jaccard_pairs(
+            small, "doc_id", "text", threshold=0.5, strategy="prefix"
+        ).collect()
+    }
+    assert got_auto == got_prefix and got_auto
+
+    wide = _corpus(spark, vocab=120)
+    got_wide = token_jaccard_pairs(
+        wide, "doc_id", "text", threshold=0.5, strategy="auto"
+    ).count()
+    assert got_wide > 0
