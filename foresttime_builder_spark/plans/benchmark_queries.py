@@ -1853,8 +1853,9 @@ def q50_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from foresttime_builder_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    # bitmask pinned: 31-token synthetic vocabulary (see q16 note)
-    pairs = token_jaccard_pairs(d, "doc_id", "text", threshold=0.8, strategy="bitmask")
+    # strategy='auto' (see q16 note): probes the vocabulary and only takes
+    # the 64-bit mask path when it is provably applicable
+    pairs = token_jaccard_pairs(d, "doc_id", "text", threshold=0.8, strategy="auto")
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

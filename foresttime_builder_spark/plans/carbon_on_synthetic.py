@@ -850,7 +850,9 @@ def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain never invents or drops PLT_CNs, so the distinct sets are equal
     # and the dim build costs one scan of the tiny survey snapshot.
     plt = panel.select("PLT_CN").distinct()
-    h = (F.split(F.col("PLT_CN"), "_").getItem(0).cast("int") % 3).cast("int")
+    # bigint, not int: plot keys are arbitrary-magnitude ids (a scaled
+    # corpus overflowed an int32 cast here — caught by run_at_scale at sf1)
+    h = (F.split(F.col("PLT_CN"), "_").getItem(0).cast("bigint") % 3).cast("int")
     yr = F.split(F.col("PLT_CN"), "_").getItem(1)
     assgn = plt.select(
         "PLT_CN",
@@ -894,8 +896,8 @@ plt AS (SELECT DISTINCT PLT_CN FROM annest),
 assgn AS (
   SELECT PLT_CN,
     concat(split_part(PLT_CN, '_', 2), '_',
-           CAST(CAST(split_part(PLT_CN, '_', 1) AS INT) % 3 AS INT)) AS STRATUM_CN,
-    CAST(split_part(PLT_CN, '_', 1) AS INT) % 3 AS h
+           CAST(CAST(split_part(PLT_CN, '_', 1) AS BIGINT) % 3 AS INT)) AS STRATUM_CN,
+    CAST(CAST(split_part(PLT_CN, '_', 1) AS BIGINT) % 3 AS INT) AS h
   FROM plt
 ),
 stratum AS (
