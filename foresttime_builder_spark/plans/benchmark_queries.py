@@ -906,7 +906,8 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sub-quadratic dedup path). Oracle replicates the identical banding
     construction, so candidate recall is bit-for-bit reproducible."""
     d = load_table(spark, sf_dir, "documents")
-    # verify pinned to the mask path: 31-token vocabulary (see q16 note)
+    # verify='auto' (see q16 note): the probe picks the popcount mask path
+    # at the driver SFs, general array_intersect on wider vocabularies
     pairs = minhash_lsh_pairs(
         d,
         "doc_id",
@@ -914,7 +915,7 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_MH_N,
         band_size=_MH_BAND,
         threshold=0.5,
-        verify="bitmask",
+        verify="auto",
     )
     # fixed-point gate emission of the (already 4-rounded) jaccard;
     # carry_cache keeps the operator's persisted mask relation alive until
