@@ -27,6 +27,26 @@ def test_pinned_bitmask_raises_on_wide_vocab(spark):
         df.collect()
 
 
+def test_blockmask_matches_string_prefix_path(spark, monkeypatch):
+    # vocab 120 > 64: the prefix path takes the multi-word blockmask tier.
+    # Force the string-array tier by shrinking the cap and require
+    # identical output (the two verifications must agree bit-for-bit).
+    import foresttime_builder_spark.operators.dedup as dedup
+
+    wide = _corpus(spark, vocab=120)
+    rows = lambda df: sorted(
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in df.collect()
+    )
+    got_block = rows(
+        token_jaccard_pairs(wide, "doc_id", "text", threshold=0.5, strategy="prefix")
+    )
+    monkeypatch.setattr(dedup, "_BLOCKMASK_VOCAB_CAP", 8)
+    got_string = rows(
+        token_jaccard_pairs(wide, "doc_id", "text", threshold=0.5, strategy="prefix")
+    )
+    assert got_block == got_string and got_block
+
+
 def test_auto_flips_to_prefix_and_matches_bitmask_semantics(spark):
     # small vocab: auto -> bitmask; wide vocab: auto -> prefix.  The two
     # paths must agree where both are valid.

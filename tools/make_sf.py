@@ -18,9 +18,13 @@ Determinism + semantic-preservation rules:
   same doc share no shingles: without this, 10 verbatim copies of every
   document would make near-dup PAIR counts grow ~O(copies^2) and the
   measured scaling exponent would say nothing about the engine;
-- ``embeddings.embedding`` is cyclically rolled by the copy index: norms and
-  within-copy inner products are preserved (same top-k structure per copy),
-  cross-copy similarity is decorrelated;
+- ``embeddings.embedding`` is multiplied by a deterministic per-copy ±1
+  sign pattern: norms and within-copy inner products are preserved exactly
+  (signs square away), while cross-copy inner products become random-sign
+  sums — decorrelated regardless of the vectors' internal structure.  (A
+  cyclic roll was tried first and failed: the synthetic vectors carry
+  enough autocorrelation that rolled copies stayed near-duplicates,
+  inflating cross-copy near-dup pairs ~15x superlinearly.);
 - timestamps are left untouched, so windowed/streaming aggregates see
   ``copies``× the rows per window — more rows per group, not more groups,
   which is the harder direction for partial aggregation.
@@ -91,14 +95,18 @@ def _scale_table(name: str, src: str, out: str, copies: int) -> int:
                     type=field.type,
                 )
             elif name == "embeddings" and field.name == "embedding" and i > 0:
-                rolled = [
-                    None if v is None else np.roll(np.asarray(v, dtype=np.float32), i)
-                    for v in col.to_pylist()
+                vals = col.to_pylist()
+                dim = next(len(v) for v in vals if v is not None)
+                signs = np.where(
+                    np.random.default_rng(i).random(dim) < 0.5, -1.0, 1.0
+                ).astype(np.float32)
+                flipped = [
+                    None
+                    if v is None
+                    else (np.asarray(v, dtype=np.float32) * signs).tolist()
+                    for v in vals
                 ]
-                col = pa.array(
-                    [None if v is None else v.tolist() for v in rolled],
-                    type=field.type,
-                )
+                col = pa.array(flipped, type=field.type)
             cols[field.name] = col
         parts.append(pa.table(cols, schema=tbl.schema))
     big = pa.concat_tables(parts)
