@@ -153,7 +153,15 @@ def lsh_topk(
 ) -> DataFrame:
     """Top-``k`` same-bucket neighbors per vector under random-hyperplane
     LSH with exact cosine re-ranking (ranking on the rounded cosine so the
-    order is reproducible across engines)."""
+    order is reproducible across engines).
+
+    Scale knob: expected bucket occupancy is ``N / 2**n_bits``, so keep
+    per-bucket work constant by growing ``n_bits`` ~ ``log2(N / B)`` for a
+    target bucket size ``B`` (use multiple hash tables for recall at high
+    ``n_bits``).  The correctness gate pins ``n_bits=8`` because its DuckDB
+    twin inlines the hyperplanes into static SQL; its runtime therefore
+    grows linearly in bucket occupancy by design (measured in
+    ``SCALE_sf1.json``)."""
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),

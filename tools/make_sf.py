@@ -14,10 +14,11 @@ Determinism + semantic-preservation rules:
   divisible by every modulus 1..10, so ``key % k`` slices used by queries
   (e.g. q54's ``doc_id % 3`` oracle-protection slice) select the same
   fraction in every copy;
-- ``documents.text`` is caesar-shifted by the copy index so copies of the
-  same doc share no shingles: without this, 10 verbatim copies of every
-  document would make near-dup PAIR counts grow ~O(copies^2) and the
-  measured scaling exponent would say nothing about the engine;
+- ``documents.text`` gets a two-level, length-preserving vocabulary shift
+  per copy (see :func:`_caesar2`) so copies of the same doc share no
+  shingles: without this, verbatim copies of every document would make
+  near-dup PAIR counts grow ~O(copies^2) and the measured scaling
+  exponent would say nothing about the engine;
 - ``embeddings.embedding`` is multiplied by a deterministic per-copy ±1
   sign pattern: norms and within-copy inner products are preserved exactly
   (signs square away), while cross-copy inner products become random-sign
@@ -66,10 +67,25 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 
 
-def _caesar_table(shift: int) -> dict[int, int]:
-    s = shift % 26
-    return str.maketrans(
-        _LOWER + _UPPER, _LOWER[s:] + _LOWER[:s] + _UPPER[s:] + _UPPER[:s]
+def _shift_char(ch: str, s: int) -> str:
+    if ch in _LOWER:
+        return _LOWER[(_LOWER.index(ch) + s) % 26]
+    if ch in _UPPER:
+        return _UPPER[(_UPPER.index(ch) + s) % 26]
+    return ch
+
+
+def _caesar2(text: str, copy: int) -> str:
+    """Two-level, length-preserving vocabulary shift: every letter shifts
+    by ``copy % 26`` and odd positions shift additionally by
+    ``copy // 26 % 26``.  Equal to a plain caesar for copy < 26 (so sf1
+    outputs are unchanged), and distinct for 676 copies — a plain caesar
+    wraps at 26, which would make copies 26 apart verbatim duplicates and
+    blow near-dup pair counts up quadratically at 100 copies."""
+    s1 = copy % 26
+    s2 = (s1 + (copy // 26)) % 26
+    return "".join(
+        _shift_char(ch, s2 if p % 2 else s1) for p, ch in enumerate(text)
     )
 
 
@@ -89,9 +105,8 @@ def _scale_table(name: str, src: str, out: str, copies: int) -> int:
                     [pa.compute.add(c, i * OFFSET) for c in col.chunks]
                 )
             elif name == "documents" and field.name == "text" and i > 0:
-                tr = _caesar_table(i)
                 col = pa.array(
-                    [None if t is None else t.translate(tr) for t in col.to_pylist()],
+                    [None if t is None else _caesar2(t, i) for t in col.to_pylist()],
                     type=field.type,
                 )
             elif name == "embeddings" and field.name == "embedding" and i > 0:
