@@ -53,6 +53,17 @@ def get_spark(
         # CPU-dense stages parallel while still merging true stragglers;
         # at production scale partitions are >= 64 MB and the floor is moot.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # Shuffle partition count must scale with DATA, not with cores:
+        # with a fixed 32, a billion-row aggregate packs ~40M keys into
+        # each task's hash map (measured OOM at sf10 in q16's candidate
+        # distinct). Start every shuffle at max(16x cores, shuffle
+        # partitions) and let AQE coalesce small stages back down — the
+        # standard AQE posture for inputs whose size varies by orders of
+        # magnitude.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(16 * cpus, shuffle_partitions)),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
