@@ -186,3 +186,89 @@ SELECT {id_col}, len(fps) AS n_fingerprints,
        list_min(fps) AS min_fp, list_max(fps) AS max_fp
 FROM wins
 """
+
+
+def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters (Rae et al. 2021 §A1.1,
+    adapted to token grain): fraction of tokens covered by the most
+    frequent 2-gram and 3-gram, duplicate-token fraction, and the
+    resulting keep/drop flag.
+
+    Pure per-document column algebra — no shuffle, no UDF.  The per-doc
+    mode computation is O(distinct_grams × grams) inside one codegen'd
+    expression, the right trade for web-scale corpora of bounded-length
+    documents; a pipeline with million-token documents would switch to the
+    explode + groupBy formulation (same results, one shuffle).
+    """
+    from foresttime_builder_spark.operators.decontaminate import token_ngrams
+
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_tok = F.size(toks)
+
+    def top_frac(n: int) -> Column:
+        grams = token_ngrams(text, n)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            )
+        )
+        return F.when(
+            F.size(grams) > 0,
+            F.floor(top * n / n_tok * 10000 + F.lit(0.5)).cast("long"),
+        )
+
+    dup_frac = F.floor(
+        (F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok) * 10000 + F.lit(0.5)
+    ).cast("long")
+    top2, top3 = top_frac(2), top_frac(3)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        top2.alias("top2gram_frac_e4"),
+        top3.alias("top3gram_frac_e4"),
+        dup_frac.alias("dup_token_frac_e4"),
+        # Gopher thresholds: drop if top-2-gram coverage > 0.20 or
+        # top-3-gram coverage > 0.18 (ours are token-fractions, same bar)
+        (
+            (F.coalesce(top2, F.lit(0)) <= 2000)
+            & (F.coalesce(top3, F.lit(0)) <= 1800)
+        ).alias("keep"),
+    )
+
+
+def repetition_quality_oracle_sql(id_col: str, text_col: str, table: str) -> str:
+    """DuckDB twin of :func:`repetition_quality` (identical arithmetic)."""
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len(string_split({text_col}, ' ')) >= {n} THEN "
+            f"list_transform(generate_series(1, len(string_split({text_col}, ' ')) - {n - 1}), "
+            f"i -> array_to_string(string_split({text_col}, ' ')[i:i+{n - 1}], ' ')) "
+            f"ELSE [] END"
+        )
+
+    def top_frac(n: int) -> str:
+        return (
+            f"CASE WHEN len(g{n}) > 0 THEN CAST(floor("
+            f"list_max(list_transform(list_distinct(g{n}), "
+            f"g -> len(list_filter(g{n}, x -> x = g)))) * {n} "
+            f"/ len(string_split({text_col}, ' ')) * 10000 + 0.5) AS BIGINT) END"
+        )
+
+    return f"""
+WITH staged AS (
+  SELECT {id_col}, {text_col}, {grams(2)} AS g2, {grams(3)} AS g3 FROM {table}
+)
+SELECT {id_col},
+  len(string_split({text_col}, ' ')) AS n_tokens,
+  {top_frac(2)} AS top2gram_frac_e4,
+  {top_frac(3)} AS top3gram_frac_e4,
+  CAST(floor((1.0 - len(list_distinct(string_split({text_col}, ' ')))
+              / len(string_split({text_col}, ' '))) * 10000 + 0.5) AS BIGINT)
+    AS dup_token_frac_e4,
+  coalesce({top_frac(2)}, 0) <= 2000 AND coalesce({top_frac(3)}, 0) <= 1800
+    AS keep
+FROM staged
+"""

@@ -1461,6 +1461,17 @@ GROUP BY t.doc_id
 """
 
 
+def q59_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-n-gram coverage, duplicate
+    tokens) — the quality gate a corpus pipeline runs before training
+    (`operators/text.repetition_quality`; Rae et al. 2021 §A1.1)."""
+    from foresttime_builder_spark.operators.text import repetition_quality
+
+    return repetition_quality(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-chunk 'frame' sampling over binary payloads, JVM-side
     (multimodal family)."""
@@ -2110,4 +2121,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q56_sequence_packing": QuerySpec(q56_sequence_packing, ORACLE_Q56),
     "q57_source_mixing": QuerySpec(q57_source_mixing, ORACLE_Q57),
     "q58_decontamination": QuerySpec(q58_decontamination, ORACLE_Q58),
+    "q59_repetition_quality": QuerySpec(
+        q59_repetition_quality, _text_oracle("repetition_quality_oracle_sql")
+    ),
 }

@@ -72,3 +72,53 @@ def test_contamination_counts(spark):
            contamination(train, eval_, n=5).collect()}
     # doc 1's grams: [w1..w5], [w2..w6]; first hits eval 10, second hits eval 11
     assert got == {1: (2, 2)}
+
+
+def test_pack_sequences_properties(spark):
+    # hypothesis-style invariants over a deterministic pseudo-random stream:
+    # (1) no bin exceeds capacity unless it holds a single oversized item;
+    # (2) bin ids are contiguous from 1 per stream; (3) id order maps to
+    # non-decreasing bin ids (first-fit-sequential never back-fills).
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([10, 60, 120, 251, 300])) for i in range(200)]
+    cap = 250
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sorted(
+        ((r.shard, r.doc_id, r.n_tokens, r.bin_id) for r in
+         pack_sequences(df, "n", capacity=cap, n_shards=3).collect())
+    )
+    assert len(out) == 200
+    by_stream: dict[int, list[tuple[int, int, int]]] = {}
+    for shard, doc, n, b in out:
+        by_stream.setdefault(shard, []).append((doc, n, b))
+    for items in by_stream.values():
+        bins: dict[int, list[int]] = {}
+        last_bin = 0
+        for doc, n, b in items:  # already doc_id-ordered
+            assert b >= last_bin  # (3)
+            last_bin = b
+            bins.setdefault(b, []).append(n)
+        assert sorted(bins) == list(range(1, max(bins) + 1))  # (2)
+        for sizes in bins.values():
+            assert sum(sizes) <= cap or len(sizes) == 1  # (1)
+
+
+def test_repetition_quality_flags_repetitive_doc(spark):
+    from foresttime_builder_spark.operators.text import repetition_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham spam ham"),  # one 2-gram dominates
+            # clean doc long enough that a single 3-gram covers < 18% of
+            # tokens (short docs legitimately fail the Gopher bars: any
+            # 3-gram of a 10-token doc covers 30%)
+            (2, " ".join(f"w{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_quality(docs, "doc_id", "text").collect()}
+    assert not got[1].keep and got[2].keep
+    assert got[2].dup_token_frac_e4 == 0
+    assert got[1].top2gram_frac_e4 > 2000
