@@ -2013,6 +2013,165 @@ def _ivf_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus hygiene: PII scrubbing, URL canonicalization + domain quotas,
+# semi-join reduction (operators/scrub.py, operators/runtime_filter.py)
+# --------------------------------------------------------------------------
+
+def _pii_suffix_spark() -> list[Column]:
+    """Deterministic PII-bearing suffix appended to every document on BOTH
+    engine sides — the synthetic corpus has no real emails/IPs/phones, so
+    without this the scrub gate would assert nothing but zeros.  (Lazy:
+    Columns cannot be built before a session exists.)"""
+    return [
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    ]
+
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.example.com from 10.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || ' call 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def q60_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-mask (emails / IPv4 / phone-shaped spans) — the
+    hygiene pass between ingest and dedup in a corpus pipeline
+    (`operators/scrub.pii_scrub`; narrow, shuffle-free, codegen'd)."""
+    from foresttime_builder_spark.operators.scrub import pii_scrub
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text_pii", F.concat(F.col("text"), *_pii_suffix_spark())
+    )
+    return pii_scrub(d, "doc_id", "text_pii")
+
+
+def _pii_oracle() -> str:
+    from foresttime_builder_spark.operators.scrub import pii_scrub_oracle_sql
+
+    return (
+        "WITH enriched AS (SELECT doc_id, "
+        f"text || {_PII_SUFFIX_SQL} AS text_pii FROM documents) "
+        + pii_scrub_oracle_sql("doc_id", "text_pii", "enriched")
+    )
+
+
+def _url_spark() -> Column:
+    """Deterministic per-document URL, built identically on both engine
+    sides (lazy — see :func:`_pii_suffix_spark`)."""
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=x&ref=y")).otherwise(
+            F.lit("")
+        ),
+    )
+
+_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || "
+    "'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/' || "
+    "CAST(doc_id % 1000 AS VARCHAR) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&ref=y' ELSE '' END"
+)
+
+
+def q61_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-domain quota (keep top-8 docs per host
+    by size) — the crawl-balance cap, run through the skew-resistant
+    two-stage path (`operators/scrub.domain_cap(two_stage=True)`), which
+    the gate proves equals the plain single-window semantics."""
+    from foresttime_builder_spark.operators.scrub import (
+        canonicalize_url,
+        domain_cap,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn("url", _url_spark())
+    capped = domain_cap(
+        canonicalize_url(d, "url"),
+        "host",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        cap=8,
+        two_stage=True,
+        salt_on=F.col("doc_id"),
+    )
+    return capped.select(
+        "doc_id",
+        "host",
+        "canon_url",
+        F.col("rank_in_domain").cast("long").alias("rank_in_domain"),
+    )
+
+
+def _domain_quota_oracle() -> str:
+    from foresttime_builder_spark.operators.scrub import canonical_url_sql
+
+    canon, host = canonical_url_sql("url")
+    return f"""
+WITH with_url AS (
+  SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents
+), canon AS (
+  SELECT doc_id, n_chars, {canon} AS canon_url, {host} AS host FROM with_url
+), ranked AS (
+  SELECT doc_id, host, canon_url,
+         row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id ASC)
+           AS rank_in_domain
+  FROM canon
+)
+SELECT doc_id, host, canon_url, rank_in_domain
+FROM ranked WHERE rank_in_domain <= 8
+"""
+
+
+def q62_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime semi-join reduction: broadcast the selective order
+    subset's hash-bucket set to pre-filter lineitem before the (hinted
+    shuffle) join — `operators/runtime_filter.semi_reduced_join`.  The
+    oracle is the PLAIN join: the gate proves the reduction changes
+    nothing."""
+    from foresttime_builder_spark.operators.runtime_filter import (
+        semi_reduced_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").hint("shuffle_hash")
+    sel = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01"))
+        & (F.col("o_orderdate") < F.lit("1995-06-01"))
+    )
+    joined = semi_reduced_join(li, sel, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            + F.lit(0.5)
+        ).cast("long").alias("revenue_e2"),
+    )
+
+
+ORACLE_Q62 = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+            AS BIGINT) AS revenue_e2
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-06-01'
+GROUP BY o_orderpriority
+"""
+
+
 def _text_oracle(fn_name: str) -> str:
     from foresttime_builder_spark.operators import text as text_ops
 
@@ -2124,4 +2283,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q59_repetition_quality": QuerySpec(
         q59_repetition_quality, _text_oracle("repetition_quality_oracle_sql")
     ),
+    "q60_pii_scrub": QuerySpec(q60_pii_scrub, _pii_oracle()),
+    "q61_domain_quota": QuerySpec(q61_domain_quota, _domain_quota_oracle()),
+    "q62_semijoin_reduction": QuerySpec(q62_semijoin_reduction, ORACLE_Q62),
 }
