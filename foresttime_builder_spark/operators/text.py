@@ -239,36 +239,54 @@ def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def repetition_quality_oracle_sql(id_col: str, text_col: str, table: str) -> str:
-    """DuckDB twin of :func:`repetition_quality` (identical arithmetic)."""
+    """DuckDB twin of :func:`repetition_quality` (identical arithmetic).
 
-    def grams(n: int) -> str:
+    Set-based formulation: the Spark side's per-document mode is a nested
+    list lambda (O(distinct x grams) inside one codegen'd expression, fast
+    on the JVM); DuckDB evaluates the same lambda interpretively ~40x
+    slower, so the oracle computes each document's top n-gram count the
+    relational way — unnest, count per (doc, gram), max per doc — which is
+    the identical quantity."""
+
+    def gram_cte(n: int) -> str:
         return (
-            f"CASE WHEN len(string_split({text_col}, ' ')) >= {n} THEN "
-            f"list_transform(generate_series(1, len(string_split({text_col}, ' ')) - {n - 1}), "
-            f"i -> array_to_string(string_split({text_col}, ' ')[i:i+{n - 1}], ' ')) "
-            f"ELSE [] END"
+            f"SELECT {id_col}, unnest(list_transform("
+            f"generate_series(1, n_tok - {n - 1}), "
+            f"i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram "
+            f"FROM base WHERE n_tok >= {n}"
         )
 
     def top_frac(n: int) -> str:
         return (
-            f"CASE WHEN len(g{n}) > 0 THEN CAST(floor("
-            f"list_max(list_transform(list_distinct(g{n}), "
-            f"g -> len(list_filter(g{n}, x -> x = g)))) * {n} "
-            f"/ len(string_split({text_col}, ' ')) * 10000 + 0.5) AS BIGINT) END"
+            f"CASE WHEN m{n}.top IS NOT NULL THEN CAST(floor("
+            f"m{n}.top * {n} / b.n_tok * 10000 + 0.5) AS BIGINT) END"
         )
 
     return f"""
-WITH staged AS (
-  SELECT {id_col}, {text_col}, {grams(2)} AS g2, {grams(3)} AS g3 FROM {table}
+WITH base AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS toks,
+         len(string_split({text_col}, ' ')) AS n_tok
+  FROM {table}
+), g2 AS ({gram_cte(2)}), g3 AS ({gram_cte(3)}),
+m2 AS (
+  SELECT {id_col}, max(cnt) AS top FROM (
+    SELECT {id_col}, gram, count(*) AS cnt FROM g2 GROUP BY {id_col}, gram
+  ) GROUP BY {id_col}
+),
+m3 AS (
+  SELECT {id_col}, max(cnt) AS top FROM (
+    SELECT {id_col}, gram, count(*) AS cnt FROM g3 GROUP BY {id_col}, gram
+  ) GROUP BY {id_col}
 )
-SELECT {id_col},
-  len(string_split({text_col}, ' ')) AS n_tokens,
+SELECT b.{id_col},
+  b.n_tok AS n_tokens,
   {top_frac(2)} AS top2gram_frac_e4,
   {top_frac(3)} AS top3gram_frac_e4,
-  CAST(floor((1.0 - len(list_distinct(string_split({text_col}, ' ')))
-              / len(string_split({text_col}, ' '))) * 10000 + 0.5) AS BIGINT)
-    AS dup_token_frac_e4,
+  CAST(floor((1.0 - len(list_distinct(b.toks)) / b.n_tok) * 10000 + 0.5)
+       AS BIGINT) AS dup_token_frac_e4,
   coalesce({top_frac(2)}, 0) <= 2000 AND coalesce({top_frac(3)}, 0) <= 1800
     AS keep
-FROM staged
+FROM base b
+LEFT JOIN m2 ON b.{id_col} = m2.{id_col}
+LEFT JOIN m3 ON b.{id_col} = m3.{id_col}
 """
