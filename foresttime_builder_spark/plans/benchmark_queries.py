@@ -2172,6 +2172,27 @@ GROUP BY o_orderpriority
 """
 
 
+def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
+    re-expressed as a distributed rolling-window inventory + per-document
+    interval union — `operators/substr.duplicated_span_coverage`)."""
+    from foresttime_builder_spark.operators.substr import (
+        duplicated_span_coverage,
+    )
+
+    return duplicated_span_coverage(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=8
+    )
+
+
+def _dup_spans_oracle() -> str:
+    from foresttime_builder_spark.operators.substr import (
+        duplicated_span_coverage_oracle_sql,
+    )
+
+    return duplicated_span_coverage_oracle_sql("doc_id", "text", "documents", n=8)
+
+
 def _text_oracle(fn_name: str) -> str:
     from foresttime_builder_spark.operators import text as text_ops
 
@@ -2286,4 +2307,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q60_pii_scrub": QuerySpec(q60_pii_scrub, _pii_oracle()),
     "q61_domain_quota": QuerySpec(q61_domain_quota, _domain_quota_oracle()),
     "q62_semijoin_reduction": QuerySpec(q62_semijoin_reduction, ORACLE_Q62),
+    "q63_dup_spans": QuerySpec(q63_dup_spans, _dup_spans_oracle()),
 }
