@@ -190,6 +190,58 @@ def purchase_attribution(
     ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
 
 
+def run_foreach_batch_upsert(
+    events: DataFrame,
+    path: str,
+    keys: tuple[str, ...] = ("user_id",),
+    version_col: str = "ts",
+    tie_break: tuple[str, ...] = ("event_id",),
+) -> None:
+    """Incrementally materialize the latest row per key into a parquet
+    table: every micro-batch MERGEs into the table via
+    ``operators.upsert.merge_latest`` — the streaming analog of the
+    reference's overwrite-and-rerun refresh (``scripts/state-parquet.R``),
+    with the whole-table overwrite narrowed to a key-level upsert.
+
+    Plain parquet has no transactions, so each merge writes to a staging
+    directory and renames over the target — the bookkeeping a production
+    deployment delegates to a transactional table format (Delta/Iceberg);
+    the merge plan itself (one shuffle per batch on the business key) is
+    identical there.  Runs with ``availableNow`` and blocks until the
+    source is drained; the checkpoint makes replayed batches idempotent
+    because the merge is deterministic.
+    """
+    import shutil
+
+    from foresttime_builder_spark.operators.upsert import merge_latest
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(path):
+            base = spark.read.parquet(path)
+        else:
+            base = batch_df.limit(0)
+        merged = merge_latest(base, batch_df, keys, version_col, tie_break)
+        staging = f"{path}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)  # reads old target
+        old = f"{path}.old-{batch_id}"
+        if os.path.exists(path):
+            os.rename(path, old)
+            os.rename(staging, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, path)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     output_mode: str = "complete",

@@ -287,3 +287,37 @@ def test_multibatch_attribution_joins_across_batches(spark, chunked):
     ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
     cols = ["purchase_id", "user_id", "click_id", "click_ts", "purchase_ts"]
     assert _canon(out, cols) == _canon(batch, cols)
+
+
+def test_multibatch_foreach_upsert_equals_batch(spark, chunked, tmp_path_factory):
+    """foreachBatch incremental MERGE sink: after draining 4 micro-batches,
+    the parquet table holds exactly the latest event per user — identical
+    to a one-shot batch window dedup over all events."""
+    from pyspark.sql import Window as W
+
+    from foresttime_builder_spark.streaming.events import (
+        run_foreach_batch_upsert,
+    )
+
+    d, ev = chunked
+    target = os.path.join(str(tmp_path_factory.mktemp("upsert")), "latest")
+    run_foreach_batch_upsert(
+        _chunk_stream(spark, d),
+        target,
+        keys=("user_id",),
+        version_col="ts",
+        tie_break=("event_id",),
+    )
+    got = spark.read.parquet(target)
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = (
+        ev.select("event_id", "user_id", "event_type", "value", "ts")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    assert _canon(got, cols) == _canon(expected, cols)
