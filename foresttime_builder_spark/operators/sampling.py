@@ -44,3 +44,59 @@ def quota_sample(
     return ranked.join(F.broadcast(quotas), mix_col).filter(
         F.col("sample_rank") <= F.col(quota_col)
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 8000),
+        ("val", 1000),
+        ("test", 1000),
+    ),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket each row by an
+    engine-portable content-independent hash of ``(salt, id)`` into 10,000
+    cells and carve the cells by the cumulative split weights (given in
+    basis points; must sum to 10,000).
+
+    Properties a training pipeline needs and ``randomSplit`` lacks: the
+    assignment is a pure function of the id — stable under repartitioning,
+    re-runs, appends, and engine (the DuckDB twin reproduces it exactly);
+    changing ``salt`` re-rolls every assignment at once.  Narrow, zero
+    shuffle."""
+    total = sum(w for _, w in splits)
+    if total != 10_000:
+        raise ValueError(f"split weights must sum to 10000 bp, got {total}")
+    bucket = hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 10_000
+    expr = None
+    cum = 0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def split_assign_oracle_sql(
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 8000),
+        ("val", 1000),
+        ("test", 1000),
+    ),
+    salt: str = "split-v1",
+) -> str:
+    """DuckDB CASE expression computing the identical ``split`` column."""
+    bucket = (
+        f"CAST(concat('0x', substr(md5('{salt}:' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
+    )
+    parts, cum = [], 0
+    for name, w in splits[:-1]:
+        cum += w
+        parts.append(f"WHEN {bucket} < {cum} THEN '{name}'")
+    return f"CASE {' '.join(parts)} ELSE '{splits[-1][0]}' END"

@@ -188,6 +188,48 @@ FROM wins
 """
 
 
+def top_token_ngrams(
+    df: DataFrame, text_col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus-level frequent token ``n``-grams: the heavy-hitters statistic
+    quality teams read before writing boilerplate filters.
+
+    Spark-first shape: explode → hash-partitioned count (map-side partial
+    aggregation does the heavy lifting — each task emits at most its
+    distinct grams, not its rows) → global top-``k`` via ``orderBy.limit``,
+    which Catalyst executes as TakeOrdered (per-partition heaps + a k-row
+    driver merge, never a full sort).  The ``(count desc, gram asc)``
+    tie-break makes the result a deterministic set, so the gate can
+    hash-compare it."""
+    from foresttime_builder_spark.operators.decontaminate import token_ngrams
+
+    return (
+        df.select(F.explode(token_ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def top_token_ngrams_oracle_sql(
+    text_col: str, table: str, n: int = 3, k: int = 20
+) -> str:
+    """DuckDB twin of :func:`top_token_ngrams`."""
+    return f"""
+WITH toks AS (
+  SELECT string_split({text_col}, ' ') AS t FROM {table}
+), grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> array_to_string(t[i:i+{n - 1}], ' ')))
+           AS gram
+  FROM toks WHERE len(t) >= {n}
+)
+SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+ORDER BY cnt DESC, gram ASC LIMIT {k}
+"""
+
+
 def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher/MassiveText-style repetition filters (Rae et al. 2021 §A1.1,
     adapted to token grain): fraction of tokens covered by the most

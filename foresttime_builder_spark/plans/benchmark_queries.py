@@ -2172,6 +2172,49 @@ GROUP BY o_orderpriority
 """
 
 
+def q64_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level frequent-n-gram heavy hitters (partial-agg count +
+    TakeOrdered top-k — `operators/text.top_token_ngrams`)."""
+    from foresttime_builder_spark.operators.text import top_token_ngrams
+
+    return top_token_ngrams(
+        load_table(spark, sf_dir, "documents"), "text", n=3, k=20
+    )
+
+
+def _top_ngrams_oracle() -> str:
+    from foresttime_builder_spark.operators.text import (
+        top_token_ngrams_oracle_sql,
+    )
+
+    return top_token_ngrams_oracle_sql("text", "documents", n=3, k=20)
+
+
+def q65_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test split assignment
+    (`operators/sampling.split_assign`), summarized per (source, split)."""
+    from foresttime_builder_spark.operators.sampling import split_assign
+
+    d = split_assign(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _split_assign_oracle() -> str:
+    from foresttime_builder_spark.operators.sampling import (
+        split_assign_oracle_sql,
+    )
+
+    case = split_assign_oracle_sql()
+    return f"""
+SELECT source, {case} AS split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source, split
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2308,4 +2351,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q61_domain_quota": QuerySpec(q61_domain_quota, _domain_quota_oracle()),
     "q62_semijoin_reduction": QuerySpec(q62_semijoin_reduction, ORACLE_Q62),
     "q63_dup_spans": QuerySpec(q63_dup_spans, _dup_spans_oracle()),
+    "q64_top_ngrams": QuerySpec(q64_top_ngrams, _top_ngrams_oracle()),
+    "q65_split_assign": QuerySpec(q65_split_assign, _split_assign_oracle()),
 }

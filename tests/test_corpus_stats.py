@@ -1,0 +1,55 @@
+"""Unit tests for corpus statistics ops: top n-grams, split assignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from foresttime_builder_spark.operators.sampling import split_assign
+from foresttime_builder_spark.operators.text import top_token_ngrams
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    rows = [
+        (1, "a b c a b c"),      # "a b c" x2 (plus wrap grams)
+        (2, "a b c d"),
+        (3, "x y"),              # too short for n=3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [tuple(r) for r in top_token_ngrams(df, "text", n=3, k=3).collect()]
+    # counts: "a b c" 3 (2 in doc1, 1 in doc2); "b c a"/"c a b"/"b c d" 1
+    assert out[0] == ("a b c", 3)
+    # ties broken by gram ascending
+    assert [g for g, _ in out[1:]] == sorted(g for g, _ in out[1:])
+    assert all(c == 1 for _, c in out[1:])
+
+
+def test_split_assign_deterministic_and_partition_stable(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    # roughly 80/10/10 (hash-uniform; generous bounds)
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.75 < train < 0.85
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_split_assign_salt_rerolls(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df, "doc_id", salt="split-v2").collect()
+    }
+    assert a != b
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    df = spark.range(1).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="10000"):
+        split_assign(df, "doc_id", splits=(("train", 5000), ("test", 1000)))
