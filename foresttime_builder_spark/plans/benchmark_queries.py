@@ -2215,6 +2215,79 @@ FROM documents GROUP BY source, split
 """
 
 
+def q66_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink+source round trip (`sources/jsonl.py`): write the corpus
+    as sharded newline-JSON, re-read it under the pinned schema, and
+    aggregate with an order-insensitive 60-bit content signature.  The
+    oracle reads the original parquet — the gate therefore proves the
+    JSONL round trip is byte-faithful."""
+    import tempfile
+
+    from foresttime_builder_spark.operators.dedup import hash60
+    from foresttime_builder_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="q66_jsonl_")
+    write_jsonl(d, path)
+    r = read_jsonl(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))"
+        ).alias("content_sig"),
+    )
+
+
+ORACLE_Q66 = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+         AS content_sig
+FROM documents GROUP BY lang
+"""
+
+
+def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, activity
+    counted by whole months since the cohort month — the canonical
+    analytics query a downstream team runs on the engine (window min +
+    calendar arithmetic kept to integer year*12+month so both engines
+    compute identically)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    monthnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    base = o.withColumn("first_dt", F.min("o_orderdate").over(w))
+    return (
+        base.select(
+            F.date_format("first_dt", "yyyy-MM").alias("cohort_month"),
+            (monthnum(F.col("o_orderdate")) - monthnum(F.col("first_dt"))).alias(
+                "months_since"
+            ),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("n_active"))
+    )
+
+
+ORACLE_Q67 = """
+WITH f AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey
+)
+SELECT strftime(f.first_dt, '%Y-%m') AS cohort_month,
+       (year(o.o_orderdate) - year(f.first_dt)) * 12
+         + month(o.o_orderdate) - month(f.first_dt) AS months_since,
+       count(DISTINCT o.o_custkey) AS n_active
+FROM orders o JOIN f USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2353,4 +2426,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q63_dup_spans": QuerySpec(q63_dup_spans, _dup_spans_oracle()),
     "q64_top_ngrams": QuerySpec(q64_top_ngrams, _top_ngrams_oracle()),
     "q65_split_assign": QuerySpec(q65_split_assign, _split_assign_oracle()),
+    "q66_jsonl_roundtrip": QuerySpec(q66_jsonl_roundtrip, ORACLE_Q66),
+    "q67_cohort_retention": QuerySpec(q67_cohort_retention, ORACLE_Q67),
 }
