@@ -2288,6 +2288,64 @@ GROUP BY 1, 2
 """
 
 
+def q68_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (30-min inactivity gap) — the
+    batch mirror of the streaming session windows (q30), via the
+    lag + cumulative-sum islands idiom: one shuffle on user_id serves the
+    lag, the session numbering, and the final per-session aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
+        F.col("ts").cast("timestamp").cast("long")
+    ).over(w)
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+            - F.min(F.col("ts").cast("timestamp").cast("long"))
+        ).alias(
+            "duration_s"
+        ),
+        F.floor(F.sum("value") * 10000 + F.lit(0.5)).cast("long").alias(
+            "total_value_e4"
+        ),
+    )
+
+
+ORACLE_Q68 = """
+WITH secs AS (
+  -- per-event truncation to whole epoch seconds BEFORE any difference,
+  -- mirroring Spark's cast(timestamp as long) exactly (epoch() alone keeps
+  -- the sub-second fraction and differences would round differently)
+  SELECT user_id, event_id, ts, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), lagged AS (
+  SELECT *, es - lag(es) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM secs
+), marked AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+), numbered AS (
+  SELECT *, sum(new_sess) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(es) - min(es) AS duration_s,
+       CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS total_value_e4
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2428,4 +2486,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q65_split_assign": QuerySpec(q65_split_assign, _split_assign_oracle()),
     "q66_jsonl_roundtrip": QuerySpec(q66_jsonl_roundtrip, ORACLE_Q66),
     "q67_cohort_retention": QuerySpec(q67_cohort_retention, ORACLE_Q67),
+    "q68_batch_sessions": QuerySpec(q68_batch_sessions, ORACLE_Q68),
 }
