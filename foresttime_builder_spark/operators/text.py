@@ -236,11 +236,14 @@ def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     frequent 2-gram and 3-gram, duplicate-token fraction, and the
     resulting keep/drop flag.
 
-    Pure per-document column algebra — no shuffle, no UDF.  The per-doc
-    mode computation is O(distinct_grams × grams) inside one codegen'd
-    expression, the right trade for web-scale corpora of bounded-length
-    documents; a pipeline with million-token documents would switch to the
-    explode + groupBy formulation (same results, one shuffle).
+    The per-document mode is computed relationally — explode the grams,
+    count per (doc, gram), max per doc, join back on the doc id.  An
+    earlier formulation inlined it as a nested higher-order lambda
+    (O(distinct_grams × grams) per document, zero shuffle); it gated fine
+    at 500 docs but cost 35 minutes for 50k docs at sf1 — the string-
+    equality volume, not the shuffle, is the scale hazard.  The two
+    aggregations here are linear in corpus tokens with map-side partial
+    combine, and the join-backs are on the id key.
     """
     from foresttime_builder_spark.operators.decontaminate import token_ngrams
 
@@ -248,29 +251,46 @@ def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.split(text, " ")
     n_tok = F.size(toks)
 
-    def top_frac(n: int) -> Column:
-        grams = token_ngrams(text, n)
-        top = F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.size(F.filter(grams, lambda x: x == g)),
-            )
-        )
-        return F.when(
-            F.size(grams) > 0,
-            F.floor(top * n / n_tok * 10000 + F.lit(0.5)).cast("long"),
-        )
-
     dup_frac = F.floor(
         (F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok) * 10000 + F.lit(0.5)
     ).cast("long")
-    top2, top3 = top_frac(2), top_frac(3)
-    return df.select(
+    base = df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
+        dup_frac.alias("dup_token_frac_e4"),
+    )
+
+    out = base
+    for n in (2, 3):
+        top = (
+            df.select(
+                F.col(id_col), F.explode(token_ngrams(text, n)).alias("gram")
+            )
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(id_col)
+            .agg(F.max("cnt").alias(f"_top{n}"))
+        )
+        out = out.join(top, id_col, "left")
+
+    def frac(n: int) -> Column:
+        # identical float-op order to the DuckDB twin:
+        # ((top*n)/n_tok)*10000 + 0.5
+        top = F.col(f"_top{n}")
+        return F.when(
+            top.isNotNull(),
+            F.floor(
+                top * n / F.col("n_tokens") * 10000 + F.lit(0.5)
+            ).cast("long"),
+        )
+
+    top2, top3 = frac(2), frac(3)
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
         top2.alias("top2gram_frac_e4"),
         top3.alias("top3gram_frac_e4"),
-        dup_frac.alias("dup_token_frac_e4"),
+        "dup_token_frac_e4",
         # Gopher thresholds: drop if top-2-gram coverage > 0.20 or
         # top-3-gram coverage > 0.18 (ours are token-fractions, same bar)
         (
