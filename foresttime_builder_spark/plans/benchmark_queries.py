@@ -2346,6 +2346,110 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q69_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click-after-view →
+    purchase-after-click) per user — the conversion query every event
+    pipeline runs.  Expressed as three stacked conditional window minima
+    over ONE user_id partition (each stage's column feeds the next
+    stage's condition), so the whole funnel costs a single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v", F.min(F.when(F.col("event_type") == "view", es)).over(w)
+        )
+        .withColumn(
+            "c",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (es >= F.col("v")), es
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (es >= F.col("c")),
+                    es,
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("v").alias("view_es"),
+        F.max("c").alias("click_es"),
+        F.max("p").alias("purchase_es"),
+    )
+    stage = (
+        F.when(F.col("purchase_es").isNotNull(), 3)
+        .when(F.col("click_es").isNotNull(), 2)
+        .when(F.col("view_es").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id", "view_es", "click_es", "purchase_es", stage.alias("stage")
+    )
+
+
+ORACLE_Q69 = """
+WITH es AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN es END) AS view_es
+  FROM es GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.es) AS click_es
+  FROM es e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.es >= v.view_es
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.es) AS purchase_es
+  FROM es e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.es >= c.click_es
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_es, c.click_es, p.purchase_es,
+       CASE WHEN p.purchase_es IS NOT NULL THEN 3
+            WHEN c.click_es IS NOT NULL THEN 2
+            WHEN v.view_es IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def q70_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned readback: write
+    the corpus partitioned by ``lang``, re-read only the ``en`` partition
+    (the scan must touch one directory, not one-fifth of every file), and
+    prove fidelity with the same content signature as q66.  Oracle reads
+    the original parquet WHERE lang = 'en'."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="q70_part_")
+    d.write.partitionBy("lang").mode("overwrite").parquet(path)
+    r = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))"
+        ).alias("content_sig"),
+    )
+
+
+ORACLE_Q70 = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+         AS content_sig
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2487,4 +2591,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q66_jsonl_roundtrip": QuerySpec(q66_jsonl_roundtrip, ORACLE_Q66),
     "q67_cohort_retention": QuerySpec(q67_cohort_retention, ORACLE_Q67),
     "q68_batch_sessions": QuerySpec(q68_batch_sessions, ORACLE_Q68),
+    "q69_event_funnel": QuerySpec(q69_event_funnel, ORACLE_Q69),
+    "q70_partitioned_sink": QuerySpec(q70_partitioned_sink, ORACLE_Q70),
 }
