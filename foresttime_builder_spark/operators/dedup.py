@@ -566,3 +566,64 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 60) -> Data
         )
         fp = bit if fp is None else fp + bit
     return bit_sums.select("doc_id", fp.alias("simhash"), "n_tokens")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs whose ``key_col`` strings are within edit distance 1
+    (insert / delete / substitute), via deletion-neighborhood blocking —
+    the sub-quadratic fuzzy-match join (cf. the FastSS / SymSpell family):
+
+    every key generates itself plus its |key| single-character deletions;
+    two keys are within distance 1 **only if** their neighborhoods share a
+    variant (substitution at i: both i-deletions agree; insertion or
+    deletion: the shorter string is literally in the longer one's
+    neighborhood).  Candidates come from one equi-join on the variant,
+    exact ``levenshtein`` verifies — no all-pairs stage, and the blocking
+    is lossless so the result equals the quadratic oracle.
+
+    ``max_dist`` is fixed at 1: deeper neighborhoods grow
+    combinatorially and the right scale tool past distance 1 is q16/q23's
+    set-similarity machinery.
+    """
+    if max_dist != 1:
+        raise NotImplementedError("deletion-neighborhood blocking is built for max_dist=1")
+    key = F.col(key_col)
+    variants = F.array_union(
+        F.array(key),
+        F.transform(
+            F.sequence(F.lit(1), F.length(key)),
+            lambda i: F.concat(
+                F.substring(key, 1, i - 1),
+                key.substr(i + 1, F.length(key)),
+            ),
+        ),
+    )
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        key.alias("vkey"),
+        F.explode(variants).alias("variant"),
+    )
+    b = v.select(
+        F.col("vid").alias("vid_b"),
+        F.col("vkey").alias("vkey_b"),
+        "variant",
+    )
+    cands = (
+        v.join(b, "variant")
+        .filter(F.col("vid") < F.col("vid_b"))
+        .select(
+            F.col("vid").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
+            F.col("vkey").alias("key_a"),
+            F.col("vkey_b").alias("key_b"),
+        )
+        .distinct()
+    )
+    return cands.filter(
+        F.levenshtein(F.col("key_a"), F.col("key_b")) <= max_dist
+    ).select("id_a", "id_b", F.levenshtein("key_a", "key_b").alias("dist"))

@@ -2450,6 +2450,68 @@ FROM documents WHERE lang = 'en' GROUP BY source
 """
 
 
+def q71_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match: document-title pairs within edit distance 1 via
+    deletion-neighborhood blocking (`operators/dedup.edit_distance_pairs`
+    — FastSS/SymSpell family; lossless blocking + exact levenshtein
+    verify, no all-pairs stage).  The corpus slice exists only because the
+    ORACLE is the quadratic levenshtein cross join; Spark's path is
+    sub-quadratic and runs unsliced at scale (sf1/sf10 sweeps)."""
+    from foresttime_builder_spark.operators.dedup import edit_distance_pairs
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.substring("text", 1, 24).alias("title"))
+    )
+    return edit_distance_pairs(d, "doc_id", "title")
+
+
+ORACLE_Q71 = """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 24) AS title
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.title, b.title) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 1
+"""
+
+
+def q72_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest novelty check: which src0 documents are content-
+    new relative to the rest of the corpus — one hash left-anti join (the
+    batch-vs-corpus exact dedup every incremental pipeline runs before
+    admitting a crawl drop)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") == "src0")
+    base_hashes = (
+        d.filter(F.col("source") != "src0")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    novel = new.join(
+        base_hashes, F.md5(new["text"]) == F.col("h"), "left_anti"
+    )
+    return novel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_novel"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_Q72 = """
+SELECT lang, count(*) AS n_novel,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents n
+WHERE source = 'src0' AND NOT EXISTS (
+  SELECT 1 FROM documents b
+  WHERE b.source <> 'src0' AND md5(b.text) = md5(n.text)
+)
+GROUP BY lang
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2593,4 +2655,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q68_batch_sessions": QuerySpec(q68_batch_sessions, ORACLE_Q68),
     "q69_event_funnel": QuerySpec(q69_event_funnel, ORACLE_Q69),
     "q70_partitioned_sink": QuerySpec(q70_partitioned_sink, ORACLE_Q70),
+    "q71_fuzzy_join": QuerySpec(q71_fuzzy_join, ORACLE_Q71),
+    "q72_novelty_check": QuerySpec(q72_novelty_check, ORACLE_Q72),
 }

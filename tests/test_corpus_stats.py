@@ -53,3 +53,44 @@ def test_split_assign_rejects_bad_weights(spark):
     df = spark.range(1).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError, match="10000"):
         split_assign(df, "doc_id", splits=(("train", 5000), ("test", 1000)))
+
+
+def test_edit_distance_pairs_blocking_is_lossless(spark):
+    from foresttime_builder_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "spark"),
+        (2, "spork"),   # substitution
+        (3, "sparks"),  # insertion
+        (4, "spak"),    # deletion (wrt 1)
+        (5, "hadoop"),  # unrelated
+        (6, "spark"),   # exact duplicate -> dist 0
+        (7, "sprak"),   # transposition = distance 2; must NOT match 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "doc_id", "title").collect()
+    }
+    expected = {
+        (1, 2): 1, (1, 3): 1, (1, 4): 1, (1, 6): 0,
+        (2, 6): 1, (3, 6): 1, (4, 6): 1, (4, 7): 1,
+        # NOT present: (1,7) transposition (distance 2), anything with 5
+    }
+    # brute-force model over all pairs
+    import itertools
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+    brute = {
+        (a, b): lev(ta, tb)
+        for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+        if lev(ta, tb) <= 1
+    }
+    assert got == brute
+    assert got == expected
