@@ -2512,6 +2512,42 @@ GROUP BY lang
 """
 
 
+def q73_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 7-day order revenue via a RANGE window frame
+    (value-based, not row-based — the frame type none of the other window
+    queries exercise).  One shuffle on the customer key."""
+    o = load_table(spark, sf_dir, "orders")
+    es = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(es)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        es.alias("es"),
+        F.floor(F.sum("o_totalprice").over(w) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rolling_7d_e2"),
+    )
+
+
+ORACLE_Q73 = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, es,
+       CAST(floor(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY es
+         RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
+       ) * 100 + 0.5) AS BIGINT) AS rolling_7d_e2
+FROM t
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2657,4 +2693,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q70_partitioned_sink": QuerySpec(q70_partitioned_sink, ORACLE_Q70),
     "q71_fuzzy_join": QuerySpec(q71_fuzzy_join, ORACLE_Q71),
     "q72_novelty_check": QuerySpec(q72_novelty_check, ORACLE_Q72),
+    "q73_rolling_revenue": QuerySpec(q73_rolling_revenue, ORACLE_Q73),
 }
