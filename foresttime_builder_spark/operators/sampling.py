@@ -100,3 +100,41 @@ def split_assign_oracle_sql(
         cum += w
         parts.append(f"WHEN {bucket} < {cum} THEN '{name}'")
     return f"CASE {' '.join(parts)} ELSE '{splits[-1][0]}' END"
+
+
+def temperature_quotas(
+    df: DataFrame,
+    mix_col: str = "source",
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-reweighted mixture quotas (alpha = 0.5): each source's
+    share of ``budget`` is proportional to sqrt(its document count) — the
+    standard move (UniMax / multilingual-sampling family) that upweights
+    small sources relative to proportional sampling without letting a
+    giant source dominate.
+
+    Engine-exact by construction: per-source weights are
+    ``floor(sqrt(count) * 1e6)`` BIGINTs (sqrt is IEEE-correctly-rounded
+    in both engines, the scale-and-floor makes the weight an integer), the
+    weight total is an exact integer sum, and the quota is
+    ``floor(budget * w / W)`` over doubles that are exactly representable
+    (< 2^53) — so Spark and the SQL twin agree bit-for-bit, which a
+    float-weighted formulation (pow(), float sums in engine-specific
+    order) would not.
+
+    Returns the small (mix_col, n_docs, weight, quota) dim — broadcast it
+    into :func:`quota_sample`.
+    """
+    counts = df.groupBy(mix_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_docs")) * 1_000_000).cast("long")
+    )
+    total = w.agg(F.sum("weight").alias("W"))
+    return (
+        w.crossJoin(F.broadcast(total))  # 1-row total: benign BNLJ
+        .withColumn(
+            "quota",
+            F.floor(F.lit(budget) * F.col("weight") / F.col("W")).cast("long"),
+        )
+        .select(mix_col, "n_docs", "weight", "quota")
+    )

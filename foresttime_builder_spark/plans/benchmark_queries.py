@@ -2548,6 +2548,63 @@ FROM t
 """
 
 
+def q74_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted source mixing: sqrt-of-count quotas
+    (`operators/sampling.temperature_quotas`, alpha=0.5 — the UniMax-style
+    rebalance) drawn with the deterministic hash-rank sampler
+    (`quota_sample`).  Emits per-source quota, drawn count, and the exact
+    sum of drawn doc_ids — so the gate pins WHICH documents were drawn,
+    not just how many."""
+    from foresttime_builder_spark.operators.sampling import (
+        quota_sample,
+        temperature_quotas,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    quotas = temperature_quotas(d, "source", budget=300)
+    drawn = quota_sample(d, quotas.select("source", "quota"), "source")
+    return (
+        drawn.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.sum("doc_id").alias("drawn_id_sum"),
+        )
+        .join(F.broadcast(quotas), "source")
+        .select("source", "n_docs", "weight", "quota", "n_drawn", "drawn_id_sum")
+    )
+
+
+ORACLE_Q74 = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS weight
+  FROM c
+), t AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS W FROM w
+), q AS (
+  SELECT source, n_docs, weight,
+         CAST(floor(300 * weight / W) AS BIGINT) AS quota
+  FROM w, t
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+)
+SELECT q.source, q.n_docs, q.weight, q.quota,
+       count(*) AS n_drawn,
+       CAST(sum(r.doc_id) AS BIGINT) AS drawn_id_sum
+FROM ranked r JOIN q USING (source)
+WHERE r.sample_rank <= q.quota
+GROUP BY q.source, q.n_docs, q.weight, q.quota
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2694,4 +2751,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q71_fuzzy_join": QuerySpec(q71_fuzzy_join, ORACLE_Q71),
     "q72_novelty_check": QuerySpec(q72_novelty_check, ORACLE_Q72),
     "q73_rolling_revenue": QuerySpec(q73_rolling_revenue, ORACLE_Q73),
+    "q74_temperature_mix": QuerySpec(q74_temperature_mix, ORACLE_Q74),
 }

@@ -94,3 +94,15 @@ def test_edit_distance_pairs_blocking_is_lossless(spark):
     }
     assert got == brute
     assert got == expected
+
+
+def test_temperature_quotas_upweight_small_sources(spark):
+    from foresttime_builder_spark.operators.sampling import temperature_quotas
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    q = {r["source"]: r.asDict() for r in temperature_quotas(df, "source", budget=100).collect()}
+    # proportional would give small 10%; sqrt-weighting gives 25%
+    assert q["small"]["n_docs"] == 100 and q["big"]["n_docs"] == 900
+    assert q["small"]["quota"] == 25 and q["big"]["quota"] == 75
+    assert q["small"]["quota"] / 100 > 100 / 1000
