@@ -2562,15 +2562,13 @@ def q74_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     quotas = temperature_quotas(d, "source", budget=300)
-    drawn = quota_sample(d, quotas.select("source", "quota"), "source")
-    return (
-        drawn.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_drawn"),
-            F.sum("doc_id").alias("drawn_id_sum"),
-        )
-        .join(F.broadcast(quotas), "source")
-        .select("source", "n_docs", "weight", "quota", "n_drawn", "drawn_id_sum")
+    # quota_sample broadcasts the whole quota dim, so n_docs/weight ride
+    # along and the dim is in the plan ONCE (a second join would duplicate
+    # the 1-row-total crossJoin and the counts aggregation)
+    drawn = quota_sample(d, quotas, "source")
+    return drawn.groupBy("source", "n_docs", "weight", "quota").agg(
+        F.count(F.lit(1)).alias("n_drawn"),
+        F.sum("doc_id").alias("drawn_id_sum"),
     )
 
 
