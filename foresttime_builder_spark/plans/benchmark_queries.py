@@ -2603,6 +2603,37 @@ GROUP BY q.source, q.n_docs, q.weight, q.quota
 """
 
 
+def q75_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over two document dimensions —
+    the multi-column data-skipping layout (Delta OPTIMIZE ZORDER /
+    Iceberg z-rewrite family; `operators/layout.zorder_key`).  The gate
+    pins the interleaving bit-exactly; the layout test
+    (`tests/test_zorder.py`) proves row-group min/max stats tighten on
+    BOTH dimensions."""
+    from foresttime_builder_spark.operators.layout import zorder_key
+
+    d = load_table(spark, sf_dir, "documents")
+    x = F.pmod(F.col("n_chars"), F.lit(1 << 16))
+    y = F.pmod(F.col("doc_id"), F.lit(1 << 16))
+    return d.select(
+        "doc_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key(x, y, bits=16).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from foresttime_builder_spark.operators.layout import zorder_key_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars % 65536 AS x, doc_id % 65536 AS y FROM documents
+)
+SELECT doc_id, x, y, {zorder_key_sql("x", "y", 16)} AS zkey FROM t
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2750,4 +2781,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q72_novelty_check": QuerySpec(q72_novelty_check, ORACLE_Q72),
     "q73_rolling_revenue": QuerySpec(q73_rolling_revenue, ORACLE_Q73),
     "q74_temperature_mix": QuerySpec(q74_temperature_mix, ORACLE_Q74),
+    "q75_zorder_key": QuerySpec(q75_zorder_key, _zorder_oracle()),
 }
