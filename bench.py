@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from foresttime_builder_spark.plans.benchmark_queries import QUERIES
-from foresttime_builder_spark.session import get_spark
+from foresttime_builder_spark.session import dir_bytes, get_spark
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -39,7 +39,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name="bench", data_bytes=dir_bytes(sf_dir))
 
     # Warm the JVM (codegen, scheduler, scan metadata) once so per-query
     # numbers measure steady-state query work rather than first-job JIT and

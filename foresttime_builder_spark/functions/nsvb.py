@@ -388,13 +388,69 @@ def register_udfs(spark) -> None:
     ref_tables.cached(spark, "_nsvb_udfs", build)
 
 
-def find_ht_sql(dlim: str) -> str:
-    """Merchantable-height root find as a SQL call to the registered UDF."""
-    args = ", ".join(
-        f"CAST({x} AS DOUBLE)"
-        for x in ("DBH", "THT", dlim, "mh_a", "mh_b", "mh_c", "mh_alpha", "mh_beta")
+def find_ht_sql(dlim: str, k_col: str | None = None) -> str:
+    """Merchantable-height root find as SQL text.
+
+    Two implementations, both 48-step interval halvings of the same
+    published diameter profile, differentially tested to 1e-9
+    (``tests/test_nsvb_bisect_native.py``):
+
+    - ``pandas`` (default): the Arrow-batched numpy bisection — the only
+      Python in any hot path.  MEASURED faster: q26 sf1 8.6 s / sf10
+      57-67 s vs native's 9.1 s / 80 s, because numpy evaluates the 48
+      pow-heavy iterations vectorized while Spark's ``aggregate``
+      higher-order function is interpreted per element — the Arrow hop
+      costs less than JVM expression interpretation here.
+    - ``native`` (``SPARK_GRAFT_NSVB_BISECT=native``): a pure-JVM
+      ``aggregate`` fold — ONE Catalyst expression, zero Python, no
+      Arrow round trip.  The right choice where Python workers are
+      unavailable or per-executor Python memory is contended; ~25%
+      slower on this box at sf10.
+
+    ``k_col`` names a precomputed column holding the profile constant
+    ``K = a*D^b*H^c / 0.005454154 / H * alpha * beta`` so the two pows in
+    K are not re-evaluated in every bisection step; required for native
+    mode (the caller adds it one layer earlier).
+    """
+    if os.environ.get("SPARK_GRAFT_NSVB_BISECT", "pandas") == "pandas" or k_col is None:
+        args = ", ".join(
+            f"CAST({x} AS DOUBLE)"
+            for x in ("DBH", "THT", dlim, "mh_a", "mh_b", "mh_c", "mh_alpha", "mh_beta")
+        )
+        return f"nsvb_bisect_ht({args})"
+    return find_ht_native_sql(dlim, k_col)
+
+
+def find_ht_native_sql(dlim: str, k_col: str) -> str:
+    """JVM-native bisection of the NSVB diameter profile (reference
+    ``findHT``'s objective, ``R/predictCRM2.R:737-751``): the stem
+    diameter ``pd(h)^2 = K * (1-h/H)^(alpha-1) * (1-(1-h/H)^alpha)^(beta-1)``
+    falls monotonically from +inf at the butt to 0 at the tip, so the
+    ``pd = dlim`` crossing is unique and interval halving converges to it.
+
+    The loop is an ``aggregate(sequence(1, N), lo, ...)`` fold over a
+    SCALAR accumulator — per-row JVM evaluation, no shuffle, no Python,
+    and no per-iteration struct allocation: the bracketing interval after
+    ``i`` halvings always has width ``THT / 2^i``, so only its lower edge
+    needs carrying (``mid = lo + THT/2^i``; root above mid ⇒ ``lo = mid``).
+    Null/sapling masking mirrors the pandas twin exactly (``_bisect_ht``);
+    the returned root differs from the two-edge formulation by at most
+    ``THT / 2^48`` — the shared convergence bound."""
+    mid = f"(acc + THT / CAST(shiftleft(1L, i) AS DOUBLE))"
+    x = f"({mid} / THT)"
+    q = (
+        f"({k_col} * pow(1.0D - {x}, mh_alpha - 1.0D)"
+        f" * pow(1.0D - pow(1.0D - {x}, mh_alpha), mh_beta - 1.0D))"
     )
-    return f"nsvb_bisect_ht({args})"
+    return f"""CASE
+  WHEN DBH IS NULL OR DBH < 5.0D OR THT IS NULL OR ({dlim}) IS NULL
+       OR {k_col} IS NULL OR isnan({k_col}) THEN CAST(NULL AS DOUBLE)
+  ELSE aggregate(
+    sequence(1, {BISECT_ITERS}),
+    CAST(0.0D AS DOUBLE),
+    (acc, i) -> IF({q} > ({dlim}) * ({dlim}), {mid}, acc),
+    acc -> acc + THT / CAST(shiftleft(1L, {BISECT_ITERS + 1}) AS DOUBLE))
+END"""
 
 
 def equation_value(

@@ -23,7 +23,13 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints: ``x``
     occupies even bit positions, ``y`` odd — a bijection from
     ``[0, 2^bits)^2`` onto ``[0, 4^bits)``.  Callers clamp/bucket inputs
-    into range first (out-of-range high bits are simply ignored)."""
+    into range first (out-of-range high bits are simply ignored).
+
+    Inputs are widened to BIGINT up front: with a 32-bit int input and
+    ``bits=16`` the ``y`` term lands on bit 31 — the int sign bit — and a
+    trailing cast would sign-extend, diverging from the BIGINT SQL twin."""
+    x = x.cast("long")
+    y = y.cast("long")
     key = None
     for i in range(bits):
         xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)

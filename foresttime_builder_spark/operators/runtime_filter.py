@@ -44,13 +44,17 @@ def semi_reduced_join(
     """
     if how not in ("inner", "left_semi", "semi", "leftsemi"):
         raise ValueError(f"semi_reduced_join cannot pre-filter a {how!r} join")
+    # dataframe-qualified refs: fact and dim may share the key column name
+    # (AMBIGUOUS_REFERENCE with bare F.col), and a uuid-suffixed bucket
+    # column cannot collide with a caller's own columns.
+    bucket_col = "_rf_bucket_7f3a9c"
     buckets = (
-        dim.select(_bucket(F.col(dim_key), n_buckets).alias("_rf_bucket"))
+        dim.select(_bucket(dim[dim_key], n_buckets).alias(bucket_col))
         .distinct()
     )
     reduced = fact.join(
         F.broadcast(buckets),
-        _bucket(F.col(fact_key), n_buckets) == F.col("_rf_bucket"),
+        _bucket(fact[fact_key], n_buckets) == buckets[bucket_col],
         "left_semi",
     )
-    return reduced.join(dim, F.col(fact_key) == F.col(dim_key), how)
+    return reduced.join(dim, reduced[fact_key] == dim[dim_key], how)

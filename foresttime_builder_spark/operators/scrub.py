@@ -37,7 +37,7 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 _SCHEME_WWW = r"^https?://(www\.)?"
 _QUERY_FRAGMENT = r"[?#].*$"
-_HOST = r"^[^/?]+"
+_HOST = r"^[^/?#]+"
 
 
 def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -14,14 +14,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def dir_bytes(path: str) -> int | None:
+    """Total on-disk bytes under ``path`` (the cheap proxy for input scale
+    that drives the AQE shuffle floor), or None if it doesn't exist."""
+    if not os.path.isdir(path):
+        return None
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def get_spark(
     app_name: str = "foresttime_builder_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    data_bytes: int | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    if data_bytes is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+        if sf_dir:
+            data_bytes = dir_bytes(sf_dir)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -56,13 +76,29 @@ def get_spark(
         # Shuffle partition count must scale with DATA, not with cores:
         # with a fixed 32, a billion-row aggregate packs ~40M keys into
         # each task's hash map (measured OOM at sf10 in q16's candidate
-        # distinct). Start every shuffle at max(16x cores, shuffle
-        # partitions) and let AQE coalesce small stages back down — the
-        # standard AQE posture for inputs whose size varies by orders of
-        # magnitude.
+        # distinct).  Round 6's flat 16x-cores floor fixed that OOM but
+        # started EVERY shuffle at 512 partitions, and at sf0.1 (17 MB
+        # input) the window-heavy small queries paid real scheduling +
+        # coalescing overhead for it (driver bench q21 0.55 -> 1.52 s).
+        # So derive the floor from input size when known (~1 initial
+        # partition per 3 MB of compressed input, which leaves a >8x
+        # shuffle-amplification margin before a task exceeds a 32 MB
+        # hash map): sf0.1 (17 MB) starts at the core count exactly as
+        # before round 6 (q21 measured back at 0.46 s), while sf10
+        # (1.7 GB) starts at ~580 — above the 512 that fixed the OOM
+        # (q26 sf10 measured 57-60 s at the 512 floor vs 60-67 s at a
+        # trial 435 floor, so the floor is kept at-or-above 512 there).
+        # Unknown input size keeps the conservative 16x-cores floor.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(16 * cpus, shuffle_partitions)),
+            str(
+                max(
+                    shuffle_partitions,
+                    min(4096, data_bytes // (3 << 20) + 1)
+                    if data_bytes is not None
+                    else 16 * cpus,
+                )
+            ),
         )
     )
     spark = builder.getOrCreate()

@@ -190,12 +190,32 @@ def purchase_attribution(
     ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
 
 
+def _upsert_current_dir(path: str) -> str | None:
+    """Resolve the committed version directory of an upsert table, or None
+    if no commit has happened yet."""
+    pointer = os.path.join(path, "CURRENT")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        return os.path.join(path, fh.read().strip())
+
+
+def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read the current committed snapshot of a table maintained by
+    :func:`run_foreach_batch_upsert`."""
+    current = _upsert_current_dir(path)
+    if current is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    return spark.read.parquet(current)
+
+
 def run_foreach_batch_upsert(
     events: DataFrame,
     path: str,
     keys: tuple[str, ...] = ("user_id",),
     version_col: str = "ts",
     tie_break: tuple[str, ...] = ("event_id",),
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Incrementally materialize the latest row per key into a parquet
     table: every micro-batch MERGEs into the table via
@@ -203,13 +223,17 @@ def run_foreach_batch_upsert(
     reference's overwrite-and-rerun refresh (``scripts/state-parquet.R``),
     with the whole-table overwrite narrowed to a key-level upsert.
 
-    Plain parquet has no transactions, so each merge writes to a staging
-    directory and renames over the target — the bookkeeping a production
-    deployment delegates to a transactional table format (Delta/Iceberg);
-    the merge plan itself (one shuffle per batch on the business key) is
-    identical there.  Runs with ``availableNow`` and blocks until the
-    source is drained; the checkpoint makes replayed batches idempotent
-    because the merge is deterministic.
+    Plain parquet has no transactions, so the table lives behind a
+    ``CURRENT`` pointer file: each merge writes a fresh versioned directory
+    and the commit is ONE atomic rename of the pointer's temp file — there
+    is no window in which the table is missing (the two-rename swap this
+    replaces had one).  This is the poor-man's snapshot commit a
+    transactional format (Delta/Iceberg) provides natively; the merge plan
+    itself (one shuffle per batch on the business key) is identical there.
+    Runs with ``availableNow`` and blocks until the source is drained.
+    Pass ``checkpoint_dir`` (persistent) for cross-restart idempotency —
+    the default tempdir only dedups replayed batches within one invocation.
+    Read the table back with :func:`read_upsert_table`.
     """
     import shutil
 
@@ -217,22 +241,29 @@ def run_foreach_batch_upsert(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(path):
-            base = spark.read.parquet(path)
+        current = _upsert_current_dir(path)
+        if current is not None:
+            base = spark.read.parquet(current)
         else:
             base = batch_df.limit(0)
         merged = merge_latest(base, batch_df, keys, version_col, tie_break)
-        staging = f"{path}.staging-{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)  # reads old target
-        old = f"{path}.old-{batch_id}"
-        if os.path.exists(path):
-            os.rename(path, old)
-            os.rename(staging, path)
-            shutil.rmtree(old)
-        else:
-            os.rename(staging, path)
+        os.makedirs(path, exist_ok=True)
+        staging = os.path.join(path, f"v{batch_id}-{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(staging)  # reads old version
+        pointer_tmp = os.path.join(path, f".CURRENT.tmp-{batch_id}")
+        with open(pointer_tmp, "w") as fh:
+            fh.write(os.path.basename(staging))
+        os.rename(pointer_tmp, os.path.join(path, "CURRENT"))  # atomic commit
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if (
+                os.path.isdir(full)
+                and entry.startswith("v")
+                and full != staging
+            ):
+                shutil.rmtree(full)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_upsert_")
     q = (
         events.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", ckpt)

@@ -296,6 +296,7 @@ def test_multibatch_foreach_upsert_equals_batch(spark, chunked, tmp_path_factory
     from pyspark.sql import Window as W
 
     from foresttime_builder_spark.streaming.events import (
+        read_upsert_table,
         run_foreach_batch_upsert,
     )
 
@@ -308,7 +309,7 @@ def test_multibatch_foreach_upsert_equals_batch(spark, chunked, tmp_path_factory
         version_col="ts",
         tie_break=("event_id",),
     )
-    got = spark.read.parquet(target)
+    got = read_upsert_table(spark, target)
 
     w = W.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()

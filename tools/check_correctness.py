@@ -94,9 +94,9 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as e
-    from foresttime_builder_spark.session import get_spark
+    from foresttime_builder_spark.session import dir_bytes, get_spark
 
-    spark = get_spark(app_name="check_correctness")
+    spark = get_spark(app_name="check_correctness", data_bytes=dir_bytes(args.sf))
     qs, oracles = e.queries(), e.oracle_sql()
     if args.only:
         keep = set(args.only.split(","))

@@ -49,7 +49,9 @@ def main() -> None:
     skip = {w.strip() for w in args.skip.split(",") if w.strip()}
     names = [n for n in names if not any(n.startswith(s) for s in skip)]
 
-    spark = get_spark(app_name="run_at_scale")
+    from foresttime_builder_spark.session import dir_bytes
+
+    spark = get_spark(app_name="run_at_scale", data_bytes=dir_bytes(args.sf_dir))
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
 
     report: dict[str, dict] = {}
