@@ -35,6 +35,19 @@ HEADLINE = [
     "q26_nsvb_carbon",
 ]
 
+#: second recorded table: the heavy round-6+ operator families and the
+#: reference's actual production shapes (state pipeline, stratified
+#: population scaling), so their round-over-round trend is attributable
+#: like the headline 11.  Kept OUT of `value` so the headline total stays
+#: comparable across rounds.
+EXTENDED = [
+    "q51_state_pipeline",
+    "q52_population_stratified",
+    "q59_repetition_quality",
+    "q63_dup_spans",
+    "q64_top_ngrams",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +93,21 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
+    ext_timings: dict[str, float] = {}
+    ext_spread: dict[str, list[float]] = {}
+    for name in EXTENDED:
+        gc.collect()
+        fn = QUERIES[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(n_runs):
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        ext_timings[name] = round(statistics.median(runs), 3)
+        ext_spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -89,6 +117,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "extended": ext_timings,
+                "extended_spread": ext_spread,
+                "extended_total_sec": round(sum(ext_timings.values()), 3),
                 "runs": n_runs,
                 "sf": float(sf) if sf else None,
             }

@@ -36,6 +36,17 @@ def _plane_component(bit: int, dim: int) -> Column:
     return ((h % 2001) - 1000) / 1000.0
 
 
+def _probe_width(emb: DataFrame, vec_col: str) -> int:
+    """Actual embedding width, from one row (arrays carry no static length
+    in the schema; the dataset's width is uniform by contract).  One tiny
+    plan-time job — the price of unrolling the verify arithmetic into
+    whole-stage codegen instead of interpreted array folds."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot probe vector width of {vec_col!r}")
+    return int(row["d"])
+
+
 def signature_bits(vec: Column, dims: int, n_bits: int) -> Column:
     """Sign-bit LSH signature as a bit-string column."""
     bits = []
@@ -134,6 +145,15 @@ def brute_topk_np(
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine for dynamic-width vectors via array higher-order functions.
+
+    HOFs are interpreted per element (zip_with/transform allocate a fresh
+    array per call, every lambda frame is an interpreted expression) —
+    measured ~160 us per pair on the near-dup verify path.  Hot paths with
+    a statically known width use :func:`dot_unrolled` /
+    :func:`cosine_unrolled` instead (same arithmetic, whole-stage
+    codegen'd); this form is kept for callers that genuinely cannot know
+    the width at plan time."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -141,6 +161,34 @@ def cosine(a: Column, b: Column) -> Column:
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
     return dot / (norm(a) * norm(b))
+
+
+def dot_unrolled(a: Column, b: Column, dims: int) -> Column:
+    """Inner product as ``dims`` codegen'd multiply-adds.  Left-associated
+    in index order, exactly like the ``aggregate`` fold in :func:`cosine`
+    (whose leading ``0.0 +`` is value-neutral), so results are
+    bit-identical — only the execution strategy changes: no lambda
+    interpretation, no per-pair array allocation.  Together with the
+    native array cast (the lambda-transform cast is CodegenFallback and
+    was being projection-collapsed into the per-pair verify), q40's sf1
+    wall fell 157.8 -> 32 s; see BASELINE.md round-7 notes."""
+    out = None
+    for j in range(dims):
+        term = a.getItem(j) * b.getItem(j)
+        out = term if out is None else out + term
+    return out
+
+
+def cosine_unrolled(
+    a: Column, b: Column, dims: int,
+    norm_a: Column | None = None, norm_b: Column | None = None,
+) -> Column:
+    """Codegen'd cosine; pass precomputed per-VECTOR norms (computed once
+    per row before the pair join) so the verify stage does one unrolled
+    dot instead of three."""
+    na = F.sqrt(dot_unrolled(a, a, dims)) if norm_a is None else norm_a
+    nb = F.sqrt(dot_unrolled(b, b, dims)) if norm_b is None else norm_b
+    return dot_unrolled(a, b, dims) / (na * nb)
 
 
 def lsh_topk(
@@ -161,10 +209,16 @@ def lsh_topk(
     ``n_bits``).  The correctness gate pins ``n_bits=8`` because its DuckDB
     twin inlines the hyperplanes into static SQL; its runtime therefore
     grows linearly in bucket occupancy by design (measured in
-    ``SCALE_sf1.json``)."""
+    ``SCALE_sf1.json``).
+
+    ``dims`` is the SIGNATURE width (how many leading components feed the
+    hyperplanes); verification always uses the vector's full width, probed
+    once at plan time so the unrolled codegen'd cosine covers every
+    component exactly like the array-fold form it replaced."""
+    vdims = _probe_width(emb, vec_col)
     base = emb.select(
         F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", signature_bits(F.col("vec"), dims, n_bits))
 
     left = base.select(
@@ -173,10 +227,16 @@ def lsh_topk(
         "bucket",
     )
     pairs = left.join(base, on="bucket").filter(F.col("probe_id") != F.col("vid"))
+    # norms INLINE, not as precomputed columns: the threshold filter sinks
+    # into the join condition either way, and a half-materialized /
+    # half-inlined condition measured 2.4x slower than the fully inline
+    # form (81 s vs 34 s at sf1) — see BASELINE.md round-7 notes
     scored = pairs.select(
         "probe_id",
         F.col("vid").alias("neighbor_id"),
-        F.round(cosine(F.col("pvec"), F.col("vec")), 6).alias("cosine"),
+        F.round(cosine_unrolled(F.col("pvec"), F.col("vec"), vdims), 6).alias(
+            "cosine"
+        ),
     )
     w = W.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -240,35 +300,24 @@ def _pround6(col: Column) -> Column:
     return F.floor(col * 1000000.0 + F.lit(0.5)) / F.lit(1000000.0)
 
 
-def _sq_dist(vec: Column, vv: Column, cvec: Column, cc: Column) -> Column:
+def _sq_dist(vec: Column, vv: Column, cvec: Column, cc: Column, dims: int) -> Column:
     """Rounded squared L2 distance via the decomposed form
     ``v·v - 2 v·c + c·c`` (the oracle uses the same decomposition so both
-    engines accumulate in the same order)."""
-    dot = F.aggregate(
-        F.zip_with(vec, cvec, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return _pround6(vv - 2 * dot + cc)
+    engines accumulate in the same order).  Unrolled: the fold form is
+    CodegenFallback and evaluates per assignment-pair (rows x centroids)."""
+    return _pround6(vv - 2 * dot_unrolled(vec, cvec, dims) + cc)
 
 
-def _with_self_dot(df: DataFrame, vec_col: str, out: str) -> DataFrame:
-    return df.withColumn(
-        out,
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x * x),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        ),
-    )
+def _with_self_dot(df: DataFrame, vec_col: str, out: str, dims: int) -> DataFrame:
+    return df.withColumn(out, dot_unrolled(F.col(vec_col), F.col(vec_col), dims))
 
 
-def _assign_to_centroids(base: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_to_centroids(base: DataFrame, cent: DataFrame, dims: int) -> DataFrame:
     """Nearest-centroid assignment: broadcast the k-row centroid table,
     rounded-distance argmin with centroid-id tie-break."""
     pairs = base.crossJoin(F.broadcast(cent)).withColumn(
         "dist",
-        _sq_dist(F.col("vec"), F.col("vv"), F.col("cvec"), F.col("cc")),
+        _sq_dist(F.col("vec"), F.col("vv"), F.col("cvec"), F.col("cc"), dims),
     )
     w = W.partitionBy("vid").orderBy("dist", "cid")
     return (
@@ -310,10 +359,11 @@ def ivf_topk(
     base = _with_self_dot(
         emb.select(
             F.col(id_col).alias("vid"),
-            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
         ),
         "vec",
         "vv",
+        dims,
     )
 
     vid_md5 = F.md5(F.col("vid").cast("string"))
@@ -327,10 +377,10 @@ def ivf_topk(
         .groupBy("cid")
         .agg(F.min_by("vec", seed_key).alias("cvec"))
     )
-    cent = _with_self_dot(cent, "cvec", "cc")
+    cent = _with_self_dot(cent, "cvec", "cc", dims)
 
     for _ in range(iters):
-        assigned = _assign_to_centroids(base, cent)
+        assigned = _assign_to_centroids(base, cent, dims)
         cent = (
             assigned.groupBy("cid")
             .agg(*[F.avg(F.col("vec").getItem(j)).alias(f"m{j}") for j in range(dims)])
@@ -339,9 +389,9 @@ def ivf_topk(
                 F.array(*[_pround6(F.col(f"m{j}")) for j in range(dims)]).alias("cvec"),
             )
         )
-        cent = _with_self_dot(cent, "cvec", "cc")
+        cent = _with_self_dot(cent, "cvec", "cc", dims)
 
-    lists = _assign_to_centroids(base, cent)
+    lists = _assign_to_centroids(base, cent, dims)
 
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("probe_id"),
@@ -350,7 +400,7 @@ def ivf_topk(
     )
     pc = probes.crossJoin(F.broadcast(cent)).withColumn(
         "dist",
-        _sq_dist(F.col("pvec"), F.col("pvv"), F.col("cvec"), F.col("cc")),
+        _sq_dist(F.col("pvec"), F.col("pvv"), F.col("cvec"), F.col("cc"), dims),
     )
     wp = W.partitionBy("probe_id").orderBy("dist", "cid")
     probe_lists = (
@@ -365,7 +415,9 @@ def ivf_topk(
     scored = cands.select(
         "probe_id",
         F.col("vid").alias("neighbor_id"),
-        F.round(cosine(F.col("pvec"), F.col("vec")), 6).alias("cosine"),
+        F.round(cosine_unrolled(F.col("pvec"), F.col("vec"), dims), 6).alias(
+            "cosine"
+        ),
     )
     wr = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -479,20 +531,28 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (dedup family): LSH-bucketed
     candidate generation + exact cosine verification at ``threshold``.
     Fewer bits than top-k search — recall matters more than bucket size for
-    dedup. Returns (id_a, id_b, cosine) with id_a < id_b."""
+    dedup. Returns (id_a, id_b, cosine) with id_a < id_b.  ``dims`` is the
+    signature width; verification covers the probed full vector width."""
+    vdims = _probe_width(emb, vec_col)
     base = emb.select(
         F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", signature_bits(F.col("vec"), dims, n_bits))
     left = base.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        "bucket",
     )
     pairs = left.join(base, on="bucket").filter(F.col("id_a") < F.col("vid"))
+    # norms inline (see lsh_topk): fully-inline condition beats the
+    # half-materialized one 34 s vs 81 s at sf1
     return (
         pairs.select(
             "id_a",
             F.col("vid").alias("id_b"),
-            F.round(cosine(F.col("vec_a"), F.col("vec")), 6).alias("cosine"),
+            F.round(
+                cosine_unrolled(F.col("vec_a"), F.col("vec"), vdims), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

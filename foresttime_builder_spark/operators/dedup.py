@@ -63,6 +63,51 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def estimate_candidate_pairs(
+    docsets: DataFrame, threshold: float, sample_docs: int = 20_000
+) -> int:
+    """Projected pre-``distinct`` candidate volume of the prefix-filtered
+    self-join, from a bounded document sample.
+
+    The quantity that bounds the exact path's feasibility is the candidate
+    *stream* the prefix join shuffles — ``sum over prefix tokens of
+    C(df_token, 2)`` — not the verified output (at sf10 this stream hit
+    ~1.25e9 rows and exceeded local disk while the gate-visible output was
+    tiny).  The estimator replays the actual prefix selection (rarest-first
+    rank, length-dependent prefix) on a uniform doc sample of rate ``p``
+    and scales the summed per-token pair counts by ``1/p^2``: per-token
+    document frequency scales ~``p`` under uniform doc sampling, so
+    ``C(p*df, 2) ~ p^2 * C(df, 2)``.  One small job over ~``sample_docs``
+    documents; no full-corpus shuffle.
+    """
+    n_docs = docsets.count()  # cheap: docsets is persisted by the caller
+    if n_docs == 0:
+        return 0
+    if n_docs <= sample_docs:
+        sample, p = docsets, 1.0
+    else:
+        p = sample_docs / n_docs
+        sample = docsets.sample(fraction=p, seed=7)
+    tok = sample.select("doc_id", "sz", F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        tok.join(F.broadcast(dfreq), "token")
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "token")),
+        )
+        .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    )
+    row = (
+        prefix.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs"))
+        .collect()[0]
+    )
+    sampled_pairs = float(row["pairs"] or 0.0)
+    return int(sampled_pairs / (p * p))
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -70,6 +115,8 @@ def token_jaccard_pairs(
     threshold: float = 0.8,
     strategy: str = "auto",
     tokenizer: Column | None = None,
+    candidate_budget: int | None = None,
+    on_budget: str = "error",
 ) -> DataFrame:
     """All pairs of documents with token-set Jaccard >= threshold (exact).
 
@@ -99,7 +146,22 @@ def token_jaccard_pairs(
       (plausibly tiny vocabulary) does an exact full count confirm, and the
       bitmask path would immediately rescan the corpus anyway.  Callers that
       know their corpus should pass the strategy explicitly.
+
+    ``candidate_budget`` is the regime guard for the exact path: before
+    any full-corpus shuffle, :func:`estimate_candidate_pairs` projects the
+    prefix join's candidate stream from a doc sample; if the projection
+    exceeds the budget the operator either raises with actionable advice
+    (``on_budget='error'``) or degrades to banded MinHash-LSH candidates
+    with the same exact verification and output schema
+    (``on_budget='degrade'``: high recall instead of guaranteed-total
+    recall — the production posture once exact pairs are physically
+    output-bound; banding ``n_hashes=16, band_size=4`` centers the
+    collision s-curve near ``(1/4)^(1/4) ~ 0.71``, matched to the default
+    0.8 threshold).  The guard never fires for ``bitmask`` (candidates are
+    bounded by distinct token-SETS squared, not documents).
     """
+    if on_budget not in ("error", "degrade"):
+        raise ValueError(f"bad on_budget {on_budget!r}")
     # the tokenized relation feeds the candidate join AND both verification
     # sides — persist it so the corpus is tokenized once, not 3-4 times
     # (the standard SSJoin practice of materializing the token relation)
@@ -115,6 +177,30 @@ def token_jaccard_pairs(
 
     if strategy == "auto":
         strategy = "bitmask" if _vocab_fits_mask(docsets) else "prefix"
+
+    if candidate_budget is not None and strategy in ("prefix", "naive"):
+        projected = estimate_candidate_pairs(docsets, threshold)
+        if projected > candidate_budget:
+            docsets.unpersist()
+            if on_budget == "error":
+                raise ValueError(
+                    f"token_jaccard_pairs: projected candidate stream "
+                    f"~{projected:,} pairs exceeds candidate_budget="
+                    f"{candidate_budget:,}; the exact all-pairs answer is "
+                    f"shuffle/output-bound in this regime. Re-run with "
+                    f"on_budget='degrade' (banded MinHash-LSH candidates, "
+                    f"exact verification, same schema), or use "
+                    f"minhash_lsh_pairs / dup_clusters directly."
+                )
+            if tokenizer is not None:
+                raise ValueError(
+                    "on_budget='degrade' supports the default whitespace "
+                    "tokenizer only (minhash_lsh_pairs tokenizes internally)"
+                )
+            return minhash_lsh_pairs(
+                df, id_col, text_col, n_hashes=16, band_size=4,
+                threshold=threshold,
+            )
 
     if strategy == "bitmask":
         return _release_on_gc(_jaccard_bitmask(docsets, threshold), docsets)

@@ -936,18 +936,20 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_N, _MH_BAND = 16, 2
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_lsh_oracle(
+    n_hashes: int = _MH_N, band_size: int = _MH_BAND, threshold: float = 0.5
+) -> str:
     mins = ",\n         ".join(
         f"min({_HASH60_SQL.format(x=repr(str(i) + '|') + ' || token')}) AS mh_{i:02d}"
-        for i in range(_MH_N)
+        for i in range(n_hashes)
     )
-    n_bands = _MH_N // _MH_BAND
+    n_bands = n_hashes // band_size
     bands = ",\n         ".join(
         "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
             b=b,
             cols=", ".join(
-                f"CAST(mh_{b * _MH_BAND + j:02d} AS VARCHAR)"
-                for j in range(_MH_BAND)
+                f"CAST(mh_{b * band_size + j:02d} AS VARCHAR)"
+                for j in range(band_size)
             ),
         )
         for b in range(n_bands)
@@ -991,7 +993,7 @@ FROM cand
 JOIN docsets sa ON sa.doc_id = doc_a
 JOIN docsets sb ON sb.doc_id = doc_b
 WHERE round(len(list_intersect(sa.toks, sb.toks))
-            / (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))), 4) >= 0.5
+            / (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))), 4) >= {threshold}
 """
 
 
@@ -2634,6 +2636,31 @@ SELECT doc_id, x, y, {zorder_key_sql("x", "y", 16)} AS zkey FROM t
 """
 
 
+def q76_jaccard_budget_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-pair regime guard in its degrade mode
+    (`operators/dedup.token_jaccard_pairs(candidate_budget=..., on_budget=
+    'degrade')`): the sample-based estimator projects the prefix join's
+    candidate stream BEFORE any full-corpus shuffle, and a deliberately
+    tiny budget forces the banded-MinHash fallback — LSH candidates with
+    the same exact verification and output schema as q16, centered for the
+    0.8 threshold (n_hashes=16, band_size=4).  This is the in-engine
+    escape hatch for the regime where q16's exact answer is physically
+    output-bound (sf10: ~1.25e9-candidate shuffle > local disk)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.8, strategy="prefix",
+        candidate_budget=1, on_budget="degrade",
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias(
+            "jaccard_e4"
+        ),
+    )
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2782,4 +2809,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q73_rolling_revenue": QuerySpec(q73_rolling_revenue, ORACLE_Q73),
     "q74_temperature_mix": QuerySpec(q74_temperature_mix, ORACLE_Q74),
     "q75_zorder_key": QuerySpec(q75_zorder_key, _zorder_oracle()),
+    "q76_jaccard_budget_guard": QuerySpec(
+        q76_jaccard_budget_guard,
+        _minhash_lsh_oracle(n_hashes=16, band_size=4, threshold=0.8),
+    ),
 }

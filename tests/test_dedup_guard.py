@@ -70,3 +70,79 @@ def test_auto_flips_to_prefix_and_matches_bitmask_semantics(spark):
         wide, "doc_id", "text", threshold=0.5, strategy="auto"
     ).count()
     assert got_wide > 0
+
+
+def test_candidate_budget_error_fires_before_shuffle(spark):
+    """A tiny budget must raise BEFORE any full-corpus candidate shuffle,
+    with actionable advice in the message."""
+    wide = _corpus(spark, vocab=120)
+    with pytest.raises(ValueError, match="degrade"):
+        token_jaccard_pairs(
+            wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+            candidate_budget=1, on_budget="error",
+        )
+
+
+def test_candidate_budget_degrade_is_verified_subset_of_exact(spark):
+    """Degrade mode returns banded-LSH candidates with EXACT verification:
+    every returned pair must appear in the exact answer with identical
+    n_common/jaccard (recall may drop, precision may not)."""
+    wide = _corpus(spark, vocab=120)
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in token_jaccard_pairs(
+            wide, "doc_id", "text", threshold=0.5, strategy="prefix"
+        ).collect()
+    }
+    degraded = token_jaccard_pairs(
+        wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+        candidate_budget=1, on_budget="degrade",
+    ).collect()
+    assert degraded, "banded mode found no pairs on an overlap-dense corpus"
+    for r in degraded:
+        assert (r.doc_a, r.doc_b) in exact
+        assert (r.n_common, r.jaccard) == exact[(r.doc_a, r.doc_b)]
+
+
+def test_candidate_budget_not_exceeded_runs_exact(spark):
+    """A generous budget must leave the exact path untouched."""
+    wide = _corpus(spark, vocab=120)
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in token_jaccard_pairs(
+            wide, "doc_id", "text", threshold=0.5, strategy="prefix"
+        ).collect()
+    }
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in token_jaccard_pairs(
+            wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+            candidate_budget=10_000_000, on_budget="error",
+        ).collect()
+    }
+    assert guarded == base
+
+
+def test_estimator_order_of_magnitude(spark):
+    """The sample-based projection must land within a small factor of the
+    true pre-distinct candidate stream on a corpus big enough to sample
+    (rate ~0.4), and be exact when the corpus fits the sample."""
+    from foresttime_builder_spark.operators.dedup import (
+        estimate_candidate_pairs,
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    big = _corpus(spark, vocab=50_000)
+    docsets = (
+        big.select(F.col("doc_id"), tokens("text").alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .persist()
+    )
+    try:
+        projected = estimate_candidate_pairs(docsets, 0.5, sample_docs=20_000)
+        true = estimate_candidate_pairs(docsets, 0.5, sample_docs=10**9)
+        assert true > 0
+        assert true / 4 <= projected <= true * 4, (projected, true)
+    finally:
+        docsets.unpersist()
