@@ -36,6 +36,23 @@ def _plane_component(bit: int, dim: int) -> Column:
     return ((h % 2001) - 1000) / 1000.0
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a CPU-dense side across the session's cores when its
+    scan arrives narrower than the parallelism.
+
+    The pair-verify stages here do hundreds of flops per PAIR while the
+    input is tiny per row — a 10 MB embeddings file is ONE scan split, so
+    without this the whole multi-million-pair verify runs on a single core
+    (measured: q40's sf1 verify 32 s on 1 of 32 cores).  The added corpus
+    shuffle is linear and negligible next to the verify; at production
+    scale the scan already has >= parallelism splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _probe_width(emb: DataFrame, vec_col: str) -> int:
     """Actual embedding width, from one row (arrays carry no static length
     in the schema; the dataset's width is uniform by contract).  One tiny
@@ -221,10 +238,12 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", signature_bits(F.col("vec"), dims, n_bits))
 
-    left = base.select(
-        F.col("vid").alias("probe_id"),
-        F.col("vec").alias("pvec"),
-        "bucket",
+    left = _spread(
+        base.select(
+            F.col("vid").alias("probe_id"),
+            F.col("vec").alias("pvec"),
+            "bucket",
+        )
     )
     pairs = left.join(base, on="bucket").filter(F.col("probe_id") != F.col("vid"))
     # norms INLINE, not as precomputed columns: the threshold filter sinks
@@ -357,9 +376,11 @@ def ivf_topk(
     simply fewer lists, identically in both engines.
     """
     base = _with_self_dot(
-        emb.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
+        _spread(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
         ),
         "vec",
         "vv",
@@ -538,10 +559,12 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("bucket", signature_bits(F.col("vec"), dims, n_bits))
-    left = base.select(
-        F.col("vid").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        "bucket",
+    left = _spread(
+        base.select(
+            F.col("vid").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            "bucket",
+        )
     )
     pairs = left.join(base, on="bucket").filter(F.col("id_a") < F.col("vid"))
     # norms inline (see lsh_topk): fully-inline condition beats the
