@@ -238,6 +238,86 @@ def test_engine_matches_published_deduction_algebra(estimated, tree):
     assert contract[tag]["CARBON_AG"] == pytest.approx(exp["CARBON_AG"], rel=REL)
 
 
+# ---------------------------------------------------------------------------
+# Bisection-arm anchors: rcumob (merch-height profile) and volob rows,
+# transcribed from the published CSVs.  The merch height has no closed form
+# (it is the root of the published diameter-profile equation), but the ROOT
+# PROPERTY is checkable with published algebra alone: substituting the
+# engine's HT4 back into the published profile must give back the 4-inch
+# merchantability limit.  Sections volumes above the root ARE closed-form
+# (findVol, R/predictCRM2.R:767-785), so VMERIB/VSTPIB anchor exactly once
+# HT4 is certified.
+RCUMOB = {  # rcumob_coefs.csv "SPCD DIVISION" -> (alpha, beta)
+    131: (2.120196112478, 0.870729288379),   # "131 230"
+    316: (2.509392320362, 0.909544424852),   # "316 M220"
+    111: (2.031462229442, 0.829936344786),   # "111 230"
+}
+VOLOB = {  # volob_coefs.csv -> eq3 (a, b, c)
+    131: (0.002585344478, 1.927334736454, 1.053005504332),  # "131 230"
+    316: (0.003372461547, 1.909873966946, 0.975448469001),  # "316 M220"
+    111: (0.003633228676, 1.952409264085, 0.965147963283),  # "111 230"
+}
+# rcumib rows already transcribed for HT_RAT_ADJ; reused for section volumes
+RCUMIB = {
+    131: (2.084027404329, 0.88992991865),
+    316: (2.539226776257, 0.898401820199),
+    111: (2.032340091912, 0.830535356908),
+}
+
+LIVE_TREES = [t for t in TREES if t[7] == 1]
+
+
+@pytest.mark.parametrize("tree", LIVE_TREES, ids=[t[0] for t in LIVE_TREES])
+def test_merch_height_satisfies_published_profile(estimated, tree):
+    """Substitution anchor for the root find: the published diameter
+    profile (reference ``findHT``'s objective, ``R/predictCRM2.R:737-751``)
+    evaluated at the engine's HT4/HTSAW must return the published
+    merchantability limits (4-inch top; 7-inch softwood / 9-inch hardwood
+    sawlog top, ``R/predictCRM2.R:25``).  The bisection brackets the root
+    within ``THT / 2^48``, so the residual must be far below the 1e-6
+    asserted here — no builder-authored root finder is consulted."""
+    _, full = estimated
+    tag, spcd, D, tht = tree[0], tree[1], tree[2], tree[3]
+    a, b, c = VOLOB[spcd]
+    alpha, beta = RCUMOB[spcd]
+    K = a * D**b * tht**c / 0.005454154 / tht * alpha * beta
+
+    def profile_d(h: float) -> float:
+        x = h / tht
+        return math.sqrt(
+            K * (1 - x) ** (alpha - 1) * (1 - (1 - x) ** alpha) ** (beta - 1)
+        )
+
+    ht4 = full[tag]["HT4"]
+    assert ht4 is not None and 5.0 < ht4 < tht
+    assert abs(profile_d(ht4) - 4.0) < 1e-6, f"{tag}: pd(HT4)={profile_d(ht4)}"
+
+    saw_lim = 7.0 if SPECIES[spcd]["grp"] == "S" else 9.0
+    htsaw = full[tag]["HTSAW"]
+    assert htsaw is not None and 5.0 < htsaw < tht
+    assert abs(profile_d(htsaw) - saw_lim) < 1e-6, f"{tag}: pd(HTSAW)"
+
+
+@pytest.mark.parametrize("tree", LIVE_TREES, ids=[t[0] for t in LIVE_TREES])
+def test_section_volumes_match_published_closed_form(estimated, tree):
+    """With HT4 certified by the substitution anchor above, the merch and
+    stump volumes are direct evaluations of the published cumulative-ratio
+    profile (``findVol``: ``(1-(1-h/H)^alpha)^beta * VTOT`` differenced
+    between heights, with the rcumib row; ``R/predictCRM2.R:94-162``
+    fixes the bounds: merch = 1 ft stump to HT4, stump = 0 to 1 ft)."""
+    _, full = estimated
+    tag, spcd, D, tht = tree[0], tree[1], tree[2], tree[3]
+    vib = SPECIES[spcd]["vib"](D, tht)
+    al, be = RCUMIB[spcd]
+
+    def r(h: float) -> float:
+        return (1 - (1 - h / tht) ** al) ** be * vib
+
+    ht4 = full[tag]["HT4"]
+    assert full[tag]["VMERIB_GROSS"] == pytest.approx(r(ht4) - r(1.0), rel=REL)
+    assert full[tag]["VSTPIB_GROSS"] == pytest.approx(r(1.0) - r(0.0), rel=REL)
+
+
 def test_transcribed_deduction_rows_match_vendored_resources():
     """Spot-check the transcription against the vendored resource CSVs the
     engine loads (themselves verified against the reference's data-raw by
@@ -259,6 +339,24 @@ def test_transcribed_deduction_rows_match_vendored_resources():
     assert float(rcumib["131 230"]["alpha"]) == 2.084027404329
     assert float(rcumib["316 M220"]["beta"]) == 0.898401820199
     assert float(rcumib["111 230"]["alpha"]) == 2.032340091912
+
+    rcumob = {
+        r["SPCD_DIVISION"]: r
+        for r in rows(os.path.join(res, "coefs", "rcumob_coefs.csv"))
+        if r.get("SPCD_DIVISION")
+    }
+    assert float(rcumob["131 230"]["alpha"]) == 2.120196112478
+    assert float(rcumob["316 M220"]["beta"]) == 0.909544424852
+    assert float(rcumob["111 230"]["alpha"]) == 2.031462229442
+
+    volob = {
+        r["SPCD_DIVISION"]: r
+        for r in rows(os.path.join(res, "coefs", "volob_coefs.csv"))
+        if r.get("SPCD_DIVISION")
+    }
+    assert float(volob["131 230"]["a"]) == 0.002585344478
+    assert float(volob["316 M220"]["b"]) == 1.909873966946
+    assert float(volob["111 230"]["c"]) == 0.965147963283
 
     bark = {
         r["SPCD_DIVISION"]: r
