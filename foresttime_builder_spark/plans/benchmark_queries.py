@@ -2661,6 +2661,55 @@ def q76_jaccard_budget_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup FINALIZE — the step after clustering (q50) that a training
+    pipeline actually ships: keep exactly one representative per near-dup
+    cluster, chosen by a quality rule (longest document, doc_id
+    tie-break), and pass every singleton through.  Composes the connected-
+    components clusters with the text-quality family: one extra hash
+    shuffle on the cluster key.  Keep rule is a total order, so the
+    result is deterministic and engine-portable."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    clusters = q50_dup_clusters(spark, sf_dir)
+    toks = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    joined = toks.join(clusters, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.col("doc_id"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "n_tokens")
+    )
+
+
+def _dedup_keep_best_oracle() -> str:
+    return f"""
+WITH clusters AS ({_dup_clusters_oracle()}),
+toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+joined AS (
+  SELECT t.doc_id, t.n_tokens,
+         coalesce(c.cluster_id, t.doc_id) AS cluster_id,
+         coalesce(c.cluster_size, 1) AS cluster_size
+  FROM toks t LEFT JOIN clusters c ON t.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rnk
+  FROM joined
+)
+SELECT doc_id, cluster_id, cluster_size, n_tokens
+FROM ranked WHERE rnk = 1
+"""
+
+
 def q63_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022 ExactSubstr,
     re-expressed as a distributed rolling-window inventory + per-document
@@ -2812,5 +2861,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q76_jaccard_budget_guard": QuerySpec(
         q76_jaccard_budget_guard,
         _minhash_lsh_oracle(n_hashes=16, band_size=4, threshold=0.8),
+    ),
+    "q77_dedup_keep_best": QuerySpec(
+        q77_dedup_keep_best, _dedup_keep_best_oracle()
     ),
 }
