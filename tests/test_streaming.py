@@ -322,3 +322,40 @@ def test_multibatch_foreach_upsert_equals_batch(spark, chunked, tmp_path_factory
     )
     cols = ["user_id", "event_id", "event_type", "value", "ts"]
     assert _canon(got, cols) == _canon(expected, cols)
+
+
+def test_foreach_upsert_restart_idempotent(spark, chunked, tmp_path_factory):
+    """Cross-restart idempotency (the ADVICE fix): with a CALLER-SUPPLIED
+    persistent checkpoint, re-invoking the upsert over the same drained
+    source must replay nothing — the committed snapshot is byte-identical
+    — and the CURRENT pointer always resolves (no missing-table window)."""
+    from foresttime_builder_spark.streaming.events import (
+        read_upsert_table,
+        run_foreach_batch_upsert,
+    )
+
+    d, ev = chunked
+    root = str(tmp_path_factory.mktemp("upsert_restart"))
+    target = os.path.join(root, "latest")
+    ckpt = os.path.join(root, "ckpt")
+
+    run_foreach_batch_upsert(
+        _chunk_stream(spark, d), target,
+        keys=("user_id",), version_col="ts", tie_break=("event_id",),
+        checkpoint_dir=ckpt,
+    )
+    first = _canon(
+        read_upsert_table(spark, target),
+        ["user_id", "event_id", "event_type", "value", "ts"],
+    )
+    # "restart": fresh invocation, same source, same persistent checkpoint
+    run_foreach_batch_upsert(
+        _chunk_stream(spark, d), target,
+        keys=("user_id",), version_col="ts", tie_break=("event_id",),
+        checkpoint_dir=ckpt,
+    )
+    second = _canon(
+        read_upsert_table(spark, target),
+        ["user_id", "event_id", "event_type", "value", "ts"],
+    )
+    assert first == second
