@@ -53,6 +53,42 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+#: default LSH bucket-occupancy target: buckets of ~this many vectors keep
+#: the candidate stream ~linear in corpus size (candidates ~ N * occupancy)
+LSH_TARGET_OCCUPANCY = 64
+LSH_MIN_BITS, LSH_MAX_BITS = 2, 20
+
+
+def adaptive_bits(
+    n: int,
+    target: int = LSH_TARGET_OCCUPANCY,
+    lo: int = LSH_MIN_BITS,
+    hi: int = LSH_MAX_BITS,
+) -> int:
+    """Smallest ``nb`` in [lo, hi] with ``target * 2^nb >= n`` — i.e. grow
+    the signature until expected bucket occupancy falls to ``target``.
+    Integer comparisons only (no float log2), so the SQL twin
+    (:func:`adaptive_bits_sql`) is bit-identical on any engine."""
+    nb = lo
+    while nb < hi and n > target * (1 << nb):
+        nb += 1
+    return nb
+
+
+def adaptive_bits_sql(
+    n_expr: str,
+    target: int = LSH_TARGET_OCCUPANCY,
+    lo: int = LSH_MIN_BITS,
+    hi: int = LSH_MAX_BITS,
+) -> str:
+    """SQL twin of :func:`adaptive_bits` as a CASE chain over ``n_expr``."""
+    arms = "\n    ".join(
+        f"WHEN {n_expr} <= {target * (1 << nb)} THEN {nb}"
+        for nb in range(lo, hi)
+    )
+    return f"CASE {arms} ELSE {hi} END"
+
+
 def _probe_width(emb: DataFrame, vec_col: str) -> int:
     """Actual embedding width, from one row (arrays carry no static length
     in the schema; the dataset's width is uniform by contract).  One tiny
@@ -213,26 +249,32 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 32,
-    n_bits: int = 8,
+    n_bits: int | str = "auto",
     k: int = 3,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
 ) -> DataFrame:
     """Top-``k`` same-bucket neighbors per vector under random-hyperplane
     LSH with exact cosine re-ranking (ranking on the rounded cosine so the
     order is reproducible across engines).
 
-    Scale knob: expected bucket occupancy is ``N / 2**n_bits``, so keep
-    per-bucket work constant by growing ``n_bits`` ~ ``log2(N / B)`` for a
-    target bucket size ``B`` (use multiple hash tables for recall at high
-    ``n_bits``).  The correctness gate pins ``n_bits=8`` because its DuckDB
-    twin inlines the hyperplanes into static SQL; its runtime therefore
-    grows linearly in bucket occupancy by design (measured in
-    ``SCALE_sf1.json``).
+    Scale design: at a FIXED signature width the candidate stream is
+    ``N^2 / 2^n_bits`` — quadratic in corpus size.  The default
+    ``n_bits='auto'`` therefore grows the signature with the corpus
+    (smallest nb with ``target_occupancy * 2^nb >= N``, one count() at
+    plan time): expected bucket occupancy stays ~``target_occupancy`` and
+    the candidate stream stays ~``N * target_occupancy`` — linear.  The
+    DuckDB twin derives the same nb from the same count with the same
+    integer comparisons (:func:`adaptive_bits_sql`), so the gate holds at
+    every SF.  Use multiple hash tables for recall at high nb; pass an
+    int to pin the width explicitly.
 
     ``dims`` is the SIGNATURE width (how many leading components feed the
     hyperplanes); verification always uses the vector's full width, probed
     once at plan time so the unrolled codegen'd cosine covers every
     component exactly like the array-fold form it replaced."""
     vdims = _probe_width(emb, vec_col)
+    if n_bits == "auto":
+        n_bits = adaptive_bits(emb.count(), target_occupancy)
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -267,36 +309,58 @@ def lsh_topk(
     )
 
 
+def _plane_sql(b: int, j: int) -> str:
+    h = f"CAST(concat('0x', substr(md5('{b}_{j}'), 1, 15)) AS BIGINT)"
+    return f"(({h} % 2001) - 1000) / 1000.0"
+
+
+def _sig_sql(dims: int, n_bits: int) -> str:
+    """Hyperplane-signature SQL twin of :func:`signature_bits`."""
+    bit_exprs = []
+    for b in range(n_bits):
+        dot = " + ".join(
+            f"CAST(vec[{j + 1}] AS DOUBLE) * {_plane_sql(b, j)}"
+            for j in range(dims)
+        )
+        bit_exprs.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bit_exprs)
+
+
+def _sigs_cte(table_cte: str, dims: int, n_bits, target_occupancy: int) -> str:
+    """CTEs computing per-row buckets: fixed-width when ``n_bits`` is an
+    int; in auto mode the signature is built at LSH_MAX_BITS and truncated
+    to the width :func:`adaptive_bits_sql` derives from count(*) — the
+    same integer chain the Spark side evaluates at plan time."""
+    if n_bits == "auto":
+        sig = _sig_sql(dims=dims, n_bits=LSH_MAX_BITS)
+        nb = adaptive_bits_sql("(SELECT count(*) FROM " + table_cte + ")",
+                               target_occupancy)
+        return f"""nbq AS (SELECT {nb} AS nb),
+sigs AS (
+  SELECT vid, vec,
+         substr({sig}, 1, (SELECT nb FROM nbq)) AS bucket
+  FROM {table_cte}
+)"""
+    sig = _sig_sql(dims=dims, n_bits=n_bits)
+    return f"sigs AS (\n  SELECT vid, vec, {sig} AS bucket FROM {table_cte}\n)"
+
+
 def lsh_topk_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 32,
-    n_bits: int = 8,
+    n_bits: int | str = "auto",
     k: int = 3,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
 ) -> str:
-    """DuckDB twin of :func:`lsh_topk` (identical hyperplane construction)."""
-
-    def plane(b: int, j: int) -> str:
-        h = (
-            f"CAST(concat('0x', substr(md5('{b}_{j}'), 1, 15)) AS BIGINT)"
-        )
-        return f"(({h} % 2001) - 1000) / 1000.0"
-
-    bit_exprs = []
-    for b in range(n_bits):
-        dot = " + ".join(
-            f"CAST(vec[{j + 1}] AS DOUBLE) * {plane(b, j)}" for j in range(dims)
-        )
-        bit_exprs.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
-    sig = " || ".join(bit_exprs)
+    """DuckDB twin of :func:`lsh_topk` (identical hyperplane construction
+    and, in auto mode, identical occupancy-derived signature width)."""
     return f"""
 WITH base AS (
   SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
 ),
-sigs AS (
-  SELECT vid, vec, {sig} AS bucket FROM base
-),
+{_sigs_cte("base", dims, n_bits, target_occupancy)},
 pairs AS (
   SELECT a.vid AS probe_id, b.vid AS neighbor_id,
          round(list_dot_product(a.vec, b.vec)
@@ -333,17 +397,101 @@ def _with_self_dot(df: DataFrame, vec_col: str, out: str, dims: int) -> DataFram
 
 def _assign_to_centroids(base: DataFrame, cent: DataFrame, dims: int) -> DataFrame:
     """Nearest-centroid assignment: broadcast the k-row centroid table,
-    rounded-distance argmin with centroid-id tie-break."""
-    pairs = base.crossJoin(F.broadcast(cent)).withColumn(
-        "dist",
-        _sq_dist(F.col("vec"), F.col("vv"), F.col("cvec"), F.col("cc"), dims),
+    rounded-distance argmin with centroid-id tie-break.
+
+    Shape matters at k ~ sqrt(N): distances are computed map-side in the
+    broadcast cross join and immediately collapsed to one row per vector
+    with a PARTIALLY-AGGREGATING ``min_by`` over (dist, cid) — lexical
+    struct order == the ``ORDER BY dist, cid`` window it replaces — so the
+    shuffle carries N skinny rows, not N*k rows with 512-byte vectors
+    (the windowed form measured 5x slower at sf1 once k grew to 256).
+    Vectors are re-attached by a plain N-row join."""
+    pairs = base.crossJoin(F.broadcast(cent)).select(
+        "vid",
+        "cid",
+        _sq_dist(F.col("vec"), F.col("vv"), F.col("cvec"), F.col("cc"), dims).alias(
+            "dist"
+        ),
     )
-    w = W.partitionBy("vid").orderBy("dist", "cid")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "vec", "vv", "cid")
+    best = pairs.groupBy("vid").agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
     )
+    return base.join(best, on="vid").select("vid", "vec", "vv", "cid")
+
+
+IVF_MIN_K, IVF_MAX_K = 8, 4096
+
+
+def adaptive_k_clusters(n: int, lo: int = IVF_MIN_K, hi: int = IVF_MAX_K) -> int:
+    """Smallest power-of-two k in [lo, hi] with ``k^2 >= n`` — the classic
+    IVF balance point: Lloyd assignment costs O(n*k) and probing costs
+    O(n/k * probes), so k ~ sqrt(n) keeps both sub-quadratic.  Integer
+    comparisons only; :func:`adaptive_k_sql` is the engine twin."""
+    kk = lo
+    while kk < hi and kk * kk < n:
+        kk *= 2
+    return kk
+
+
+def adaptive_k_sql(n_expr: str, lo: int = IVF_MIN_K, hi: int = IVF_MAX_K) -> str:
+    arms = []
+    kk = lo
+    while kk < hi:
+        arms.append(f"WHEN {n_expr} <= {kk * kk} THEN {kk}")
+        kk *= 2
+    return "CASE " + "\n    ".join(arms) + f" ELSE {hi} END"
+
+
+def _assign_arrow(
+    base: DataFrame, cent_rows: list, dims: int, top: int = 1
+) -> DataFrame:
+    """Nearest-centroid assignment with the centroid MATRIX as a task
+    closure (k ~ sqrt(N) centroids = a few hundred KB), vectorized over
+    Arrow batches.
+
+    Why not the broadcast crossJoin: its per-pair 64-term distance lands
+    in a BroadcastNestedLoopJoin projection that Spark evaluates
+    INTERPRETED (~110 us/eval measured; 19 s for 20k x 256 at sf1 vs 1.2 s
+    for an 8-term distance) — the numpy kernel does the same N*k*dims
+    flops in ~0.1 s.  Arithmetic parity with the SQL twin is exact by
+    construction: the dot accumulates in INDEX ORDER over a dims-loop of
+    vectorized adds (same left-associated fold as ``dot_unrolled`` / the
+    oracle's ``+``-chain), the rounding is the same ``floor(x*1e6+0.5)/
+    1e6``, and ties resolve to the smallest cid (stable argsort /
+    first-occurrence argmin over cid-ascending columns == ``ORDER BY
+    dist, cid``).  Returns (vid, cid) rows — ``top`` nearest per vector.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cent_rows, key=lambda r: r["cid"])
+    C = np.array([list(r["cvec"]) for r in cent_rows], dtype="float64")
+    CC = np.array([r["cc"] for r in cent_rows], dtype="float64")
+    cids = np.array([r["cid"] for r in cent_rows], dtype="int32")
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["vec"].to_numpy()).astype("float64")
+            VV = pdf["vv"].to_numpy(dtype="float64")
+            acc = np.zeros((len(pdf), len(cids)))
+            for j in range(dims):  # index order == the SQL fold
+                acc += M[:, j : j + 1] * C[:, j][None, :]
+            dist = np.floor((VV[:, None] - 2.0 * acc + CC[None, :]) * 1e6 + 0.5) / 1e6
+            take = min(top, dist.shape[1])
+            if take == 1:
+                best = np.argmin(dist, axis=1)[:, None]  # first min = min cid
+            else:
+                best = np.argsort(dist, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf["vid"].to_numpy(), take),
+                    "cid": cids[best].ravel(),
+                }
+            )
+
+    return base.mapInPandas(fn, "vid long, cid int")
 
 
 def ivf_topk(
@@ -351,7 +499,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
-    k_clusters: int = 8,
+    k_clusters: int | str = "auto",
     iters: int = 2,
     nprobe: int = 2,
     k: int = 3,
@@ -374,7 +522,14 @@ def ivf_topk(
     (:func:`ivf_topk_oracle_sql` uses the identical bucket/argmin).  A
     pathologically tiny corpus can leave a bucket empty — then there are
     simply fewer lists, identically in both engines.
-    """
+
+    ``k_clusters='auto'`` (default) derives k ~ sqrt(N) from one plan-time
+    count (see :func:`adaptive_k_clusters`) so neither the Lloyd
+    assignment (O(N*k)) nor the probe scan (O(N/k * probes)) goes
+    quadratic as the corpus grows; the oracle derives the identical k in
+    SQL.  Pass an int to pin it."""
+    if k_clusters == "auto":
+        k_clusters = adaptive_k_clusters(emb.count())
     base = _with_self_dot(
         _spread(
             emb.select(
@@ -400,8 +555,15 @@ def ivf_topk(
     )
     cent = _with_self_dot(cent, "cvec", "cc", dims)
 
+    # Lloyd iterations are driver-coordinated (the standard k-means shape):
+    # each round collects the k centroid rows (k ~ sqrt(N), a few hundred
+    # KB) and bakes them into the next assignment's task closure, so every
+    # iteration's plan is base -> one Arrow map -> one groupBy — no plan
+    # chaining, no recomputation of earlier rounds.
     for _ in range(iters):
-        assigned = _assign_to_centroids(base, cent, dims)
+        assigned = base.join(
+            _assign_arrow(base, cent.collect(), dims), on="vid"
+        )
         cent = (
             assigned.groupBy("cid")
             .agg(*[F.avg(F.col("vec").getItem(j)).alias(f"m{j}") for j in range(dims)])
@@ -412,22 +574,26 @@ def ivf_topk(
         )
         cent = _with_self_dot(cent, "cvec", "cc", dims)
 
-    lists = _assign_to_centroids(base, cent, dims)
+    cent_rows = cent.collect()
+    lists = base.join(_assign_arrow(base, cent_rows, dims), on="vid")
 
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("probe_id"),
         F.col("vec").alias("pvec"),
         F.col("vv").alias("pvv"),
     )
-    pc = probes.crossJoin(F.broadcast(cent)).withColumn(
-        "dist",
-        _sq_dist(F.col("pvec"), F.col("pvv"), F.col("cvec"), F.col("cc"), dims),
-    )
-    wp = W.partitionBy("probe_id").orderBy("dist", "cid")
-    probe_lists = (
-        pc.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select("probe_id", "pvec", "cid")
+    probe_assign = _assign_arrow(
+        probes.select(
+            F.col("probe_id").alias("vid"),
+            F.col("pvec").alias("vec"),
+            F.col("pvv").alias("vv"),
+        ),
+        cent_rows,
+        dims,
+        top=nprobe,
+    ).select(F.col("vid").alias("probe_id"), "cid")
+    probe_lists = probes.select("probe_id", "pvec").join(
+        probe_assign, on="probe_id"
     )
 
     cands = probe_lists.join(lists, on="cid").filter(
@@ -452,14 +618,16 @@ def ivf_topk_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: int | str = "auto",
     iters: int = 2,
     nprobe: int = 2,
     k: int = 3,
     probe_mod: int = 25,
 ) -> str:
     """DuckDB twin of :func:`ivf_topk` — identical init ordering, Lloyd
-    iteration count, centroid/distance rounding, and tie-breaks."""
+    iteration count, centroid/distance rounding, and tie-breaks; in auto
+    mode k is derived from count(*) by the same integer chain
+    (:func:`adaptive_k_sql`)."""
     dist = (
         "floor((list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
         " + list_dot_product({c}, {c})) * 1000000.0 + 0.5) / 1000000.0"
@@ -489,9 +657,15 @@ def ivf_topk_oracle_sql(
         f"""base AS (
   SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
 )""",
+        (
+            "kq AS (SELECT " + adaptive_k_sql("(SELECT count(*) FROM base)")
+            + " AS kk)"
+            if k_clusters == "auto"
+            else f"kq AS (SELECT {k_clusters} AS kk)"
+        ),
         f"""cent0 AS (
   SELECT CAST(CAST(concat('0x', substr(md5(md5(CAST(vid AS VARCHAR))), 1, 15))
-                   AS BIGINT) % {k_clusters} AS INT) AS cid,
+                   AS BIGINT) % (SELECT kk FROM kq) AS INT) AS cid,
          arg_min(vec, concat(md5(CAST(vid AS VARCHAR)),
                              lpad(CAST(vid AS VARCHAR), 20, '0'))) AS cvec
   FROM base GROUP BY 1
@@ -546,15 +720,22 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 32,
-    n_bits: int = 6,
+    n_bits: int | str = "auto",
     threshold: float = 0.3,
+    target_occupancy: int = 2 * LSH_TARGET_OCCUPANCY,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): LSH-bucketed
     candidate generation + exact cosine verification at ``threshold``.
-    Fewer bits than top-k search — recall matters more than bucket size for
-    dedup. Returns (id_a, id_b, cosine) with id_a < id_b.  ``dims`` is the
-    signature width; verification covers the probed full vector width."""
+    Returns (id_a, id_b, cosine) with id_a < id_b.  ``dims`` is the
+    signature width; verification covers the probed full vector width.
+
+    ``n_bits='auto'`` (see :func:`lsh_topk`): occupancy-targeted width so
+    the candidate stream stays linear in corpus size; the dedup default
+    targets 2x the top-k occupancy because recall matters more than
+    bucket size here.  Pass an int to pin the width."""
     vdims = _probe_width(emb, vec_col)
+    if n_bits == "auto":
+        n_bits = adaptive_bits(emb.count(), target_occupancy)
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -586,25 +767,15 @@ def embedding_neardup_oracle_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 32,
-    n_bits: int = 6,
+    n_bits: int | str = "auto",
     threshold: float = 0.3,
+    target_occupancy: int = 2 * LSH_TARGET_OCCUPANCY,
 ) -> str:
-    def plane(b: int, j: int) -> str:
-        h = f"CAST(concat('0x', substr(md5('{b}_{j}'), 1, 15)) AS BIGINT)"
-        return f"(({h} % 2001) - 1000) / 1000.0"
-
-    bit_exprs = []
-    for b in range(n_bits):
-        dot = " + ".join(
-            f"CAST(vec[{j + 1}] AS DOUBLE) * {plane(b, j)}" for j in range(dims)
-        )
-        bit_exprs.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
-    sig = " || ".join(bit_exprs)
     return f"""
 WITH base AS (
   SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
 ),
-sigs AS (SELECT vid, vec, {sig} AS bucket FROM base)
+{_sigs_cte("base", dims, n_bits, target_occupancy)}
 SELECT a.vid AS id_a, b.vid AS id_b,
        round(list_dot_product(a.vec, b.vec)
              / (sqrt(list_dot_product(a.vec, a.vec))
