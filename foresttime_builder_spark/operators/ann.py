@@ -13,12 +13,19 @@ Three paths over an ``array<float>`` embedding column:
   inverted lists; probes scan only the ``nprobe`` nearest lists.
 
 Scale notes: the signature computation is a narrow map; the bucket join
-shuffles on the bucket key (buckets ≈ 2^n_bits, tune n_bits so buckets fit
-in a partition); re-ranking touches only same-bucket pairs, turning the
-quadratic all-pairs into sum-of-squared-bucket-sizes.  For IVF the centroid
-table is tiny (k rows) and always broadcast; assignment is a narrow map +
-one k-row window, so the corpus is touched ``iters + 1`` times with no wide
-shuffle — and probe search reads ``nprobe / k`` of the corpus.
+shuffles on the bucket key; re-ranking touches only same-bucket pairs,
+turning the quadratic all-pairs into sum-of-squared-bucket-sizes.  Both
+families SELF-SCALE their partitioning parameter from one plan-time
+count: LSH grows ``n_bits`` until expected occupancy hits a target
+(:func:`adaptive_bits` — candidate stream ~ N·occupancy, linear), and IVF
+grows ``k_clusters`` to the smallest power of two with ``k² ≥ N`` (Lloyd
+assignment O(N·k) and probe scan O(N/k · probes) balance at k ~ √N).
+The DuckDB oracle twins derive the identical parameters from the same
+counts via integer comparison chains, so the gates hold at every SF.
+Centroid assignment runs as a vectorized Arrow kernel with the k-row
+centroid matrix in the task closure, accumulating dots in index order for
+bit-parity with the SQL fold (see ``_assign_arrow`` for why the
+relational forms were measured 10-50x slower).
 """
 
 from __future__ import annotations

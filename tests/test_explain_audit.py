@@ -1,7 +1,7 @@
 """The plan audit must flag real BNLJ regressions, not just expected noise.
 
 Round-5 verdict: the audit reported its own whitelisted tiny-broadcast
-BNLJs (q42 centroids, q46 1-row agg) as warnings, so a genuine nested-loop
+BNLJs (q46 1-row agg and friends) as warnings, so a genuine nested-loop
 regression could hide in an always-noisy report.  The whitelist is now a
 per-query cap — these tests pin that a deliberately-introduced BNLJ (a)
 is counted by the plan scraper and (b) flags for unlisted queries and for
@@ -30,19 +30,23 @@ def test_unlisted_query_with_bnlj_flags():
 
 
 def test_listed_query_within_cap_is_quiet():
-    cap, _ = EXPECTED_BNLJ["q42_ann_ivf"]
-    assert flags_for("q42_ann_ivf", {"bnlj": cap}) == []
+    cap, _ = EXPECTED_BNLJ["q46_kmv_sketch"]
+    assert flags_for("q46_kmv_sketch", {"bnlj": cap}) == []
 
 
 def test_listed_query_above_cap_flags():
-    cap, _ = EXPECTED_BNLJ["q42_ann_ivf"]
+    cap, _ = EXPECTED_BNLJ["q46_kmv_sketch"]
     assert any(
-        f.startswith("BNLJ") for f in flags_for("q42_ann_ivf", {"bnlj": cap + 1})
+        f.startswith("BNLJ") for f in flags_for("q46_kmv_sketch", {"bnlj": cap + 1})
     )
 
 
 def test_cartesian_always_flags():
     assert "CARTESIAN" in flags_for("q42_ann_ivf", {"cartesian": 1})
+    # round 7 removed q42's centroid crossJoins: any BNLJ there now flags
+    assert any(
+        f.startswith("BNLJ") for f in flags_for("q42_ann_ivf", {"bnlj": 1})
+    )
 
 
 def test_end_to_end_flag_on_injected_bnlj(spark):

@@ -40,7 +40,6 @@ EXPECTED_BNLJ = {
     "q05_range_band_join": (1, "theta band join, tiny broadcast rule dim"),
     "q16_jaccard_pairs": (1, "bitmask-strategy distinct-set comparison"),
     "q17_cosine_topk": (1, "brute-force ANN baseline, probe side capped"),
-    "q42_ann_ivf": (6, "deterministic k-means centroid crossJoins, <=64-row broadcast sides"),
     "q46_kmv_sketch": (1, "1-row-aggregate crossJoin attaching the sketch bound"),
     "q74_temperature_mix": (1, "1-row weight-total crossJoin in temperature_quotas"),
 }
