@@ -83,3 +83,74 @@ def pack_sequences(
         F.col("p.n").alias("n_tokens"),
         F.col("p.bin_id").alias("bin_id"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    length_col: str,
+    token_budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch shaping — the padding-minimizing batching used
+    for training/inference serving: documents are grouped into power-of-two
+    LENGTH BUCKETS (sequences in a batch pad to the longest member, so
+    batching within a 2x length band caps padding waste at ~50%), then each
+    bucket is cut into batches of at most ``token_budget`` tokens by a
+    running sum in deterministic ``id_col`` order.
+
+    Everything is integer algebra with an exact SQL twin:
+
+    - ``bucket = floor(log2(n))`` computed as ``length(bin(n)) - 1`` —
+      string length of the binary representation, so no float log at
+      power-of-two boundaries;
+    - ``batch_in_bucket = floor((cumsum - 1) / token_budget) + 1`` over the
+      bucket-partitioned running sum — one hash shuffle on the bucket key.
+      (Unlike first-fit packing this IS a plain window: batches cut on a
+      running total, no per-item reset.)
+
+    A document longer than ``token_budget`` lands alone in its own batch
+    (its cumsum span crosses a multiple of the budget).  Scale: one
+    shuffle; the running sum is per-bucket and buckets are ~log2(max_len)
+    partitions, so pre-shard by a hash of ``id_col`` (as in
+    :func:`pack_sequences`) if a single bucket dominates a huge corpus.
+    """
+    from pyspark.sql import Window as W
+
+    n = F.col(length_col).cast("long")
+    bucket = (F.length(F.bin(n)) - 1).alias("bucket")
+    base = df.select(F.col(id_col), n.alias("n_tokens"), bucket).filter(
+        F.col("n_tokens") > 0
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.withColumn(
+        "batch_in_bucket",
+        (F.floor((cum - 1) / token_budget) + 1).cast("long"),
+    )
+
+
+def length_bucket_batches_oracle_sql(
+    table: str, length_expr: str, token_budget: int, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`length_bucket_batches`."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, CAST({length_expr} AS BIGINT) AS n_tokens,
+         length(bin(CAST({length_expr} AS BIGINT))) - 1 AS bucket
+  FROM {table}
+  WHERE CAST({length_expr} AS BIGINT) > 0
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER
+    (PARTITION BY bucket ORDER BY {id_col}
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM base
+)
+SELECT {id_col}, n_tokens, bucket,
+       CAST(floor((c - 1) / {token_budget}) + 1 AS BIGINT) AS batch_in_bucket
+FROM cum
+"""

