@@ -102,7 +102,7 @@ def main() -> int:
         keep = set(args.only.split(","))
         qs = {k: v for k, v in qs.items() if any(k.startswith(p) for p in keep)}
 
-    def fresh_con():
+    def fresh_con(mem: str | None = None):
         """One connection per query: a query that hits DuckDB's memory
         ceiling otherwise poisons the connection and every later oracle
         fails with bad-allocation too. A temp_directory lets the big
@@ -114,7 +114,9 @@ def main() -> int:
         # default (80% of RAM) collides with the Spark JVM's RSS at larger
         # SFs and dies on malloc; an explicit cap below system headroom
         # (but big enough for the sf0.1 NSVB twins' transients) avoids that
-        c.execute(f"SET memory_limit='{os.environ.get('FTB_DUCKDB_MEM', '64GB')}'")
+        c.execute(
+            f"SET memory_limit='{mem or os.environ.get('FTB_DUCKDB_MEM', '48GB')}'"
+        )
         for t in TABLES:
             p = os.path.join(args.sf, f"{t}.parquet")
             if os.path.exists(p):
@@ -142,9 +144,22 @@ def main() -> int:
             with contextlib.closing(fresh_con()) as con:
                 odf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
-            print(f"FAIL {name}: oracle error: {ex}")
-            n_fail += 1
-            continue
+            if "emory" in str(ex):
+                # in a long 78-oracle run the JVM's RSS can eat the
+                # allocator's headroom mid-sweep; a tighter cap forces the
+                # twin to spill instead of malloc-failing (q27/q52's giant
+                # carbon CTEs were flaky-OOM at sf0.1 exactly this way)
+                try:
+                    with contextlib.closing(fresh_con("16GB")) as con:
+                        odf = con.execute(oracles[name]).fetchdf()
+                except Exception as ex2:
+                    print(f"FAIL {name}: oracle error (after retry): {ex2}")
+                    n_fail += 1
+                    continue
+            else:
+                print(f"FAIL {name}: oracle error: {ex}")
+                n_fail += 1
+                continue
         errs = compare(name, sdf, odf)
         risk = boundary_risk(sdf)
         tag = f" [boundary-risk={risk}]" if risk else ""
