@@ -115,7 +115,7 @@ def main() -> int:
         # SFs and dies on malloc; an explicit cap below system headroom
         # (but big enough for the sf0.1 NSVB twins' transients) avoids that
         c.execute(
-            f"SET memory_limit='{mem or os.environ.get('FTB_DUCKDB_MEM', '48GB')}'"
+            f"SET memory_limit='{mem or os.environ.get('FTB_DUCKDB_MEM', '64GB')}'"
         )
         for t in TABLES:
             p = os.path.join(args.sf, f"{t}.parquet")
@@ -145,12 +145,16 @@ def main() -> int:
                 odf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             if "emory" in str(ex):
-                # in a long 78-oracle run the JVM's RSS can eat the
-                # allocator's headroom mid-sweep; a tighter cap forces the
-                # twin to spill instead of malloc-failing (q27/q52's giant
-                # carbon CTEs were flaky-OOM at sf0.1 exactly this way)
+                # in a long 78-oracle run the process RSS (JVM + pandas
+                # materializations) eats the allocator's headroom; retry
+                # once after a GC with a cap that still fits the giant
+                # carbon-CTE twins' unspillable working set (q27/q52 were
+                # flaky-OOM at sf0.1 exactly this way, passing solo)
+                import gc as _gc
+
+                _gc.collect()
                 try:
-                    with contextlib.closing(fresh_con("16GB")) as con:
+                    with contextlib.closing(fresh_con("48GB")) as con:
                         odf = con.execute(oracles[name]).fetchdf()
                 except Exception as ex2:
                     print(f"FAIL {name}: oracle error (after retry): {ex2}")
@@ -171,6 +175,13 @@ def main() -> int:
         else:
             print(f"PASS {name}: rows={len(sdf)} ({t_spark:.1f}s){tag}")
             n_pass += 1
+        # release the per-query frames before the next oracle: 78 pandas
+        # materializations otherwise ratchet the process RSS and starve
+        # the biggest DuckDB twins mid-sweep
+        del sdf, odf
+        import gc as _gc
+
+        _gc.collect()
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
