@@ -443,7 +443,9 @@ def find_ht_native_sql(dlim: str, k_col: str) -> str:
         f" * pow(1.0D - pow(1.0D - {x}, mh_alpha), mh_beta - 1.0D))"
     )
     return f"""CASE
-  WHEN DBH IS NULL OR DBH < 5.0D OR THT IS NULL OR ({dlim}) IS NULL
+  WHEN DBH IS NULL OR isnan(DBH) OR DBH < 5.0D
+       OR THT IS NULL OR isnan(THT)
+       OR ({dlim}) IS NULL OR isnan({dlim})
        OR {k_col} IS NULL OR isnan({k_col}) THEN CAST(NULL AS DOUBLE)
   ELSE aggregate(
     sequence(1, {BISECT_ITERS}),

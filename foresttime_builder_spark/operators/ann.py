@@ -390,40 +390,8 @@ def _pround6(col: Column) -> Column:
     return F.floor(col * 1000000.0 + F.lit(0.5)) / F.lit(1000000.0)
 
 
-def _sq_dist(vec: Column, vv: Column, cvec: Column, cc: Column, dims: int) -> Column:
-    """Rounded squared L2 distance via the decomposed form
-    ``v·v - 2 v·c + c·c`` (the oracle uses the same decomposition so both
-    engines accumulate in the same order).  Unrolled: the fold form is
-    CodegenFallback and evaluates per assignment-pair (rows x centroids)."""
-    return _pround6(vv - 2 * dot_unrolled(vec, cvec, dims) + cc)
-
-
 def _with_self_dot(df: DataFrame, vec_col: str, out: str, dims: int) -> DataFrame:
     return df.withColumn(out, dot_unrolled(F.col(vec_col), F.col(vec_col), dims))
-
-
-def _assign_to_centroids(base: DataFrame, cent: DataFrame, dims: int) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid table,
-    rounded-distance argmin with centroid-id tie-break.
-
-    Shape matters at k ~ sqrt(N): distances are computed map-side in the
-    broadcast cross join and immediately collapsed to one row per vector
-    with a PARTIALLY-AGGREGATING ``min_by`` over (dist, cid) — lexical
-    struct order == the ``ORDER BY dist, cid`` window it replaces — so the
-    shuffle carries N skinny rows, not N*k rows with 512-byte vectors
-    (the windowed form measured 5x slower at sf1 once k grew to 256).
-    Vectors are re-attached by a plain N-row join."""
-    pairs = base.crossJoin(F.broadcast(cent)).select(
-        "vid",
-        "cid",
-        _sq_dist(F.col("vec"), F.col("vv"), F.col("cvec"), F.col("cc"), dims).alias(
-            "dist"
-        ),
-    )
-    best = pairs.groupBy("vid").agg(
-        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
-    )
-    return base.join(best, on="vid").select("vid", "vec", "vv", "cid")
 
 
 IVF_MIN_K, IVF_MAX_K = 8, 4096
@@ -505,7 +473,7 @@ def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: int = 64,
+    dims: int | None = None,
     k_clusters: int | str = "auto",
     iters: int = 2,
     nprobe: int = 2,
@@ -534,7 +502,21 @@ def ivf_topk(
     count (see :func:`adaptive_k_clusters`) so neither the Lloyd
     assignment (O(N*k)) nor the probe scan (O(N/k * probes)) goes
     quadratic as the corpus grows; the oracle derives the identical k in
-    SQL.  Pass an int to pin it."""
+    SQL.  Pass an int to pin it.
+
+    ``dims=None`` (default) probes the ACTUAL vector width and covers it
+    fully — self-dots, centroid distances, Lloyd means and the final
+    cosine all run over every component, matching the oracle's full-width
+    ``list_dot_product``.  A pinned ``dims`` that disagrees with the data
+    raises rather than silently truncating the arithmetic."""
+    vdims = _probe_width(emb, vec_col)
+    if dims is None:
+        dims = vdims
+    elif dims != vdims:
+        raise ValueError(
+            f"ivf_topk: dims={dims} but {vec_col!r} carries {vdims} "
+            f"components; pass dims=None to use the probed width"
+        )
     if k_clusters == "auto":
         k_clusters = adaptive_k_clusters(emb.count())
     base = _with_self_dot(

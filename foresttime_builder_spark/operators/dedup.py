@@ -64,21 +64,25 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def estimate_candidate_pairs(
-    docsets: DataFrame, threshold: float, sample_docs: int = 20_000
+    docsets: DataFrame, threshold: float, sample_docs: int = 20_000,
+    prefix: bool = True,
 ) -> int:
-    """Projected pre-``distinct`` candidate volume of the prefix-filtered
-    self-join, from a bounded document sample.
+    """Projected pre-``distinct`` candidate volume of the exact self-join,
+    from a bounded document sample.
 
     The quantity that bounds the exact path's feasibility is the candidate
-    *stream* the prefix join shuffles — ``sum over prefix tokens of
+    *stream* the join shuffles — ``sum over joined tokens of
     C(df_token, 2)`` — not the verified output (at sf10 this stream hit
     ~1.25e9 rows and exceeded local disk while the gate-visible output was
-    tiny).  The estimator replays the actual prefix selection (rarest-first
-    rank, length-dependent prefix) on a uniform doc sample of rate ``p``
-    and scales the summed per-token pair counts by ``1/p^2``: per-token
-    document frequency scales ~``p`` under uniform doc sampling, so
-    ``C(p*df, 2) ~ p^2 * C(df, 2)``.  One small job over ~``sample_docs``
-    documents; no full-corpus shuffle.
+    tiny).  With ``prefix=True`` the estimator replays the actual prefix
+    selection (rarest-first rank, length-dependent prefix) on a uniform doc
+    sample of rate ``p``; with ``prefix=False`` (the ``naive``
+    inverted-index join, which has no prefix cut) it sums ``C(df, 2)`` over
+    EVERY token — the true naive stream, which can be far larger than the
+    prefix projection.  Either way the summed per-token pair counts scale
+    by ``1/p^2``: per-token document frequency scales ~``p`` under uniform
+    doc sampling, so ``C(p*df, 2) ~ p^2 * C(df, 2)``.  One small job over
+    ~``sample_docs`` documents; no full-corpus shuffle.
     """
     n_docs = docsets.count()  # cheap: docsets is persisted by the caller
     if n_docs == 0:
@@ -89,17 +93,23 @@ def estimate_candidate_pairs(
         p = sample_docs / n_docs
         sample = docsets.sample(fraction=p, seed=7)
     tok = sample.select("doc_id", "sz", F.explode("toks").alias("token"))
-    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    prefix = (
-        tok.join(F.broadcast(dfreq), "token")
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "token")),
+    if prefix:
+        dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        tok = (
+            tok.join(F.broadcast(dfreq), "token")
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "token")
+                ),
+            )
+            .filter(
+                F.col("rnk")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
         )
-        .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-    )
     row = (
-        prefix.groupBy("token")
+        tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs"))
         .collect()[0]
@@ -179,7 +189,12 @@ def token_jaccard_pairs(
         strategy = "bitmask" if _vocab_fits_mask(docsets) else "prefix"
 
     if candidate_budget is not None and strategy in ("prefix", "naive"):
-        projected = estimate_candidate_pairs(docsets, threshold)
+        # the naive inverted-index join has no prefix cut, so its stream is
+        # the full per-token C(df,2) sum — project that, not the (much
+        # smaller) prefix replay
+        projected = estimate_candidate_pairs(
+            docsets, threshold, prefix=(strategy == "prefix")
+        )
         if projected > candidate_budget:
             docsets.unpersist()
             if on_budget == "error":

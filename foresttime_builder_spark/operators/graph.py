@@ -22,7 +22,7 @@ CTE instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: Shared propagation-depth bound.  The q50 test oracle unrolls exactly this
 #: many label-propagation layers, so keeping the operator's default and the
@@ -91,3 +91,99 @@ def connected_components(
             f"max_iter — raise it (and keep any fixed-depth oracle in sync)"
         )
     return labels
+
+
+def cluster_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    strategy: str = "auto",
+    candidate_budget: int | None = None,
+    on_budget: str = "error",
+    max_iter: int = MAX_ITER_DEFAULT,
+) -> DataFrame:
+    """Near-duplicate clustering end-to-end: token-Jaccard pair detection →
+    connected components → ``(doc_id-named id_col, cluster_id,
+    cluster_size)``; ``cluster_id`` is the component's minimum doc id.
+
+    This is the guarded entry point for the clustering family: the
+    ``candidate_budget`` / ``on_budget`` regime guard of
+    :func:`~foresttime_builder_spark.operators.dedup.token_jaccard_pairs`
+    passes straight through, so at the corpus scale where the exact
+    prefix-join pair stream is shuffle-bound (the q16/sf10 regime) the
+    clustering either raises with actionable advice before ANY full-corpus
+    shuffle (``on_budget='error'``) or degrades to banded MinHash-LSH
+    candidates with the same exact verification (``on_budget='degrade'``) —
+    the components step is identical either way, it just consumes the
+    surviving pair stream.  Without the guard the pair stage would inherit
+    the exact path's disk-exceeding shuffle even though the components
+    themselves are cheap.
+    """
+    from foresttime_builder_spark.operators.dedup import token_jaccard_pairs
+
+    pairs = token_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        strategy=strategy,
+        candidate_budget=candidate_budget,
+        on_budget=on_budget,
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b", max_iter=max_iter)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, on="comp").select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def dedup_finalize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    strategy: str = "auto",
+    candidate_budget: int | None = None,
+    on_budget: str = "error",
+    max_iter: int = MAX_ITER_DEFAULT,
+) -> DataFrame:
+    """Dedup FINALIZE — keep exactly one representative per near-dup
+    cluster (longest document in whitespace tokens, doc id tie-break) and
+    pass every singleton through; the step after clustering that a
+    training pipeline actually ships.  Returns ``(id_col, cluster_id,
+    cluster_size, n_tokens)`` — one row per surviving document.
+
+    Composes :func:`cluster_near_dups` (whose ``candidate_budget`` /
+    ``on_budget`` regime guard passes through — the whole finalize chain
+    degrades to banded-LSH candidates in the exact path's infeasible
+    regime) with one extra hash shuffle on the cluster key.  The keep rule
+    is a total order, so the result is deterministic and engine-portable.
+    """
+    clusters = cluster_near_dups(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        strategy=strategy,
+        candidate_budget=candidate_budget,
+        on_budget=on_budget,
+        max_iter=max_iter,
+    )
+    toks = df.select(
+        id_col, F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    joined = toks.join(clusters, on=id_col, how="left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.col(id_col))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, "cluster_id", "cluster_size", "n_tokens")
+    )

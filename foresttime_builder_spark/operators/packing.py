@@ -95,22 +95,30 @@ def length_bucket_batches(
     for training/inference serving: documents are grouped into power-of-two
     LENGTH BUCKETS (sequences in a batch pad to the longest member, so
     batching within a 2x length band caps padding waste at ~50%), then each
-    bucket is cut into batches of at most ``token_budget`` tokens by a
-    running sum in deterministic ``id_col`` order.
+    bucket is cut into fixed-count batches sized so the PADDED batch cost
+    fits ``token_budget``.
 
-    Everything is integer algebra with an exact SQL twin:
+    The cut is a capacity rule, not a running sum, so the budget is a HARD
+    cap on what a trainer/server actually allocates:
 
     - ``bucket = floor(log2(n))`` computed as ``length(bin(n)) - 1`` —
       string length of the binary representation, so no float log at
       power-of-two boundaries;
-    - ``batch_in_bucket = floor((cumsum - 1) / token_budget) + 1`` over the
-      bucket-partitioned running sum — one hash shuffle on the bucket key.
-      (Unlike first-fit packing this IS a plain window: batches cut on a
-      running total, no per-item reset.)
+    - ``cap_len = 2^(bucket+1) - 1`` — the bucket's padding ceiling (every
+      member pads to at most this);
+    - ``capacity = max(1, floor(token_budget / cap_len))`` docs per batch;
+    - ``batch_in_bucket = floor((row_number - 1) / capacity) + 1`` in
+      deterministic ``id_col`` order — one hash shuffle on the bucket key.
 
-    A document longer than ``token_budget`` lands alone in its own batch
-    (its cumsum span crosses a multiple of the budget).  Scale: one
-    shuffle; the running sum is per-bucket and buckets are ~log2(max_len)
+    Guarantees (each batch, all integer algebra with an exact SQL twin):
+    ``members <= capacity``, padded cost ``members * cap_len <=
+    token_budget`` whenever ``cap_len <= token_budget`` — and therefore the
+    raw token sum fits the budget too; batch ids are dense from 1.  When a
+    bucket's ``cap_len`` exceeds the budget, capacity clamps to 1 and every
+    document in that bucket is its own batch — in particular a document
+    longer than ``token_budget`` always lands alone (its batch total then
+    exceeds the budget by exactly that document's own length, the
+    unavoidable case).  Scale: one shuffle; buckets are ~log2(max_len)
     partitions, so pre-shard by a hash of ``id_col`` (as in
     :func:`pack_sequences`) if a single bucket dominates a huge corpus.
     """
@@ -121,22 +129,22 @@ def length_bucket_batches(
     base = df.select(F.col(id_col), n.alias("n_tokens"), bucket).filter(
         F.col("n_tokens") > 0
     )
-    w = (
-        W.partitionBy("bucket")
-        .orderBy(id_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cap_len = F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 1
+    capacity = F.greatest(
+        F.lit(1).cast("long"), F.floor(F.lit(token_budget) / cap_len)
     )
-    cum = F.sum("n_tokens").over(w)
+    rn = F.row_number().over(W.partitionBy("bucket").orderBy(id_col))
     return base.withColumn(
         "batch_in_bucket",
-        (F.floor((cum - 1) / token_budget) + 1).cast("long"),
+        (F.floor((rn - 1) / capacity) + 1).cast("long"),
     )
 
 
 def length_bucket_batches_oracle_sql(
     table: str, length_expr: str, token_budget: int, id_col: str = "doc_id"
 ) -> str:
-    """DuckDB twin of :func:`length_bucket_batches`."""
+    """DuckDB twin of :func:`length_bucket_batches` — same bucket /
+    padding-ceiling / capacity integer chain, same ``id_col`` order."""
     return f"""
 WITH base AS (
   SELECT {id_col}, CAST({length_expr} AS BIGINT) AS n_tokens,
@@ -144,13 +152,16 @@ WITH base AS (
   FROM {table}
   WHERE CAST({length_expr} AS BIGINT) > 0
 ),
-cum AS (
-  SELECT *, sum(n_tokens) OVER
-    (PARTITION BY bucket ORDER BY {id_col}
-     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+numbered AS (
+  SELECT *,
+    greatest(CAST(1 AS BIGINT),
+             CAST(floor({token_budget} /
+                  ((CAST(1 AS BIGINT) << (bucket + 1)) - 1)) AS BIGINT))
+      AS capacity,
+    row_number() OVER (PARTITION BY bucket ORDER BY {id_col}) AS rn
   FROM base
 )
 SELECT {id_col}, n_tokens, bucket,
-       CAST(floor((c - 1) / {token_budget}) + 1 AS BIGINT) AS batch_in_bucket
-FROM cum
+       CAST(floor((rn - 1) / capacity) + 1 AS BIGINT) AS batch_in_bucket
+FROM numbered
 """

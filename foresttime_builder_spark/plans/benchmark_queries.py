@@ -1863,23 +1863,15 @@ def q50_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation), yielding a deterministic canonical cluster id (min doc_id)
     and cluster size — the step a training-data pipeline runs after dup
     detection to keep one representative per cluster."""
-    from foresttime_builder_spark.operators.dedup import token_jaccard_pairs
-    from foresttime_builder_spark.operators.graph import connected_components
+    from foresttime_builder_spark.operators.graph import cluster_near_dups
 
     d = load_table(spark, sf_dir, "documents")
     # strategy='auto' (see q16 note): probes the vocabulary and only takes
-    # the 64-bit mask path when it is provably applicable
-    pairs = token_jaccard_pairs(d, "doc_id", "text", threshold=0.8, strategy="auto")
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        comp.join(sizes, on="comp")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.col("comp").alias("cluster_id"),
-            "cluster_size",
-        )
-    )
+    # the 64-bit mask path when it is provably applicable.  At gate SFs the
+    # exact path is the right one, so no candidate_budget here; scale runs
+    # pass the guard through cluster_near_dups directly (tools/run_at_scale
+    # uses on_budget='degrade').
+    return cluster_near_dups(d, "doc_id", "text", threshold=0.8, strategy="auto")
 
 
 def q51_state_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2690,27 +2682,16 @@ def q77_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup FINALIZE — the step after clustering (q50) that a training
     pipeline actually ships: keep exactly one representative per near-dup
     cluster, chosen by a quality rule (longest document, doc_id
-    tie-break), and pass every singleton through.  Composes the connected-
-    components clusters with the text-quality family: one extra hash
-    shuffle on the cluster key.  Keep rule is a total order, so the
-    result is deterministic and engine-portable."""
-    from pyspark.sql import Window as W
+    tie-break), and pass every singleton through.  Delegates to
+    ``operators.graph.dedup_finalize`` — the guarded entry point whose
+    ``candidate_budget``/``on_budget`` passes through the whole chain
+    (scale runs use on_budget='degrade'; the gate runs the exact path).
+    One extra hash shuffle on the cluster key over q50; keep rule is a
+    total order, so the result is deterministic and engine-portable."""
+    from foresttime_builder_spark.operators.graph import dedup_finalize
 
     d = load_table(spark, sf_dir, "documents")
-    clusters = q50_dup_clusters(spark, sf_dir)
-    toks = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
-    joined = toks.join(clusters, on="doc_id", how="left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
-        F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
-    )
-    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.col("doc_id"))
-    return (
-        joined.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("doc_id", "cluster_id", "cluster_size", "n_tokens")
-    )
+    return dedup_finalize(d, "doc_id", "text", threshold=0.8, strategy="auto")
 
 
 def _dedup_keep_best_oracle() -> str:

@@ -227,7 +227,11 @@ def run_foreach_batch_upsert(
     ``CURRENT`` pointer file: each merge writes a fresh versioned directory
     and the commit is ONE atomic rename of the pointer's temp file — there
     is no window in which the table is missing (the two-rename swap this
-    replaces had one).  This is the poor-man's snapshot commit a
+    replaces had one).  The PREVIOUS version directory is retained for one
+    commit (only N-2 and older are deleted), so a reader that resolved the
+    old pointer just before a commit can still finish its scan; a reader
+    must not lag by more than one full commit.  This is the poor-man's
+    snapshot commit a
     transactional format (Delta/Iceberg) provides natively; the merge plan
     itself (one shuffle per batch on the business key) is identical there.
     Runs with ``availableNow`` and blocks until the source is drained.
@@ -254,12 +258,16 @@ def run_foreach_batch_upsert(
         with open(pointer_tmp, "w") as fh:
             fh.write(os.path.basename(staging))
         os.rename(pointer_tmp, os.path.join(path, "CURRENT"))  # atomic commit
+        # GC: keep the new version AND the one it replaced (a reader that
+        # resolved the old pointer pre-commit can still be mid-scan); only
+        # N-2 and older go.
+        keep = {staging, current} - {None}
         for entry in os.listdir(path):
             full = os.path.join(path, entry)
             if (
                 os.path.isdir(full)
                 and entry.startswith("v")
-                and full != staging
+                and full not in keep
             ):
                 shutil.rmtree(full)
 

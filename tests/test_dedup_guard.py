@@ -146,3 +146,34 @@ def test_estimator_order_of_magnitude(spark):
         assert true / 4 <= projected <= true * 4, (projected, true)
     finally:
         docsets.unpersist()
+
+
+def test_estimator_naive_mode_counts_full_stream(spark):
+    """strategy='naive' has no prefix cut, so its guard must project the
+    FULL per-token C(df,2) sum — strictly above the prefix projection on
+    any corpus where the prefix filter actually cuts (here every doc keeps
+    ~6 of 10 tokens at t=0.5), and exactly sum C(df,2) when unsampled."""
+    from foresttime_builder_spark.operators.dedup import (
+        estimate_candidate_pairs,
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = _corpus(spark, vocab=500)
+    docsets = (
+        corpus.select(F.col("doc_id"), tokens("text").alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .persist()
+    )
+    try:
+        naive = estimate_candidate_pairs(
+            docsets, 0.5, sample_docs=10**9, prefix=False
+        )
+        pref = estimate_candidate_pairs(
+            docsets, 0.5, sample_docs=10**9, prefix=True
+        )
+        assert naive > pref > 0
+        # every token appears in exactly 10 docs -> 500 * C(10,2)
+        assert naive == 500 * 45
+    finally:
+        docsets.unpersist()

@@ -1,8 +1,25 @@
-"""Connected components (min-label propagation)."""
+"""Connected components (min-label propagation) and the guarded
+clustering/finalize entry points built on them."""
 
 from __future__ import annotations
 
-from foresttime_builder_spark.operators.graph import connected_components
+import pytest
+
+from foresttime_builder_spark.operators.graph import (
+    cluster_near_dups,
+    connected_components,
+    dedup_finalize,
+)
+
+
+def _corpus(spark, vocab: int):
+    # doc i = tokens [i .. i+9] cyclically: adjacent docs overlap 9/11 of
+    # their union -> a dense near-dup chain (same shape as test_dedup_guard)
+    rows = [
+        (i, " ".join(f"t{(i + j) % vocab:03d}" for j in range(10)))
+        for i in range(vocab)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
 
 
 def test_components_basic(spark):
@@ -20,3 +37,84 @@ def test_components_converges_on_cycle(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_cluster_guard_error_fires_before_shuffle(spark):
+    """The regime guard passes through cluster_near_dups: a tiny budget
+    raises at PLAN time (before any full-corpus candidate shuffle) with
+    the same actionable advice token_jaccard_pairs gives."""
+    wide = _corpus(spark, vocab=120)
+    with pytest.raises(ValueError, match="degrade"):
+        cluster_near_dups(
+            wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+            candidate_budget=1, on_budget="error",
+        )
+
+
+def test_cluster_guard_degrade_refines_exact_clusters(spark):
+    """Guard-triggered clustering (banded-LSH candidates, exact verify)
+    must produce a REFINEMENT of the exact clustering: degraded pairs are
+    a verified subset of exact pairs, so every degraded cluster sits
+    wholly inside one exact cluster — and on this overlap-dense corpus it
+    still finds real multi-doc clusters."""
+    wide = _corpus(spark, vocab=120)
+    # the cyclic corpus is one 120-node ring with edges to distance <= 3:
+    # diameter ~20 > MAX_ITER_DEFAULT, so both calls need the raised bound
+    exact = {
+        r.doc_id: r.cluster_id
+        for r in cluster_near_dups(
+            wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+            max_iter=64,
+        ).collect()
+    }
+    # the degraded pair graph is SPARSER than the exact one, so the
+    # chain corpus's component diameter grows past MAX_ITER_DEFAULT —
+    # raise the bound (the operator correctly refuses to silently stop)
+    degraded = cluster_near_dups(
+        wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+        candidate_budget=1, on_budget="degrade", max_iter=64,
+    ).collect()
+    assert any(r.cluster_size > 1 for r in degraded)
+    by_cluster: dict[int, set[int]] = {}
+    for r in degraded:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    for members in by_cluster.values():
+        assert len({exact[m] for m in members}) == 1, (
+            "a degraded cluster straddles exact clusters — banded "
+            "candidates must be a subset of exact pairs"
+        )
+
+
+def test_dedup_finalize_guard_passthrough(spark):
+    """dedup_finalize with on_budget='degrade' runs end-to-end through the
+    banded path: exactly one representative per cluster, singletons pass
+    through, and the representative is the longest-doc/min-id winner."""
+    wide = _corpus(spark, vocab=120)
+    kept = dedup_finalize(
+        wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+        candidate_budget=1, on_budget="degrade", max_iter=64,
+    ).collect()
+    # one row per cluster, clusters partition the doc space
+    assert len({r.cluster_id for r in kept}) == len(kept)
+    assert sum(r.cluster_size for r in kept) == wide.count()
+    # all docs are 10 tokens here, so the keep rule's tie-break picks the
+    # minimum doc_id: each representative is its cluster's min id
+    for r in kept:
+        assert r.doc_id == r.cluster_id and r.n_tokens == 10
+
+
+def test_dedup_finalize_matches_unguarded_on_small_corpus(spark):
+    """With a generous budget the guarded finalize equals the exact one."""
+    small = _corpus(spark, vocab=40)
+    rows = lambda df: sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size, r.n_tokens)
+        for r in df.collect()
+    )
+    assert rows(
+        dedup_finalize(small, "doc_id", "text", threshold=0.5)
+    ) == rows(
+        dedup_finalize(
+            small, "doc_id", "text", threshold=0.5,
+            candidate_budget=10_000_000, on_budget="error",
+        )
+    )

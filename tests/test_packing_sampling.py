@@ -125,18 +125,22 @@ def test_repetition_quality_flags_repetitive_doc(spark):
 
 
 def test_length_bucket_batches_invariants(spark):
-    """Within every (bucket, batch): token sum <= budget OR the batch is a
-    single over-budget document; buckets really are power-of-two length
-    bands; batch ids are contiguous from 1 in doc_id order."""
+    """The HARD-CAP contract: within every (bucket, batch) the PADDED cost
+    (members x bucket padding ceiling) fits the budget whenever the
+    ceiling itself does — hence the raw token sum does too; a document in
+    a bucket whose ceiling exceeds the budget (in particular any
+    over-budget document) lands alone; buckets really are power-of-two
+    length bands; batch ids are dense from 1 in doc_id order."""
     import math
-
-    from pyspark.sql import functions as F
+    from collections import defaultdict
 
     from foresttime_builder_spark.operators.packing import length_bucket_batches
 
     rows = [(i, 1 + (i * 37) % 5000) for i in range(400)] + [
         (1000, 9000),  # over-budget singleton
         (1001, 1),
+        # the advisor's counterexamples for the old running-sum cut:
+        (2000, 1100), (2001, 1100), (2002, 1100),  # bucket 10, cap 2047
     ]
     df = spark.createDataFrame(rows, "doc_id long, len long")
     budget = 2048
@@ -145,31 +149,32 @@ def test_length_bucket_batches_invariants(spark):
     for r in out:
         assert r.bucket == int(math.floor(math.log2(r.n_tokens)))
 
-    from collections import defaultdict
-
     batches = defaultdict(list)
     for r in out:
         batches[(r.bucket, r.batch_in_bucket)].append(r)
-    for (bucket, bid), members in batches.items():
-        total = sum(m.n_tokens for m in members)
-        if len(members) > 1:
-            # the batch CUT rule is a running-sum partition: every batch
-            # except possibly the last member's overflow stays <= budget +
-            # (largest member - 1); the strict guarantee is on the cumsum
-            # boundaries, checked below
-            pass
-    # strict guarantee: consecutive docs in one batch have cumsums in the
-    # same budget window
+    for (bucket, _bid), members in batches.items():
+        cap_len = (1 << (bucket + 1)) - 1
+        if cap_len <= budget:
+            # hard cap on the padded cost -> hard cap on the raw sum
+            assert len(members) * cap_len <= budget
+            assert sum(m.n_tokens for m in members) <= budget
+        else:
+            # ceiling exceeds the budget: capacity clamps to 1
+            assert len(members) == 1
+
+    # over-budget doc is alone
+    assert len(batches[(13, out_batch := next(
+        r.batch_in_bucket for r in out if r.doc_id == 1000
+    ))]) == 1
+
+    # batch ids are DENSE from 1 within each bucket, in doc_id order
     per_bucket = defaultdict(list)
     for r in sorted(out, key=lambda r: (r.bucket, r.doc_id)):
         per_bucket[r.bucket].append(r)
     for bucket, rs in per_bucket.items():
-        cum = 0
-        for r in rs:
-            cum += r.n_tokens
-            assert r.batch_in_bucket == (cum - 1) // budget + 1
-        # batch ids are nondecreasing labels (NOT dense: an over-budget
-        # document's cumsum span skips windows — e.g. a lone 9000-token
-        # doc at budget 2048 gets batch 5)
         ids = [r.batch_in_bucket for r in rs]
-        assert ids[0] >= 1 and all(a <= b for a, b in zip(ids, ids[1:]))
+        assert ids[0] == 1 and all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+        cap_len = (1 << (bucket + 1)) - 1
+        capacity = max(1, budget // cap_len)
+        for i, r in enumerate(rs):
+            assert r.batch_in_bucket == i // capacity + 1
