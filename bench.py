@@ -68,6 +68,7 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         # release prior queries' plan objects (and their GC-tied caches)
         # before timing — accumulated session state showed up as occasional
@@ -80,8 +81,13 @@ def main() -> None:
         # one-time whole-stage codegen compilation (~seconds for the
         # ~250-column NSVB plan), a fixed per-query-shape cost that a
         # production job amortizes across every partition it processes —
-        # steady-state throughput is what a 100 TB run experiences.
+        # steady-state throughput is what a 100 TB run experiences.  Its
+        # wall time is still RECORDED (the "cold" table) so the driver's
+        # colder environment stays reconcilable with the warm medians —
+        # the two regimes differing silently cost a round of confusion once.
+        t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
         runs = []
         for _ in range(n_runs):
             # fresh plan object per timed run — only the JVM-level caches
@@ -95,10 +101,13 @@ def main() -> None:
 
     ext_timings: dict[str, float] = {}
     ext_spread: dict[str, list[float]] = {}
+    ext_cold: dict[str, float] = {}
     for name in EXTENDED:
         gc.collect()
         fn = QUERIES[name].fn
+        t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ext_cold[name] = round(time.time() - t0, 3)
         runs = []
         for _ in range(n_runs):
             # unlike the headline loop, time BUILD + EXECUTE: pipeline-shaped
@@ -121,8 +130,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "cold": cold,
                 "extended": ext_timings,
                 "extended_spread": ext_spread,
+                "extended_cold": ext_cold,
                 "extended_total_sec": round(sum(ext_timings.values()), 3),
                 "runs": n_runs,
                 "sf": float(sf) if sf else None,

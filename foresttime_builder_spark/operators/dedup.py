@@ -306,6 +306,34 @@ def token_jaccard_pairs(
     )
 
 
+def _vocab_positions(
+    docsets: DataFrame, cap: int, err: str
+) -> DataFrame:
+    """(token, pos) with positions assigned lexicographically — the shared
+    vocabulary-numbering step of the bitmask/blockmask paths.
+
+    The vocabulary is BOUNDED by construction (callers reach here only
+    after :func:`_vocab_size_if_small` proved it <= ``cap``, 64 or 4096),
+    so the numbering is done with one bounded ``limit(cap+1)`` driver
+    collect + a Python sort instead of a global ``row_number`` window —
+    same result, no single-partition WindowExec (whose expected warning
+    drowned real warnings in the gate logs).  A pinned strategy on a
+    corpus that outgrew the cap (precondition violated) raises ``err``
+    here, at plan time, instead of mid-execution."""
+    rows = (
+        docsets.select(F.explode("toks").alias("token"))
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(err)
+    vocab = sorted(r["token"] for r in rows)
+    return docsets.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "token string, pos int"
+    )
+
+
 def _vocab_fits_mask(docsets: DataFrame, sample_docs: int = 4096) -> bool:
     """True iff the corpus vocabulary fits a 64-bit mask, decided cheaply.
 
@@ -358,10 +386,11 @@ def _jaccard_prefix_blockmask(
     Candidates join on int positions (8-byte shuffle keys vs strings)."""
     n_words = (vocab_n + 63) // 64
     tok = docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
-    vocab = (
-        tok.select("token")
-        .distinct()
-        .withColumn("pos", F.row_number().over(Window.orderBy("token")) - 1)
+    vocab = _vocab_positions(
+        docsets,
+        _BLOCKMASK_VOCAB_CAP,
+        f"blockmask verification requires vocabulary <= "
+        f"{_BLOCKMASK_VOCAB_CAP} distinct tokens",
     )
     tokp = tok.join(F.broadcast(vocab), "token").select("doc_id", "sz", "pos")
     dfreq = tokp.groupBy("pos").agg(F.count(F.lit(1)).alias("df"))
@@ -439,33 +468,25 @@ def _jaccard_prefix_blockmask(
 def _doc_masks(docsets: DataFrame) -> DataFrame:
     """(doc_id, mask): each document's token set as one 64-bit bitmask.
 
-    Only valid when the corpus vocabulary has <= 64 distinct tokens; bit
+    Only valid when the corpus vocabulary has <= 64 distinct tokens
+    (enforced at plan time by :func:`_vocab_positions` — a pinned bitmask
+    strategy on a corpus that outgrew 64 tokens raises rather than letting
+    ``shiftleft`` wrap pos & 63 into silently-colliding bit positions);
     positions are assigned lexicographically for determinism.
     """
     tok = docsets.select("doc_id", F.explode("toks").alias("token"))
-    vocab = (
-        tok.select("token")
-        .distinct()
-        .withColumn("pos", F.row_number().over(Window.orderBy("token")) - 1)
-    )
-    # Fail fast if the precondition is violated (a pinned strategy on a
-    # corpus that outgrew 64 tokens): pos >= 64 would wrap shiftleft
-    # (Java uses pos & 63), silently colliding bit positions — and the
-    # colliding sum then overflows under ANSI arithmetic.  raise_error
-    # keeps the check distributed (no extra driver action): it only fires
-    # on the offending row.
-    mask_term = F.expr(
-        "CASE WHEN pos >= 64 THEN raise_error("
-        "'bitmask dedup requires vocabulary <= 64 distinct tokens; "
-        "use strategy=prefix or auto') "
-        "ELSE shiftleft(CAST(1 AS BIGINT), pos) END"
+    vocab = _vocab_positions(
+        docsets,
+        64,
+        "bitmask dedup requires vocabulary <= 64 distinct tokens; "
+        "use strategy=prefix or auto",
     )
     return (
         tok.join(F.broadcast(vocab), "token")
         .groupBy("doc_id")
         # arithmetic sum == bitwise OR for distinct bit positions (the sign
         # bit for pos 63 wraps but stays a valid mask in two's complement)
-        .agg(F.sum(mask_term).alias("mask"))
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).alias("mask"))
     )
 
 

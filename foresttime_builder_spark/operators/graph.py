@@ -149,6 +149,7 @@ def dedup_finalize(
     candidate_budget: int | None = None,
     on_budget: str = "error",
     max_iter: int = MAX_ITER_DEFAULT,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup FINALIZE — keep exactly one representative per near-dup
     cluster (longest document in whitespace tokens, doc id tie-break) and
@@ -161,17 +162,23 @@ def dedup_finalize(
     degrades to banded-LSH candidates in the exact path's infeasible
     regime) with one extra hash shuffle on the cluster key.  The keep rule
     is a total order, so the result is deterministic and engine-portable.
+
+    Pass ``clusters`` (a :func:`cluster_near_dups`-shaped frame — e.g. a
+    persisted/materialized one from an earlier pipeline stage) to finalize
+    from it directly instead of recomputing the pair graph; the similarity
+    parameters are then ignored.
     """
-    clusters = cluster_near_dups(
-        df,
-        id_col,
-        text_col,
-        threshold=threshold,
-        strategy=strategy,
-        candidate_budget=candidate_budget,
-        on_budget=on_budget,
-        max_iter=max_iter,
-    )
+    if clusters is None:
+        clusters = cluster_near_dups(
+            df,
+            id_col,
+            text_col,
+            threshold=threshold,
+            strategy=strategy,
+            candidate_budget=candidate_budget,
+            on_budget=on_budget,
+            max_iter=max_iter,
+        )
     toks = df.select(
         id_col, F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
     )

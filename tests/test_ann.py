@@ -50,3 +50,14 @@ def test_brute_topk_matches_exact(spark):
         )
         for rank, (c, neg_i) in enumerate(sims[:3], start=1):
             assert got[(p, rank)] == (-neg_i, c)
+
+
+def test_ivf_topk_dims_mismatch_raises(spark):
+    """A pinned dims that disagrees with the data must raise instead of
+    silently truncating the distance/cosine arithmetic (the oracle always
+    covers the full vector width)."""
+    from foresttime_builder_spark.operators.ann import ivf_topk
+
+    emb = _corpus(spark, n=10, dims=4).withColumnRenamed("vec", "embedding")
+    with pytest.raises(ValueError, match="probed width"):
+        ivf_topk(emb, dims=8)

@@ -21,10 +21,14 @@ def _corpus(spark, vocab: int):
 
 
 def test_pinned_bitmask_raises_on_wide_vocab(spark):
+    # the precondition check is plan-time now (bounded vocab collect in
+    # _vocab_positions), so the raise happens at call time, before any
+    # full-corpus job
     wide = _corpus(spark, vocab=120)
-    df = token_jaccard_pairs(wide, "doc_id", "text", threshold=0.5, strategy="bitmask")
     with pytest.raises(Exception, match="64 distinct tokens"):
-        df.collect()
+        token_jaccard_pairs(
+            wide, "doc_id", "text", threshold=0.5, strategy="bitmask"
+        ).collect()
 
 
 def test_blockmask_matches_string_prefix_path(spark, monkeypatch):

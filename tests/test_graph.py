@@ -110,11 +110,13 @@ def test_dedup_finalize_matches_unguarded_on_small_corpus(spark):
         (r.doc_id, r.cluster_id, r.cluster_size, r.n_tokens)
         for r in df.collect()
     )
-    assert rows(
-        dedup_finalize(small, "doc_id", "text", threshold=0.5)
-    ) == rows(
+    base = rows(dedup_finalize(small, "doc_id", "text", threshold=0.5))
+    assert base == rows(
         dedup_finalize(
             small, "doc_id", "text", threshold=0.5,
             candidate_budget=10_000_000, on_budget="error",
         )
     )
+    # finalizing from precomputed clusters is identical to the fused form
+    pre = cluster_near_dups(small, "doc_id", "text", threshold=0.5)
+    assert base == rows(dedup_finalize(small, "doc_id", "text", clusters=pre))

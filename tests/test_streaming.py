@@ -359,3 +359,30 @@ def test_foreach_upsert_restart_idempotent(spark, chunked, tmp_path_factory):
         ["user_id", "event_id", "event_type", "value", "ts"],
     )
     assert first == second
+
+
+def test_foreach_upsert_retains_previous_version(spark, chunked, tmp_path_factory):
+    """Version GC keeps the replaced snapshot for ONE commit: after the
+    drain, exactly the current + previous version dirs remain, CURRENT
+    resolves to the newest, and the previous one is still a readable
+    parquet table (a reader that resolved the old pointer just before the
+    commit can finish its scan)."""
+    from foresttime_builder_spark.streaming.events import (
+        run_foreach_batch_upsert,
+    )
+
+    d, ev = chunked
+    target = os.path.join(str(tmp_path_factory.mktemp("upsert_gc")), "latest")
+    run_foreach_batch_upsert(
+        _chunk_stream(spark, d), target,
+        keys=("user_id",), version_col="ts", tie_break=("event_id",),
+    )
+    vdirs = [
+        e for e in os.listdir(target)
+        if e.startswith("v") and os.path.isdir(os.path.join(target, e))
+    ]
+    assert len(vdirs) == 2, vdirs  # 4 micro-batches committed; N-2 pruned
+    current = open(os.path.join(target, "CURRENT")).read().strip()
+    assert current in vdirs
+    prev = next(v for v in vdirs if v != current)
+    assert spark.read.parquet(os.path.join(target, prev)).count() > 0

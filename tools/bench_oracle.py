@@ -1,0 +1,97 @@
+"""Time the DuckDB oracle side of registry queries — the comparator column
+for BASELINE.md's 2x bar.
+
+bench.py times the Spark side; this tool times the SAME queries' oracle SQL
+single-process in DuckDB on the same parquet (median of --runs, fresh
+connection per run so buffer-cache state is the only carryover, matching how
+the round-1 comparator numbers were taken).  No Spark session is started.
+
+Usage: python tools/bench_oracle.py [--sf DIR] --only q51,q52,q59,q63,q64
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def fresh_con(sf_dir: str):
+    c = duckdb.connect()
+    spill = os.path.join(tempfile.gettempdir(), "ftb_duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    c.execute(f"SET temp_directory='{spill}'")
+    c.execute(f"SET memory_limit='{os.environ.get('FTB_DUCKDB_MEM', '64GB')}'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    names = sorted(oracles)
+    if args.only:
+        keep = {w.strip() for w in args.only.split(",")}
+        names = [n for n in names if any(n.startswith(p) for p in keep)]
+
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in names:
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.time()
+            with contextlib.closing(fresh_con(args.sf)) as con:
+                n_rows = len(con.execute(oracles[name]).fetchall())
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        print(
+            f"{name}: {timings[name]}s  (rows={n_rows}, "
+            f"spread={spread[name]})",
+            file=sys.stderr,
+        )
+
+    line = json.dumps(
+        {
+            "metric": "duckdb_oracle_sec",
+            "sf_dir": args.sf,
+            "runs": args.runs,
+            "queries": timings,
+            "spread": spread,
+            "total_sec": round(sum(timings.values()), 3),
+        }
+    )
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -13,8 +13,14 @@ that only fit in memory at sf0.1) is reported with ``"err"`` rather than
 aborting the sweep — those are exactly the regressions this sweep exists to
 catch.
 
+``--runs N`` (default 1) times N executions per query and reports the
+MEDIAN with min/max spread — the builder's floor-sensitivity study showed
+single-session sf10 numbers carry ±50% error bars, so any number meant for
+BASELINE.md should be taken with ``--runs 3`` on an idle box.
+
 Usage: python tools/run_at_scale.py [--sf-dir DIR] [--only q16,q25]
-                                    [--skip q51] [--out SCALE_sf1.json]
+                                    [--skip q51] [--runs 3]
+                                    [--out SCALE_sf1.json]
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ import argparse
 import gc
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -38,6 +45,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.path.join(repo, ".localdata", "sf1"))
     ap.add_argument("--only", default=None)
     ap.add_argument("--skip", default="")
+    ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -59,12 +67,22 @@ def main() -> None:
         gc.collect()
         t0 = time.time()
         try:
-            df = queries[name](spark, args.sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            samples = []
+            for _ in range(max(1, args.runs)):
+                t1 = time.time()
+                df = queries[name](spark, args.sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.time() - t1, 2))
             # count() re-executes but gives the cardinality the report needs;
             # cache-free on purpose so the noop timing above stays honest.
             rows = df.count()
-            report[name] = {"sec": round(time.time() - t0, 2), "rows": rows, "err": None}
+            report[name] = {
+                "sec": round(statistics.median(samples), 2),
+                "rows": rows,
+                "err": None,
+            }
+            if args.runs > 1:
+                report[name]["spread"] = [min(samples), max(samples)]
         except Exception as exc:  # noqa: BLE001 — sweep must not abort
             report[name] = {
                 "sec": round(time.time() - t0, 2),
