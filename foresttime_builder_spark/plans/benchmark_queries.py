@@ -2769,6 +2769,66 @@ def _grain_oracle() -> str:
     return ORACLE_GRAIN_SWEEP.format(chain=carbon_cte())
 
 
+def q79_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC (`operators/diff.snapshot_diff`): classify every
+    key across two table versions as insert / delete / update — the change
+    feed that replaces the reference's overwrite-and-rerun refresh
+    (``scripts/state-parquet.R``) for incremental consumers.  Snapshots are
+    carved deterministically from `orders`: the "new" version adds 1997
+    orders (inserts), drops `o_orderkey % 101 = 0` (deletes), and bumps the
+    price cents of `o_orderkey % 97 = 0` (updates).  Scale: both sides
+    hash map-side to (key, md5) before the one full-outer shuffle; only
+    changed keys are emitted (doubles are pre-normalized to cent bigints —
+    the operator's cross-engine hash contract)."""
+    from foresttime_builder_spark.operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_e2"),
+    )
+    old = base.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    new = (
+        base.filter(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("o_orderkey") % 101 != 0)
+        )
+        .withColumn(
+            "price_e2",
+            F.col("price_e2")
+            + F.when(F.col("o_orderkey") % 97 == 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "price_e2"]
+    )
+
+
+def _snapshot_diff_oracle() -> str:
+    from foresttime_builder_spark.operators.diff import snapshot_diff_oracle_sql
+
+    base = (
+        "SELECT o_orderkey, o_orderdate, o_orderstatus, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2 "
+        "FROM orders"
+    )
+    old_sql = f"SELECT * FROM ({base}) WHERE o_orderdate < DATE '1997-01-01'"
+    new_sql = (
+        f"SELECT o_orderkey, o_orderdate, o_orderstatus, "
+        f"price_e2 + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS price_e2 "
+        f"FROM ({base}) "
+        f"WHERE o_orderdate < DATE '1998-01-01' AND o_orderkey % 101 != 0"
+    )
+    return snapshot_diff_oracle_sql(
+        old_sql, new_sql, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "price_e2"],
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -2874,4 +2934,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q78_length_bucket_batches": QuerySpec(
         q78_length_bucket_batches, _length_bucket_oracle()
     ),
+    "q79_snapshot_diff": QuerySpec(q79_snapshot_diff, _snapshot_diff_oracle()),
 }
