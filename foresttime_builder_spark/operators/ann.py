@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from foresttime_builder_spark.operators.spread import spread as _spread
+
 
 def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -41,23 +43,6 @@ def _plane_component(bit: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1]."""
     h = _hash60(F.lit(f"{bit}_{dim}"))
     return ((h % 2001) - 1000) / 1000.0
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin a CPU-dense side across the session's cores when its
-    scan arrives narrower than the parallelism.
-
-    The pair-verify stages here do hundreds of flops per PAIR while the
-    input is tiny per row — a 10 MB embeddings file is ONE scan split, so
-    without this the whole multi-million-pair verify runs on a single core
-    (measured: q40's sf1 verify 32 s on 1 of 32 cores).  The added corpus
-    shuffle is linear and negligible next to the verify; at production
-    scale the scan already has >= parallelism splits and this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 #: default LSH bucket-occupancy target: buckets of ~this many vectors keep

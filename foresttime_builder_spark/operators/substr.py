@@ -31,7 +31,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from foresttime_builder_spark.operators.decontaminate import token_ngrams
+from foresttime_builder_spark.operators.decontaminate import (
+    token_ngrams_from_tokens,
+)
 
 
 def _hash60(col: Column) -> Column:
@@ -55,10 +57,22 @@ def duplicated_span_coverage(
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
 
-    wins = df.select(
-        F.col(id_col),
-        F.posexplode(token_ngrams(F.col(text_col), n)).alias("pos", "gram"),
-    ).select(F.col(id_col), "pos", _hash60(F.col("gram")).alias("h"))
+    # hoist the token split to a materialized projection so the interpreted
+    # gram lambda slices an array column instead of embedding the split
+    # (see decontaminate.token_ngrams_from_tokens); spread the narrow scan
+    # so the window inventory doesn't run on 1-2 input splits
+    from foresttime_builder_spark.operators.spread import spread
+
+    wins = (
+        spread(df.select(F.col(id_col), toks.alias("_toks")))
+        .select(
+            F.col(id_col),
+            F.posexplode(token_ngrams_from_tokens(F.col("_toks"), n)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(F.col(id_col), "pos", _hash60(F.col("gram")).alias("h"))
+    )
 
     dup_h = (
         wins.groupBy("h")

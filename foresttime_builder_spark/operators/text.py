@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from foresttime_builder_spark.operators.spread import spread as _spread
+
 #: tiny deterministic stopword profiles (order = tie-break priority)
 LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("en", ("the", "and", "of", "to", "in", "is", "that", "it")),
@@ -200,11 +202,17 @@ def top_token_ngrams(
     which Catalyst executes as TakeOrdered (per-partition heaps + a k-row
     driver merge, never a full sort).  The ``(count desc, gram asc)``
     tie-break makes the result a deterministic set, so the gate can
-    hash-compare it."""
-    from foresttime_builder_spark.operators.decontaminate import token_ngrams
+    hash-compare it.  The token split is hoisted to its own projection so
+    the interpreted gram lambda slices a materialized array."""
+    from foresttime_builder_spark.operators.decontaminate import (
+        token_ngrams_from_tokens,
+    )
 
     return (
-        df.select(F.explode(token_ngrams(F.col(text_col), n)).alias("gram"))
+        _spread(df.select(F.split(F.col(text_col), " ").alias("_toks")))
+        .select(
+            F.explode(token_ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
+        )
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
@@ -245,8 +253,6 @@ def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregations here are linear in corpus tokens with map-side partial
     combine, and the join-backs are on the id key.
     """
-    from foresttime_builder_spark.operators.decontaminate import token_ngrams
-
     text = F.col(text_col)
     toks = F.split(text, " ")
     n_tok = F.size(toks)
@@ -254,24 +260,48 @@ def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dup_frac = F.floor(
         (F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok) * 10000 + F.lit(0.5)
     ).cast("long")
+    # (spreading this side too was A/B'd: the extra shuffle costs what the
+    # parallelism gains at every SF tried — the gram side below is where
+    # the dense work lives)
     base = df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         dup_frac.alias("dup_token_frac_e4"),
     )
 
-    out = base
+    # one fused mode computation for both gram lengths: tag each exploded
+    # gram with its n (union is shuffle-free), count per (doc, n, gram),
+    # then take both per-doc maxima in ONE aggregation with conditional
+    # max — halves the shuffle count of the earlier per-n chain (two
+    # explode->agg->agg->join pipelines -> one agg->agg + one join-back)
+    from foresttime_builder_spark.operators.decontaminate import (
+        token_ngrams_from_tokens,
+    )
+
+    # narrow-scan spread: the gram explosion does orders of magnitude more
+    # work per row than the scan reads bytes, so a 1-2-split documents file
+    # would otherwise run it on 1-2 cores (operators/spread.py)
+    toks_df = _spread(
+        df.select(F.col(id_col), F.split(text, " ").alias("_toks"))
+    )
+    grams = None
     for n in (2, 3):
-        top = (
-            df.select(
-                F.col(id_col), F.explode(token_ngrams(text, n)).alias("gram")
-            )
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy(id_col)
-            .agg(F.max("cnt").alias(f"_top{n}"))
+        g = toks_df.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.explode(token_ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
         )
-        out = out.join(top, id_col, "left")
+        grams = g if grams is None else grams.unionByName(g)
+    tops = (
+        grams.groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("_top2"),
+            F.max(F.when(F.col("n") == 3, F.col("cnt"))).alias("_top3"),
+        )
+    )
+    out = base.join(tops, id_col, "left")
 
     def frac(n: int) -> Column:
         # identical float-op order to the DuckDB twin:
