@@ -38,3 +38,56 @@ def test_snapshot_diff_composite_keys_and_nulls(spark):
     }
     # (1,x) unchanged (null==null under the hash rendering); (1,y) 5->null
     assert got == {(1, "y"): "update"}
+
+
+def test_snapshot_diff_property_reconstruction(spark):
+    """Property (the CDC contract): applying the emitted change set to the
+    old snapshot's KEY SET reproduces the new snapshot's key set, and the
+    per-key classification matches a brute-force dict comparison — on
+    pseudo-random snapshots with inserts, deletes, updates, and unchanged
+    rows."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    pair = st.tuples(
+        st.integers(min_value=0, max_value=30),  # key
+        st.integers(min_value=0, max_value=3),  # payload variant
+    )
+    snaps = st.tuples(
+        st.lists(pair, max_size=25, unique_by=lambda p: p[0]),
+        st.lists(pair, max_size=25, unique_by=lambda p: p[0]),
+    )
+
+    @given(snaps)
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(sn):
+        old_rows, new_rows = sn
+        schema = "k long, v long"
+        old = spark.createDataFrame(old_rows or [(999_999, 0)], schema)
+        new = spark.createDataFrame(new_rows or [(999_998, 0)], schema)
+        got = {
+            r.k: r.change
+            for r in snapshot_diff(
+                old, new, keys=["k"], compare_cols=["v"]
+            ).collect()
+        }
+        o = dict(old_rows or [(999_999, 0)])
+        n = dict(new_rows or [(999_998, 0)])
+        want = {}
+        for k in o.keys() | n.keys():
+            if k not in n:
+                want[k] = "delete"
+            elif k not in o:
+                want[k] = "insert"
+            elif o[k] != n[k]:
+                want[k] = "update"
+        assert got == want
+        # reconstruction: old keys + inserts - deletes == new keys
+        rebuilt = (set(o) | {k for k, c in got.items() if c == "insert"}) - {
+            k for k, c in got.items() if c == "delete"
+        }
+        assert rebuilt == set(n)
+
+    run()
