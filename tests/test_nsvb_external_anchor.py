@@ -16,6 +16,10 @@ point ``$FIA_CSV_DIR`` at a directory holding ``{STATE}_TREE.csv`` +
 ``{STATE}_PLOT.csv`` + ``{STATE}_COND.csv`` + ``{STATE}_PLOTGEOM.csv``
 (e.g. the extracted DataMart ``DE_CSV.zip``) and it runs; otherwise it
 skips with that instruction.
+
+An always-on sibling anchor over real published FIADB rows that ARE
+vendorable (the POP tables, a few KB) lives in
+``tests/test_fia_published_pop_anchor.py``.
 """
 
 from __future__ import annotations
