@@ -382,3 +382,161 @@ FROM base b
 LEFT JOIN m2 ON b.{id_col} = m2.{id_col}
 LEFT JOIN m3 ON b.{id_col} = m3.{id_col}
 """
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document's token
+    sequence into windows of ``size`` tokens advancing by ``stride`` —
+    the step between a cleaned corpus and a context-window-bounded
+    trainer/embedder (every long-document pipeline has one; the reference
+    has no counterpart — LLM-pipeline family).
+
+    Contract: chunk ``i`` covers tokens ``[1 + i*stride, ... + size)``
+    (1-based); the last chunk is the first whose window reaches the final
+    token (``max_idx = ceil(max(n - size, 0) / stride)``, integer
+    arithmetic), so every token is covered, the tail chunk may be short,
+    and no chunk is a suffix-duplicate of its predecessor.  Documents
+    shorter than ``size`` emit exactly one chunk.
+
+    Spark-first shape: the token split is hoisted to one projection
+    (multi-referenced arrays must be materialized once — interpreted
+    lambda re-evaluation is O(L²), the round-7 q59 lesson), chunk indices
+    come from ``explode(sequence(...))`` (rows never leave the JVM), and
+    each chunk is one ``slice`` of the materialized array.  Narrow
+    parent scans are round-robin spread so a 1–2-split corpus still
+    chunks on every core.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    base = _spread(
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    ).withColumn("_n", F.size(F.col("_toks")))
+    max_idx = F.floor(
+        (F.greatest(F.col("_n") - F.lit(size), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), max_idx)).alias("chunk_idx")
+    start = (F.col("chunk_idx") * F.lit(stride) + F.lit(1)).alias(
+        "start_token"
+    )
+    chunked = base.select(F.col(id_col), F.col("_toks"), idx).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long"),
+        F.slice(
+            F.col("_toks"), F.col("chunk_idx") * F.lit(stride) + F.lit(1), size
+        ).alias("_chunk"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        "chunk_idx",
+        "start_token",
+        F.size(F.col("_chunk")).cast("long").alias("n_tokens"),
+        F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
+    )
+
+
+def chunk_tokens_oracle_sql(
+    id_col: str,
+    text_col: str,
+    table: str,
+    size: int = 128,
+    stride: int = 64,
+) -> str:
+    """DuckDB twin of :func:`chunk_tokens` (identical integer index
+    arithmetic; DuckDB list slicing is 1-based inclusive, so the window
+    is ``toks[s : s + size - 1]``)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS toks,
+         len(string_split({text_col}, ' ')) AS n_tok
+  FROM {table}
+), idx AS (
+  SELECT {id_col}, toks,
+         unnest(generate_series(
+           0, (greatest(n_tok - {size}, 0) + {stride - 1}) // {stride}
+         )) AS chunk_idx
+  FROM base
+)
+SELECT {id_col},
+  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(chunk_idx * {stride} + 1 AS BIGINT) AS start_token,
+  CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {size}])
+       AS BIGINT) AS n_tokens,
+  array_to_string(
+    toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {size}], ' '
+  ) AS chunk_text
+FROM idx
+"""
+
+
+def corpus_profile(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group corpus statistics profile — the data-card numbers a
+    training-data curator reads before mixing sources: document count,
+    token totals, and the exact token-length distribution (min / median /
+    p95 / max).
+
+    One partial-aggregating shuffle on the group key; quantiles use exact
+    ``percentile`` (R-7 linear interpolation, the same definition DuckDB's
+    ``quantile_cont`` implements) — at 100 TB swap in ``approx_percentile``
+    and drop the bit-gate to a tolerance check; the plan shape is
+    unchanged.
+    """
+    d = df.select(
+        F.col(group_col),
+        F.size(F.split(F.col(text_col), " ")).alias("_n"),
+    )
+    return (
+        d.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+            F.min("_n").cast("long").alias("min_tokens"),
+            F.percentile(F.col("_n"), F.lit(0.5)).alias("_med"),
+            F.percentile(F.col("_n"), F.lit(0.95)).alias("_p95"),
+            F.max("_n").cast("long").alias("max_tokens"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            F.floor(F.col("_med") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("median_tokens_e4"),
+            F.floor(F.col("_p95") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("p95_tokens_e4"),
+            "max_tokens",
+        )
+    )
+
+
+def corpus_profile_oracle_sql(
+    text_col: str, group_col: str, table: str
+) -> str:
+    """DuckDB twin of :func:`corpus_profile`."""
+    return f"""
+WITH base AS (
+  SELECT {group_col}, len(string_split({text_col}, ' ')) AS n
+  FROM {table}
+)
+SELECT {group_col},
+  count(*) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS total_tokens,
+  CAST(min(n) AS BIGINT) AS min_tokens,
+  CAST(floor(quantile_cont(n, 0.5) * 10000 + 0.5) AS BIGINT)
+    AS median_tokens_e4,
+  CAST(floor(quantile_cont(n, 0.95) * 10000 + 0.5) AS BIGINT)
+    AS p95_tokens_e4,
+  CAST(max(n) AS BIGINT) AS max_tokens
+FROM base GROUP BY {group_col}
+"""
