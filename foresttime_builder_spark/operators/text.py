@@ -414,6 +414,17 @@ def chunk_tokens(
     """
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
+    if stride > size:
+        # stride > size skips the tokens between consecutive windows,
+        # violating the every-token-covered contract, and lets the last
+        # window start past the array end (an empty trailing chunk).
+        # With stride <= size the last start is
+        # ceil((n-size)/stride)*stride + 1 <= n - size + stride <= n,
+        # so every chunk is non-empty by construction.
+        raise ValueError(
+            f"stride ({stride}) must be <= size ({size}): larger strides "
+            "skip inter-window tokens"
+        )
     base = _spread(
         df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     ).withColumn("_n", F.size(F.col("_toks")))
@@ -452,6 +463,13 @@ def chunk_tokens_oracle_sql(
     """DuckDB twin of :func:`chunk_tokens` (identical integer index
     arithmetic; DuckDB list slicing is 1-based inclusive, so the window
     is ``toks[s : s + size - 1]``)."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) must be <= size ({size}): larger strides "
+            "skip inter-window tokens"
+        )
     return f"""
 WITH base AS (
   SELECT {id_col}, string_split({text_col}, ' ') AS toks,

@@ -2829,6 +2829,43 @@ def _snapshot_diff_oracle() -> str:
     )
 
 
+def q80_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (`operators/text.chunk_tokens`):
+    every document split into 32-token windows advancing by 16 — the step
+    between a cleaned corpus and a context-window-bounded trainer/embedder.
+    Spark-first: one hoisted split projection, explode(sequence) chunk
+    indices, one slice per chunk; rows never leave the JVM."""
+    from foresttime_builder_spark.operators.text import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(d, "doc_id", "text", size=32, stride=16)
+
+
+def _chunk_tokens_oracle() -> str:
+    from foresttime_builder_spark.operators.text import chunk_tokens_oracle_sql
+
+    return chunk_tokens_oracle_sql(
+        "doc_id", "text", "documents", size=32, stride=16
+    )
+
+
+def q81_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics profile (`operators/text.corpus_profile`):
+    doc counts, token totals, and the exact token-length distribution
+    (min / median / p95 / max) per `source` — the data-card numbers a
+    curator reads before mixing sources.  One partial-aggregating shuffle."""
+    from foresttime_builder_spark.operators.text import corpus_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_profile(d, "text", "source")
+
+
+def _corpus_profile_oracle() -> str:
+    from foresttime_builder_spark.operators.text import corpus_profile_oracle_sql
+
+    return corpus_profile_oracle_sql("text", "source", "documents")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -2935,4 +2972,6 @@ QUERIES: dict[str, QuerySpec] = {
         q78_length_bucket_batches, _length_bucket_oracle()
     ),
     "q79_snapshot_diff": QuerySpec(q79_snapshot_diff, _snapshot_diff_oracle()),
+    "q80_chunk_tokens": QuerySpec(q80_chunk_tokens, _chunk_tokens_oracle()),
+    "q81_corpus_profile": QuerySpec(q81_corpus_profile, _corpus_profile_oracle()),
 }

@@ -106,3 +106,60 @@ def test_temperature_quotas_upweight_small_sources(spark):
     assert q["small"]["n_docs"] == 100 and q["big"]["n_docs"] == 900
     assert q["small"]["quota"] == 25 and q["big"]["quota"] == 75
     assert q["small"]["quota"] / 100 > 100 / 1000
+
+
+def test_chunk_tokens_contract(spark):
+    from foresttime_builder_spark.operators.text import chunk_tokens
+
+    rows = [
+        (1, "t1 t2 t3 t4 t5 t6 t7"),  # 7 tokens, size 4 stride 2 -> idx 0..2
+        (2, "s1 s2"),                 # shorter than size -> one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+        for r in chunk_tokens(df, "doc_id", "text", size=4, stride=2).collect()
+    )
+    assert out == [
+        (1, 0, 1, 4, "t1 t2 t3 t4"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 5, 3, "t5 t6 t7"),   # tail chunk short, covers final token
+        (2, 0, 1, 2, "s1 s2"),
+    ]
+    # no empty chunks, full coverage (last chunk reaches token 7)
+    assert all(n > 0 for _, _, _, n, _ in out)
+
+
+def test_chunk_tokens_rejects_stride_gt_size(spark):
+    from foresttime_builder_spark.operators.text import (
+        chunk_tokens,
+        chunk_tokens_oracle_sql,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_tokens(df, "doc_id", "text", size=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_tokens_oracle_sql("doc_id", "text", "documents", size=4, stride=5)
+
+
+def test_corpus_profile_matches_manual(spark):
+    from foresttime_builder_spark.operators.text import corpus_profile
+
+    rows = [
+        (1, "a b c", "web"),
+        (2, "a b", "web"),
+        (3, "a b c d e", "web"),
+        (4, "x", "book"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: (
+            r.n_docs, r.total_tokens, r.min_tokens,
+            r.median_tokens_e4, r.p95_tokens_e4, r.max_tokens,
+        )
+        for r in corpus_profile(df, "text", "source").collect()
+    }
+    # web lengths [2,3,5]: median 3, p95 (R-7) = 3 + 0.9*(5-3) = 4.8
+    assert got["web"] == (3, 10, 2, 30000, 48000, 5)
+    assert got["book"] == (1, 1, 1, 10000, 10000, 1)

@@ -40,6 +40,82 @@ def test_snapshot_diff_composite_keys_and_nulls(spark):
     assert got == {(1, "y"): "update"}
 
 
+def test_snapshot_diff_hash_unambiguous(spark):
+    """The per-column fixed-width token hash distinguishes the three
+    ambiguity classes the old concat_ws('|') hash collapsed: NULL vs empty
+    string, cross-column NULL swaps ((NULL,'x') vs ('x',NULL)), and
+    delimiter injection (('a|b','c') vs ('a','b|c'))."""
+    schema = "k long, a string, b string"
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "a|b", "c"), (3, None, None)], schema
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None), (2, "a", "b|c"), (3, "", "")], schema
+    )
+    got = {
+        r.k: r.change
+        for r in snapshot_diff(
+            old, new, keys=["k"], compare_cols=["a", "b"]
+        ).collect()
+    }
+    assert got == {1: "update", 2: "update", 3: "update"}
+
+
+def test_snapshot_diff_oracle_parity_with_nulls(spark):
+    """Spark and the DuckDB twin classify identically on a fixture that
+    exercises NULLs, empty strings, and delimiter characters."""
+    import duckdb
+
+    from foresttime_builder_spark.operators.diff import snapshot_diff_oracle_sql
+
+    old_rows = [
+        (1, "a|b", "c"),
+        (2, None, "x"),
+        (3, "", ""),
+        (4, "same", "same"),
+        (5, "gone", None),
+    ]
+    new_rows = [
+        (1, "a", "b|c"),
+        (2, "x", None),
+        (3, None, None),
+        (4, "same", "same"),
+        (6, "fresh", ""),
+    ]
+    schema = "k long, a string, b string"
+    got = {
+        r.k: r.change
+        for r in snapshot_diff(
+            spark.createDataFrame(old_rows, schema),
+            spark.createDataFrame(new_rows, schema),
+            keys=["k"],
+            compare_cols=["a", "b"],
+        ).collect()
+    }
+
+    def values_sql(rows):
+        def lit(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, int):
+                return str(v)
+            return "'" + v.replace("'", "''") + "'"
+
+        vals = ", ".join(
+            "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+        )
+        return f"SELECT * FROM (VALUES {vals}) AS t(k, a, b)"
+
+    sql = snapshot_diff_oracle_sql(
+        values_sql(old_rows), values_sql(new_rows),
+        keys=["k"], compare_cols=["a", "b"],
+    )
+    want = {k: c for k, c in duckdb.sql(sql).fetchall()}
+    assert got == want == {
+        1: "update", 2: "update", 3: "update", 5: "delete", 6: "insert"
+    }
+
+
 def test_snapshot_diff_property_reconstruction(spark):
     """Property (the CDC contract): applying the emitted change set to the
     old snapshot's KEY SET reproduces the new snapshot's key set, and the

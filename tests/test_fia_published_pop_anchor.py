@@ -174,3 +174,72 @@ def test_estimate_population_stratified_closes_on_published_area(
     assert got[0].total_area == pytest.approx(published, rel=1e-12)
     assert got[0].total_tons == pytest.approx(published, rel=1e-12)
     assert got[0].tons_per_acre == pytest.approx(1.0, rel=1e-12)
+
+
+@pytest.mark.parametrize("evalid", EXPCURR)
+def test_estimate_population_stratified_adjusted_path_closes(
+    spark, pop, evalid
+):
+    """End-to-end through the ADJ_FACTOR_SUBP ≠ 1 path: the EXPCURR
+    evaluations carry real published adjustment factors up to 1.08.  The
+    FIA design contract is that the adjustment exactly compensates
+    partially-sampled conditions, so a panel whose condition proportion is
+    the sampled fraction ``1/ADJ`` of its stratum must close on the
+    published AREA_USED: ``CONDPROP · ADJ · EXPNS`` telescopes back to
+    ``Σ EXPNS`` over assigned plots = published area.  The tree term is
+    anchored identically (``CARBON = 2000/ADJ`` → tons per plot = EXPNS).
+    Unlike the EXPALL arm this fails if the engine drops, misjoins, or
+    misplaces the ADJ multiply — asserted explicitly below by checking the
+    unadjusted sum does NOT close."""
+    from foresttime_builder_spark.plans.population import (
+        estimate_population_stratified,
+    )
+
+    strat, eu, assgn = pop
+    strat_e = strat.filter(F.col("EVALID") == evalid).drop("EVALID")
+    assgn_e = assgn.filter(F.col("EVALID") == evalid)
+
+    # guard: the fixture must actually exercise the adjusted path
+    n_adj = strat_e.filter(F.col("ADJ_FACTOR_SUBP") != 1.0).count()
+    assert n_adj > 0, "EXPCURR fixture lost its ADJ!=1 strata"
+
+    # per-plot published ADJ via the same assignment join the engine uses
+    plot_adj = assgn_e.select("PLT_CN", "STRATUM_CN").join(
+        F.broadcast(
+            strat_e.select(
+                F.col("CN").alias("STRATUM_CN"), "ADJ_FACTOR_SUBP", "EXPNS"
+            )
+        ),
+        on="STRATUM_CN",
+    )
+    panel = plot_adj.select(
+        "PLT_CN",
+        F.col("PLT_CN").alias("plot_ID"),
+        F.lit(2023).alias("YEAR"),
+        F.lit(1).alias("CONDID"),
+        (F.lit(1.0) / F.col("ADJ_FACTOR_SUBP")).alias("CONDPROP_UNADJ"),
+        F.lit(1).alias("COND_STATUS_CD"),
+        F.lit(1).alias("INTENSITY"),
+        F.lit(1).alias("STATUSCD"),
+        F.lit(1.0).alias("TPA_UNADJ"),
+        (F.lit(2000.0) / F.col("ADJ_FACTOR_SUBP")).alias("CARBON_AG"),
+    )
+    got = estimate_population_stratified(panel, strat_e, assgn_e).collect()
+    assert len(got) == 1
+    published = (
+        eu.filter(F.col("EVALID") == evalid)
+        .agg(F.sum("AREA_USED"))
+        .first()[0]
+    )
+    assert got[0].total_area == pytest.approx(published, rel=1e-12)
+    assert got[0].total_tons == pytest.approx(published, rel=1e-12)
+    assert got[0].tons_per_acre == pytest.approx(1.0, rel=1e-12)
+
+    # the adjustment is load-bearing: without ADJ the same panel does NOT
+    # reproduce the published area (the sampled fractions under-count)
+    unadjusted = (
+        plot_adj.agg(
+            F.sum(F.col("EXPNS") / F.col("ADJ_FACTOR_SUBP"))
+        ).first()[0]
+    )
+    assert unadjusted < published * (1 - 1e-6)
