@@ -244,83 +244,94 @@ def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     frequent 2-gram and 3-gram, duplicate-token fraction, and the
     resulting keep/drop flag.
 
-    The per-document mode is computed relationally — explode the grams,
-    count per (doc, gram), max per doc, join back on the doc id.  An
-    earlier formulation inlined it as a nested higher-order lambda
-    (O(distinct_grams × grams) per document, zero shuffle); it gated fine
-    at 500 docs but cost 35 minutes for 50k docs at sf1 — the string-
-    equality volume, not the shuffle, is the scale hazard.  The two
-    aggregations here are linear in corpus tokens with map-side partial
-    combine, and the join-backs are on the id key.
+    The per-document mode (top n-gram count) is computed as the longest
+    run in the document's SORTED gram array — ``array_sort`` over
+    struct-typed grams, then one linear ``aggregate`` pass — entirely
+    inside one projection: zero shuffles, zero joins, embarrassingly
+    parallel.  Two earlier formulations are documented for the record:
+
+    - a nested higher-order lambda (O(distinct_grams × grams) per
+      document) gated fine at 500 docs but cost 35 minutes for 50k docs
+      at sf1 — quadratic string-equality volume;
+    - the relational shape (explode grams, count per (doc, gram), max per
+      doc, join back) is linear with map-side combine but pays two
+      shuffles + a join: 1.2 s sf0.1 / 5.1 s sf1 / 24.2 s sf10.
+
+    The sorted-run formulation is O(L log L) per doc and measured 0.70 s
+    sf0.1 / 3.2 s sf1 / 9.6 s sf10 (median-of-3, noop sink, local[32]),
+    bit-identical outputs at every SF.  Two constants matter: grams are
+    STRUCTS of the n tokens, not concatenated strings (the string
+    allocation tripled sf10 cost: 28.7 s vs 9.6 s), and the lambda state
+    is a single flat struct (prev, run, best).  At 100 TB the projection
+    pipelines with the scan — no shuffle exists to become the bottleneck;
+    the narrow parent scan is round-robin spread (operators/spread.py) so
+    a few-split documents file still uses every core.
     """
     text = F.col(text_col)
     toks = F.split(text, " ")
-    n_tok = F.size(toks)
+
+    # narrow-scan spread: the per-doc sort+scan does orders of magnitude
+    # more work per row than the scan reads bytes (operators/spread.py)
+    base = _spread(df.select(F.col(id_col), toks.alias("_toks")))
+    T = F.col("_toks")
+    n_tok = F.size(T)
 
     dup_frac = F.floor(
-        (F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok) * 10000 + F.lit(0.5)
+        (F.lit(1.0) - F.size(F.array_distinct(T)) / n_tok) * 10000 + F.lit(0.5)
     ).cast("long")
-    # (spreading this side too was A/B'd: the extra shuffle costs what the
-    # parallelism gains at every SF tried — the gram side below is where
-    # the dense work lives)
-    base = df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        dup_frac.alias("dup_token_frac_e4"),
-    )
 
-    # one fused mode computation for both gram lengths: tag each exploded
-    # gram with its n (union is shuffle-free), count per (doc, n, gram),
-    # then take both per-doc maxima in ONE aggregation with conditional
-    # max — halves the shuffle count of the earlier per-n chain (two
-    # explode->agg->agg->join pipelines -> one agg->agg + one join-back)
-    from foresttime_builder_spark.operators.decontaminate import (
-        token_ngrams_from_tokens,
-    )
-
-    # narrow-scan spread: the gram explosion does orders of magnitude more
-    # work per row than the scan reads bytes, so a 1-2-split documents file
-    # would otherwise run it on 1-2 cores (operators/spread.py)
-    toks_df = _spread(
-        df.select(F.col(id_col), F.split(text, " ").alias("_toks"))
-    )
-    grams = None
-    for n in (2, 3):
-        g = toks_df.select(
-            F.col(id_col),
-            F.lit(n).alias("n"),
-            F.explode(token_ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
+    def top_run(n: int) -> Column:
+        # max multiplicity in the gram multiset == longest equal-run in
+        # the sorted gram array (any total order works; struct ordering
+        # is field-lexicographic)
+        fields = "abc"[:n]
+        grams = F.transform(
+            F.sequence(F.lit(0), n_tok - F.lit(n)),
+            lambda i: F.struct(
+                *[F.element_at(T, i + k + 1).alias(fields[k]) for k in range(n)]
+            ),
         )
-        grams = g if grams is None else grams.unionByName(g)
-    tops = (
-        grams.groupBy(id_col, "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col)
-        .agg(
-            F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("_top2"),
-            F.max(F.when(F.col("n") == 3, F.col("cnt"))).alias("_top3"),
+        g = F.array_sort(grams)
+        typ = "struct<" + ",".join(f"{f}:string" for f in fields) + ">"
+        best = F.aggregate(
+            g,
+            F.struct(
+                F.lit(None).cast(typ).alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    a["best"],
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda a: a["best"],
         )
-    )
-    out = base.join(tops, id_col, "left")
+        # documents too short for any n-gram report NULL (matches the
+        # relational left-join semantics and the DuckDB twin)
+        return F.when(n_tok >= n, best)
 
-    def frac(n: int) -> Column:
+    def frac(n: int, top: Column) -> Column:
         # identical float-op order to the DuckDB twin:
         # ((top*n)/n_tok)*10000 + 0.5
-        top = F.col(f"_top{n}")
         return F.when(
             top.isNotNull(),
-            F.floor(
-                top * n / F.col("n_tokens") * 10000 + F.lit(0.5)
-            ).cast("long"),
+            F.floor(top * n / n_tok * 10000 + F.lit(0.5)).cast("long"),
         )
 
-    top2, top3 = frac(2), frac(3)
-    return out.select(
+    t2, t3 = top_run(2), top_run(3)
+    top2, top3 = frac(2, t2), frac(3, t3)
+    return base.select(
         F.col(id_col),
-        "n_tokens",
+        n_tok.alias("n_tokens"),
         top2.alias("top2gram_frac_e4"),
         top3.alias("top3gram_frac_e4"),
-        "dup_token_frac_e4",
+        dup_frac.alias("dup_token_frac_e4"),
         # Gopher thresholds: drop if top-2-gram coverage > 0.20 or
         # top-3-gram coverage > 0.18 (ours are token-fractions, same bar)
         (
