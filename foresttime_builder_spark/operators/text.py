@@ -203,18 +203,40 @@ def top_token_ngrams(
     driver merge, never a full sort).  The ``(count desc, gram asc)``
     tie-break makes the result a deterministic set, so the gate can
     hash-compare it.  The token split is hoisted to its own projection so
-    the interpreted gram lambda slices a materialized array."""
-    from foresttime_builder_spark.operators.decontaminate import (
-        token_ngrams_from_tokens,
-    )
+    the interpreted gram lambda slices a materialized array.
 
+    Grams travel as STRUCTS of the n tokens until after the count; the
+    display string is concatenated only for the distinct grams that
+    survive aggregation, and the final (count desc, gram asc) ordering is
+    on that string — identical semantics to concatenating up front, minus
+    a per-corpus-gram string allocation (measured −30% at sf10: 5.97 s vs
+    8.50 s median-of-3, equal outputs; same lesson as
+    :func:`repetition_quality`)."""
+    fields = "abcdefghij"[:n]
+    T = F.col("_toks")
+    typ = "array<struct<" + ",".join(f"{f}:string" for f in fields) + ">>"
+    # documents shorter than n contribute no grams (matches the twin's
+    # WHERE len >= n); the guard also keeps sequence() ascending — Spark
+    # generates a DESCENDING sequence when start > stop, which would feed
+    # element_at out-of-range indices
+    grams = F.when(
+        F.size(T) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(T) - F.lit(n)),
+            lambda i: F.struct(
+                *[F.element_at(T, i + j + 1).alias(fields[j]) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.lit(None).cast(typ))
     return (
         _spread(df.select(F.split(F.col(text_col), " ").alias("_toks")))
-        .select(
-            F.explode(token_ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
-        )
-        .groupBy("gram")
+        .select(F.explode(grams).alias("g"))
+        .groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat_ws(" ", *[F.col(f"g.{f}") for f in fields]).alias("gram"),
+            "cnt",
+        )
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
     )

@@ -163,3 +163,24 @@ def test_corpus_profile_matches_manual(spark):
     # web lengths [2,3,5]: median 3, p95 (R-7) = 3 + 0.9*(5-3) = 4.8
     assert got["web"] == (3, 10, 2, 30000, 48000, 5)
     assert got["book"] == (1, 1, 1, 10000, 10000, 1)
+
+
+def test_repetition_quality_short_docs(spark):
+    """Documents shorter than the gram length report NULL fracs and never
+    error (the sorted-run scan must guard sequence()'s descending range
+    and out-of-range element_at)."""
+    from foresttime_builder_spark.operators.text import repetition_quality
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x y"), (3, "a a a a")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.top2gram_frac_e4, r.top3gram_frac_e4, r.keep)
+        for r in repetition_quality(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (1, None, None, True)
+    # "x y": one 2-gram covering both tokens -> 1*2/2 = 10000; drops
+    assert got[2] == (2, 10000, None, False)
+    # "a a a a": top 2-gram "a a" x3 -> 3*2/4 = 15000; top 3-gram x2 ->
+    # 2*3/4 = 15000 (coverage fracs can exceed 1 on overlapping repeats)
+    assert got[3] == (4, 15000, 15000, False)
