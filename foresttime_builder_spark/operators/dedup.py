@@ -23,6 +23,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from foresttime_builder_spark.operators.cache import release_on_gc as _release_on_gc
@@ -61,6 +63,65 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
         F.min(id_col).alias(f"keep_{id_col}"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def derive_candidate_budget(
+    spark,
+    safety: float = 0.25,
+    bytes_per_candidate: int = 64,
+    n_workers: int = 1,
+) -> int:
+    """Conservative default for ``candidate_budget`` derived from the
+    machine the shuffle will actually spill to.
+
+    The guarded family (:func:`token_jaccard_pairs`,
+    ``graph.cluster_near_dups``) treats ``candidate_budget=None`` as
+    unguarded — correct for tests, a foot-gun in production where a dense
+    corpus can project a candidate stream that exceeds local shuffle
+    storage.  This helper turns the guard default-safe with one line::
+
+        pairs = token_jaccard_pairs(
+            df, "doc_id", "text",
+            candidate_budget=derive_candidate_budget(spark),
+            on_budget="degrade",
+        )
+
+    Derivation: free bytes across the distinct ``spark.local.dir``
+    shuffle directories × ``safety`` ÷ ``bytes_per_candidate`` (two ids +
+    overlap counters + shuffle framing ≈ 64 B/candidate both in flight
+    and on disk).  ``safety`` defaults to 0.25 so the candidate shuffle
+    claims at most a quarter of the free spill space — the verification
+    join and whatever else the job runs need the rest.
+
+    On a real cluster the driver cannot see executor disks: pass
+    ``n_workers`` (budget scales linearly — each executor spills its own
+    partitions) and point ``spark.local.dir`` at a path with
+    representative free space, or skip the helper and pass an explicit
+    figure from your infrastructure.  Floors at 1M candidates so a nearly
+    full dev disk still lets small corpora through (1M candidates is
+    ≤64 MB — noise even on a laptop).
+    """
+    import shutil
+
+    conf_dirs = spark.conf.get(
+        "spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
+    )
+    free = 0
+    seen = set()
+    for d in conf_dirs.split(","):
+        d = d.strip() or "/tmp"
+        try:
+            usage = shutil.disk_usage(d)
+        except OSError:
+            continue
+        # count each filesystem once even if several dirs share it
+        key = (usage.total, usage.free)
+        if key in seen:
+            continue
+        seen.add(key)
+        free += usage.free
+    budget = int(free * safety / bytes_per_candidate) * max(n_workers, 1)
+    return max(budget, 1_000_000)
 
 
 def estimate_candidate_pairs(

@@ -181,3 +181,29 @@ def test_estimator_naive_mode_counts_full_stream(spark):
         assert naive == 500 * 45
     finally:
         docsets.unpersist()
+
+
+def test_derive_candidate_budget_scales_and_floors(spark):
+    """The production budget helper: positive, floored at 1M, linear in
+    n_workers, monotone in safety, and usable directly as the guard."""
+    from foresttime_builder_spark.operators.dedup import (
+        derive_candidate_budget,
+        token_jaccard_pairs,
+    )
+
+    b1 = derive_candidate_budget(spark)
+    assert b1 >= 1_000_000
+    assert derive_candidate_budget(spark, n_workers=4) >= 4 * (
+        derive_candidate_budget(spark, n_workers=1) // 4
+    )
+    assert derive_candidate_budget(spark, safety=0.5) >= b1
+    # tiny budget forces the guard to fire; the derived one lets a tiny
+    # corpus through the exact path
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} shared") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = token_jaccard_pairs(
+        df, "doc_id", "text", strategy="prefix", candidate_budget=b1
+    )
+    out.collect()  # guard does not fire at this scale
