@@ -39,6 +39,55 @@ import __spark_entry__ as entrymod
 from foresttime_builder_spark.session import get_spark
 
 
+def _isolate_main(args) -> None:
+    """--isolate driver: one subprocess (fresh JVM) per query, merged report."""
+    import subprocess
+
+    names = sorted(entrymod.queries())
+    if args.only:
+        want = {w.strip() for w in args.only.split(",")}
+        names = [n for n in names if any(n.startswith(w) for w in want)]
+    skip = {w.strip() for w in args.skip.split(",") if w.strip()}
+    names = [n for n in names if not any(n.startswith(s) for s in skip)]
+
+    report: dict[str, dict] = {}
+    for name in names:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--sf-dir", args.sf_dir, "--only", name,
+            "--runs", str(args.runs),
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        try:
+            sub = json.loads(proc.stdout.strip().splitlines()[-1])
+            report[name] = sub["queries"][name]
+        except Exception:
+            report[name] = {
+                "sec": None,
+                "rows": None,
+                "err": f"subprocess rc={proc.returncode}: "
+                       f"{proc.stderr.strip()[-300:]}",
+            }
+        status = report[name]["err"] or f"{report[name]['rows']} rows"
+        print(f"{name}: {report[name]['sec']}s  {status}", file=sys.stderr)
+
+    errs = [n for n in report if report[n]["err"]]
+    line = json.dumps(
+        {
+            "sf_dir": args.sf_dir,
+            "isolate": True,
+            "queries": report,
+            "n": len(report),
+            "errors": errs,
+        }
+    )
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    sys.exit(1 if errs else 0)
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap = argparse.ArgumentParser()
@@ -47,7 +96,24 @@ def main() -> None:
     ap.add_argument("--skip", default="")
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help=(
+            "run each query in its own fresh JVM (a subprocess re-exec of "
+            "this tool with --only). Steady-state mode: interpreted-HOF "
+            "throughput is session-context-dependent (BASELINE.md round-9 "
+            "— q59 sf10 is 8 s fresh vs 29 s after q58 in one session), so "
+            "shared-session sweeps overstate HOF-heavy operators. Default "
+            "stays shared-session: it is the cheaper end-to-end executes-"
+            "at-scale check and the adversarial regime worth watching."
+        ),
+    )
     args = ap.parse_args()
+
+    if args.isolate:
+        _isolate_main(args)
+        return
 
     queries = entrymod.queries()
     names = sorted(queries)
