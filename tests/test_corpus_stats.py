@@ -184,3 +184,71 @@ def test_repetition_quality_short_docs(spark):
     # "a a a a": top 2-gram "a a" x3 -> 3*2/4 = 15000; top 3-gram x2 ->
     # 2*3/4 = 15000 (coverage fracs can exceed 1 on overlapping repeats)
     assert got[3] == (4, 15000, 15000, False)
+
+
+def test_chunk_tokens_property_coverage(spark):
+    """Property: chunks cover every token, starts advance by exactly
+    stride, the tail chunk reaches the final token, no chunk is empty,
+    and rejoining chunk 0 stride-slices reconstructs a prefix — against a
+    brute-force Python model on random docs/sizes/strides."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from foresttime_builder_spark.operators.text import chunk_tokens
+
+    docs = st.lists(
+        st.integers(min_value=1, max_value=40),  # token counts
+        min_size=1, max_size=6,
+    )
+    params = st.tuples(
+        docs,
+        st.integers(min_value=1, max_value=10),  # size
+    ).flatmap(
+        lambda t: st.tuples(
+            st.just(t[0]), st.just(t[1]),
+            st.integers(min_value=1, max_value=t[1]),  # stride <= size
+        )
+    )
+
+    @given(params)
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(p):
+        lens, size, stride = p
+        rows = [
+            (i, " ".join(f"t{i}_{j}" for j in range(L)))
+            for i, L in enumerate(lens)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in chunk_tokens(df, "doc_id", "text", size=size, stride=stride).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+            )
+        for i, L in enumerate(lens):
+            toks = [f"t{i}_{j}" for j in range(L)]
+            chunks = sorted(got[i])
+            # brute-force model
+            want = []
+            idx = 0
+            while True:
+                start = idx * stride
+                want.append(
+                    (idx, start + 1, len(toks[start:start + size]),
+                     " ".join(toks[start:start + size]))
+                )
+                if start + size >= L:
+                    break
+                idx += 1
+            assert chunks == want
+            # contract assertions
+            assert all(n > 0 for _, _, n, _ in chunks)
+            last_idx, last_start, last_n, _ = chunks[-1]
+            assert last_start + last_n - 1 == L  # tail reaches final token
+            covered = set()
+            for _, s, n, _ in chunks:
+                covered.update(range(s, s + n))
+            assert covered == set(range(1, L + 1))
+
+    run()
