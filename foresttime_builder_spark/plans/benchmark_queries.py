@@ -2866,6 +2866,29 @@ def _corpus_profile_oracle() -> str:
     return corpus_profile_oracle_sql("text", "source", "documents")
 
 
+#: fixed term bag for the q82 gate — mixes high- and mid-df tokens of the
+#: synthetic vocabulary so idf spread is non-trivial
+_BM25_TERMS = ("spark", "hash", "window", "merge")
+
+
+def q82_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance mining (`operators/relevance.bm25_scores`): score
+    every document against a fixed query-term bag. Spark-first: one 1-row
+    stats aggregate (N, avgdl, per-term df) broadcast into a zero-shuffle
+    scoring scan; tf via built-in `size(array_remove(...))`, no lambda
+    HOFs, no explode."""
+    from foresttime_builder_spark.operators.relevance import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    from foresttime_builder_spark.operators.relevance import bm25_scores_oracle_sql
+
+    return bm25_scores_oracle_sql("doc_id", "text", "documents", _BM25_TERMS)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -2974,4 +2997,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q79_snapshot_diff": QuerySpec(q79_snapshot_diff, _snapshot_diff_oracle()),
     "q80_chunk_tokens": QuerySpec(q80_chunk_tokens, _chunk_tokens_oracle()),
     "q81_corpus_profile": QuerySpec(q81_corpus_profile, _corpus_profile_oracle()),
+    "q82_bm25_scores": QuerySpec(q82_bm25_scores, _bm25_oracle()),
 }

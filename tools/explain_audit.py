@@ -42,6 +42,7 @@ EXPECTED_BNLJ = {
     "q17_cosine_topk": (1, "brute-force ANN baseline, probe side capped"),
     "q46_kmv_sketch": (1, "1-row-aggregate crossJoin attaching the sketch bound"),
     "q74_temperature_mix": (1, "1-row weight-total crossJoin in temperature_quotas"),
+    "q82_bm25_scores": (1, "1-row corpus-stats (N/avgdl/df) crossJoin in bm25_scores"),
 }
 
 
