@@ -10,11 +10,13 @@ order which is nondeterministic in a distributed scan).
 
 Scale shape: one shuffle — the rank is a window keyed by the mix column;
 quotas arrive as a broadcast dim.  Skewed sources (one source with 10^9
-docs) are handled by the window's per-key sort spilling, and the
-candidate set can be pre-filtered by an approximate hash threshold
-(``hash < quota/count * MAX_HASH`` with a safety factor) before ranking
-when a source is too large to sort — both sides of that refinement keep
-exactly the same final sample because the hash order is total.
+docs) are handled by ``prefilter_safety``: the candidate set is first cut
+by an approximate per-source hash threshold (``hash <= quota/count *
+MAX_HASH * safety``) so each source sorts only ~``safety * quota`` rows
+instead of all of them, and a guard re-ranks exactly any source the
+probabilistic cut undershot — the final sample is therefore IDENTICAL to
+the unfiltered path by construction (the hash order is total), which the
+q83 gate proves against the plain-ranking SQL oracle.
 """
 
 from __future__ import annotations
@@ -23,6 +25,9 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from foresttime_builder_spark.operators.dedup import hash60
 
+#: hash60 values are 15 hex digits -> [0, 2^60)
+_MAX_HASH60 = (1 << 60) - 1
+
 
 def quota_sample(
     df: DataFrame,
@@ -30,20 +35,76 @@ def quota_sample(
     mix_col: str = "source",
     id_col: str = "doc_id",
     quota_col: str = "quota",
+    prefilter_safety: float | None = None,
 ) -> DataFrame:
     """Keep the ``quota`` lowest-hash rows of each ``mix_col`` group.
 
     ``quotas`` is a small (mix_col, quota) dim — broadcast.  Output adds
     ``sample_rank`` (1-based hash rank within the source).
+
+    ``prefilter_safety`` engages the scale path for giant sources: rows
+    are pre-cut to ``hash <= quota/count * MAX_HASH * safety`` before the
+    per-source ranking sort, so a 10^9-doc source sorts ~``safety*quota``
+    rows, not 10^9.  Sources where the cut kept fewer than
+    ``min(quota, count)`` rows (probability ~``exp(-quota(s-1)^2/(s+1))``
+    per source, deterministic for a given corpus) are detected in-plan
+    and re-ranked WITHOUT the cut, so the output is exactly the
+    unfiltered sample for every source.  ``None`` (default) ranks every
+    row — right when no source is much larger than its quota.
     """
     h = hash60(F.col(id_col).cast("string"))
     rank = F.row_number().over(
         W.partitionBy(mix_col).orderBy(h.asc(), F.col(id_col).asc())
     )
-    ranked = df.withColumn("sample_rank", rank)
-    return ranked.join(F.broadcast(quotas), mix_col).filter(
+    out_cols = [*df.columns, "sample_rank", quota_col]
+
+    if prefilter_safety is None:
+        ranked = df.withColumn("sample_rank", rank)
+        return ranked.join(F.broadcast(quotas), mix_col).filter(
+            F.col("sample_rank") <= F.col(quota_col)
+        ).select(*out_cols)
+
+    if prefilter_safety <= 0:
+        raise ValueError(f"prefilter_safety must be positive, got {prefilter_safety}")
+
+    counts = df.groupBy(mix_col).agg(F.count(F.lit(1)).alias("_n_docs"))
+    dim = quotas.join(counts, mix_col).withColumn(
+        "_thr",
+        F.least(
+            F.lit(_MAX_HASH60),
+            F.ceil(
+                F.lit(float(_MAX_HASH60))
+                * F.col(quota_col)
+                * F.lit(prefilter_safety)
+                / F.col("_n_docs")
+            ).cast("long"),
+        ),
+    )
+    surv = df.join(F.broadcast(dim), mix_col).filter(h <= F.col("_thr"))
+    kept = surv.withColumn("sample_rank", rank).filter(
         F.col("sample_rank") <= F.col(quota_col)
     )
+    # guard: a source undershot iff the cut kept fewer rows than the full
+    # ranking would return. kept counts are <= quota per source, so this
+    # aggregate is tiny; sources with zero survivors surface via the left
+    # join from the dim.
+    kc = kept.groupBy(mix_col).agg(F.count(F.lit(1)).alias("_kept"))
+    undershot = (
+        dim.join(kc, mix_col, "left")
+        .filter(
+            F.coalesce(F.col("_kept"), F.lit(0))
+            < F.least(F.col(quota_col), F.col("_n_docs"))
+        )
+        .select(mix_col)
+    )
+    redo = (
+        df.join(F.broadcast(undershot), mix_col, "semi")
+        .withColumn("sample_rank", rank)
+        .join(F.broadcast(quotas), mix_col)
+        .filter(F.col("sample_rank") <= F.col(quota_col))
+    )
+    good = kept.join(F.broadcast(undershot), mix_col, "anti")
+    return good.select(*out_cols).unionByName(redo.select(*out_cols))
 
 
 def split_assign(

@@ -2889,6 +2889,29 @@ def _bm25_oracle() -> str:
     return bm25_scores_oracle_sql("doc_id", "text", "documents", _BM25_TERMS)
 
 
+def q83_quota_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q57's quota sampling through the guarded hash-threshold prefilter
+    (`prefilter_safety=2.0`): each source ranks only ~2x its quota instead
+    of every row; sources the probabilistic cut undershot are re-ranked
+    exactly in-plan. The oracle is q57's plain full-ranking SQL — passing
+    proves the prefilter is lossless."""
+    from foresttime_builder_spark.operators.sampling import quota_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    quotas = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (5 + F.substring("source", 4, 10).cast("long") % 7).alias("quota"),
+        )
+    )
+    out = quota_sample(
+        d.select("doc_id", "source"), quotas, prefilter_safety=2.0
+    )
+    return out.select("doc_id", "source", "sample_rank", "quota")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -2998,4 +3021,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q80_chunk_tokens": QuerySpec(q80_chunk_tokens, _chunk_tokens_oracle()),
     "q81_corpus_profile": QuerySpec(q81_corpus_profile, _corpus_profile_oracle()),
     "q82_bm25_scores": QuerySpec(q82_bm25_scores, _bm25_oracle()),
+    "q83_quota_prefilter": QuerySpec(q83_quota_prefilter, ORACLE_Q57),
 }

@@ -50,6 +50,37 @@ def test_quota_sample_deterministic_and_bounded(spark):
     assert out3 == out1
 
 
+def test_quota_sample_prefilter_is_lossless(spark):
+    """The hash-threshold prefilter must return the exact unfiltered
+    sample at every safety factor — including safety < 1, where the cut
+    is guaranteed to undershoot and the in-plan guard must re-rank."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    quotas = spark.createDataFrame(
+        [("s0", 7), ("s1", 1), ("s2", 150)], "source string, quota long"
+    )
+    want = sorted(
+        (r.source, r.doc_id, r.sample_rank)
+        for r in quota_sample(df, quotas).collect()
+    )
+    for safety in (4.0, 2.0, 0.25):
+        got = sorted(
+            (r.source, r.doc_id, r.sample_rank)
+            for r in quota_sample(df, quotas, prefilter_safety=safety).collect()
+        )
+        assert got == want, f"prefilter changed the sample at safety={safety}"
+
+
+def test_quota_sample_prefilter_validates(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    quotas = spark.createDataFrame([("a", 1)], "source string, quota long")
+    with pytest.raises(ValueError, match="positive"):
+        quota_sample(df, quotas, prefilter_safety=0.0)
+
+
 def test_token_ngrams_short_doc_empty(spark):
     df = spark.createDataFrame([("a b c",), ("a b c d e f",)], "text string")
     out = df.select(F.size(token_ngrams(F.col("text"), 5)).alias("n")).collect()
