@@ -163,6 +163,85 @@ def split_assign_oracle_sql(
     return f"CASE {' '.join(parts)} ELSE '{splits[-1][0]}' END"
 
 
+def upsample_to_quota(
+    df: DataFrame,
+    quotas: DataFrame,
+    mix_col: str = "source",
+    id_col: str = "doc_id",
+    quota_col: str = "quota",
+) -> DataFrame:
+    """Draw EXACTLY ``quota`` rows per source, repeating documents when a
+    source is smaller than its quota — the "epoch upsampling" half of a
+    training mix ("3.2 epochs of the small high-quality source") that
+    :func:`quota_sample` (downsampling only) cannot express.
+
+    Every document of a source with ``n`` docs and quota ``q`` appears
+    ``floor(q/n)`` times, and the ``q mod n`` lowest-hash documents once
+    more; an ``epoch`` column (1-based) distinguishes the copies so a
+    downstream shuffler can spread them across the output order.  For
+    ``q <= n`` this degrades to exactly :func:`quota_sample`'s draw (every
+    kept doc has epoch 1).  Pure integer arithmetic on a deterministic
+    hash rank — reproducible across engines, re-runs, and repartitioning.
+
+    Scale shape: one ranking window per source (compose with
+    ``quota_sample(prefilter_safety=...)``-style cuts upstream if a
+    source is both giant and downsampled) plus an explode bounded by
+    ``ceil(q/n)`` copies per row — output-size-bound, never more.
+    """
+    h = hash60(F.col(id_col).cast("string"))
+    rank = F.row_number().over(
+        W.partitionBy(mix_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    counts = df.groupBy(mix_col).agg(F.count(F.lit(1)).alias("_n_docs"))
+    dim = quotas.join(counts, mix_col)
+    ranked = df.withColumn("sample_rank", rank).join(F.broadcast(dim), mix_col)
+    base = F.floor(F.col(quota_col) / F.col("_n_docs")).cast("long")
+    rem = F.col(quota_col) % F.col("_n_docs")
+    n_copies = base + (F.col("sample_rank") <= rem).cast("long")
+    return (
+        ranked.filter(n_copies > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), n_copies)))
+        .select(*df.columns, "sample_rank", quota_col, "epoch")
+    )
+
+
+def upsample_to_quota_oracle_sql(
+    table: str,
+    quotas_sql: str,
+    mix_col: str = "source",
+    id_col: str = "doc_id",
+    quota_col: str = "quota",
+) -> str:
+    """DuckDB twin of :func:`upsample_to_quota` (``quotas_sql`` is a
+    subquery yielding (mix_col, quota))."""
+    hash_sql = (
+        f"CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH ranked AS (
+  SELECT t.*,
+         row_number() OVER (
+           PARTITION BY {mix_col} ORDER BY {hash_sql} ASC, {id_col} ASC
+         ) AS sample_rank,
+         count(*) OVER (PARTITION BY {mix_col}) AS n_docs
+  FROM {table} t
+), withq AS (
+  SELECT r.*, q.{quota_col}
+  FROM ranked r JOIN ({quotas_sql}) q USING ({mix_col})
+)
+SELECT w.* EXCLUDE (n_docs), e.epoch
+FROM withq w,
+     LATERAL (
+       SELECT unnest(generate_series(
+         1,
+         CAST(floor({quota_col} / n_docs)
+              + CASE WHEN sample_rank <= {quota_col} % n_docs THEN 1 ELSE 0 END
+              AS BIGINT)
+       )) AS epoch
+     ) e
+"""
+
+
 def temperature_quotas(
     df: DataFrame,
     mix_col: str = "source",

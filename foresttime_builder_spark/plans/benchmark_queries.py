@@ -2912,6 +2912,44 @@ def q83_quota_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "sample_rank", "quota")
 
 
+def q84_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling to exact per-source quotas
+    (`operators/sampling.upsample_to_quota`): sources smaller than their
+    quota repeat whole epochs plus a lowest-hash remainder draw ("3.2
+    epochs of the small high-quality source"); larger sources degrade to
+    quota_sample's downsampling draw. Quotas 10..90 vs 25-doc sources at
+    the gate SF exercise both branches."""
+    from foresttime_builder_spark.operators.sampling import upsample_to_quota
+
+    d = load_table(spark, sf_dir, "documents")
+    quotas = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (10 + (F.substring("source", 4, 10).cast("long") % 5) * 20).alias(
+                "quota"
+            ),
+        )
+    )
+    out = upsample_to_quota(d.select("doc_id", "source"), quotas)
+    return out.select("doc_id", "source", "sample_rank", "quota", "epoch")
+
+
+def _epoch_upsample_oracle() -> str:
+    from foresttime_builder_spark.operators.sampling import (
+        upsample_to_quota_oracle_sql,
+    )
+
+    quotas_sql = (
+        "SELECT source, 10 + CAST(substr(source, 4) AS BIGINT) % 5 * 20 AS quota "
+        "FROM (SELECT DISTINCT source FROM documents) s"
+    )
+    return upsample_to_quota_oracle_sql(
+        "(SELECT doc_id, source FROM documents)", quotas_sql
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3022,4 +3060,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q81_corpus_profile": QuerySpec(q81_corpus_profile, _corpus_profile_oracle()),
     "q82_bm25_scores": QuerySpec(q82_bm25_scores, _bm25_oracle()),
     "q83_quota_prefilter": QuerySpec(q83_quota_prefilter, ORACLE_Q57),
+    "q84_epoch_upsample": QuerySpec(q84_epoch_upsample, _epoch_upsample_oracle()),
 }

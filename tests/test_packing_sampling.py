@@ -72,6 +72,38 @@ def test_quota_sample_prefilter_is_lossless(spark):
         assert got == want, f"prefilter changed the sample at safety={safety}"
 
 
+def test_upsample_to_quota_exact_counts_and_epochs(spark):
+    from foresttime_builder_spark.operators.sampling import upsample_to_quota
+
+    df = spark.createDataFrame(
+        [(i, "small" if i < 3 else "big") for i in range(13)],
+        "doc_id long, source string",
+    )
+    # small: 3 docs, quota 8 -> 2 full epochs + 2 remainder docs thrice
+    # big: 10 docs, quota 4 -> plain downsample, all epoch 1
+    quotas = spark.createDataFrame(
+        [("small", 8), ("big", 4)], "source string, quota long"
+    )
+    rows = upsample_to_quota(df, quotas).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["small"]) == 8 and len(by_src["big"]) == 4
+    small_epochs = sorted(
+        (r.sample_rank, r.epoch) for r in by_src["small"]
+    )
+    # ranks 1,2 appear in epochs 1..3; rank 3 in epochs 1..2
+    assert small_epochs == [
+        (1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2),
+    ]
+    assert all(r.epoch == 1 for r in by_src["big"])
+    # downsample branch must equal quota_sample's draw exactly
+    qs = sorted(
+        r.doc_id for r in quota_sample(df, quotas).collect() if r.source == "big"
+    )
+    assert sorted(r.doc_id for r in by_src["big"]) == qs
+
+
 def test_quota_sample_prefilter_validates(spark):
     import pytest
 
