@@ -56,7 +56,13 @@ def quota_sample(
     rank = F.row_number().over(
         W.partitionBy(mix_col).orderBy(h.asc(), F.col(id_col).asc())
     )
-    out_cols = [*df.columns, "sample_rank", quota_col]
+    # passthrough contract: every non-key column of the quotas dim survives
+    # (q74 reads temperature_quotas' n_docs/weight downstream)
+    out_cols = [
+        *df.columns,
+        "sample_rank",
+        *[c for c in quotas.columns if c != mix_col],
+    ]
 
     if prefilter_safety is None:
         ranked = df.withColumn("sample_rank", rank)
