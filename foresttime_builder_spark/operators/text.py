@@ -591,3 +591,118 @@ SELECT {group_col},
   CAST(max(n) AS BIGINT) AS max_tokens
 FROM base GROUP BY {group_col}
 """
+
+
+#: quality_gate rule set — (name, bounds) documented per rule below.
+#: Adapted from the Gopher quality heuristics (Rae et al. 2021, A1.1),
+#: restricted to rules expressible as built-in column algebra in BOTH
+#: engines (no lambda HOFs — the interpreted-HOF trap — and no regex
+#: features RE2 lacks, so the DuckDB twin is exact).
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+QUALITY_SYMBOLS_PATTERN = "[#%$@^*]"
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    min_distinct_ratio: float = 0.1,
+) -> DataFrame:
+    """Composite document-quality gate: one boolean verdict per document
+    plus a deterministic comma-joined list of the rules it failed — the
+    single-pass curation filter a pipeline applies before dedup/mixing.
+
+    Rules (each a pure-Column predicate, zero shuffles, one scan):
+
+    - ``len``: ``min_tokens <= n_tokens <= max_tokens``;
+    - ``word_len``: mean non-space characters per token within
+      ``[min_mean_word_len, max_mean_word_len]``;
+    - ``symbols``: symbol-to-token ratio (:data:`QUALITY_SYMBOLS_PATTERN`
+      occurrences / tokens) at most ``max_symbol_ratio``;
+    - ``stopwords``: at least ``min_stopword_hits`` DISTINCT members of
+      :data:`QUALITY_STOPWORDS` present;
+    - ``repetition``: distinct-token ratio at least
+      ``min_distinct_ratio`` (collapses pathological repetition).
+
+    Floats only feed comparisons, never the output (booleans, counts and
+    the reason string are emitted), so the cross-engine hash sees no
+    rounding boundary.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    mean_wl = (F.length(F.col(text_col)) - (n - F.lit(1))) / n
+    sym = F.size(F.regexp_extract_all(F.col(text_col), F.lit(QUALITY_SYMBOLS_PATTERN), 0))
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in QUALITY_STOPWORDS]))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+
+    rules = [
+        ("len", (n >= min_tokens) & (n <= max_tokens)),
+        ("word_len", (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)),
+        ("symbols", sym / n <= max_symbol_ratio),
+        ("stopwords", stop_hits >= min_stopword_hits),
+        ("repetition", distinct_ratio >= min_distinct_ratio),
+    ]
+    fails = F.array_compact(
+        F.array(*[F.when(~ok, F.lit(name)) for name, ok in rules])
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        (F.size(fails) == 0).alias("passes"),
+        F.size(fails).cast("long").alias("n_failed"),
+        F.concat_ws(",", fails).alias("fail_reasons"),
+    )
+
+
+def quality_gate_oracle_sql(
+    id_col: str,
+    text_col: str,
+    table: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    min_distinct_ratio: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`quality_gate` — identical rule order and
+    constants (embedded via ``repr``)."""
+    ts = f"string_split({text_col}, ' ')"
+    n = f"len({ts})"
+    mean_wl = f"((length({text_col}) - ({n} - 1)) / {n})"
+    sym = f"len(regexp_extract_all({text_col}, '{QUALITY_SYMBOLS_PATTERN}'))"
+    stops = "[" + ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS) + "]"
+    stop_hits = f"len(list_intersect({ts}, {stops}))"
+    distinct_ratio = f"(len(list_distinct({ts})) / {n})"
+    rules = [
+        ("len", f"({n} >= {min_tokens} AND {n} <= {max_tokens})"),
+        (
+            "word_len",
+            f"({mean_wl} >= {min_mean_word_len!r} AND {mean_wl} <= {max_mean_word_len!r})",
+        ),
+        ("symbols", f"({sym} / {n} <= {max_symbol_ratio!r})"),
+        ("stopwords", f"({stop_hits} >= {min_stopword_hits})"),
+        ("repetition", f"({distinct_ratio} >= {min_distinct_ratio!r})"),
+    ]
+    arr = (
+        "list_filter(["
+        + ", ".join(f"CASE WHEN NOT {ok} THEN '{name}' END" for name, ok in rules)
+        + "], x -> x IS NOT NULL)"
+    )
+    return f"""
+SELECT {id_col},
+       CAST({n} AS BIGINT) AS n_tokens,
+       len({arr}) = 0 AS passes,
+       CAST(len({arr}) AS BIGINT) AS n_failed,
+       coalesce(list_aggregate({arr}, 'string_agg', ','), '') AS fail_reasons
+FROM {table}
+"""

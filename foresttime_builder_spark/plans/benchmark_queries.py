@@ -2950,6 +2950,24 @@ def _epoch_upsample_oracle() -> str:
     )
 
 
+def q85_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate
+    (`operators/text.quality_gate`): five rule predicates (length, mean
+    word length, symbol ratio, distinct stopwords, repetition) folded
+    into one pass/fail verdict + deterministic fail-reason string per
+    document. Single scan, zero shuffles, no lambda HOFs."""
+    from foresttime_builder_spark.operators.text import quality_gate
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_gate(d, "doc_id", "text")
+
+
+def _quality_gate_oracle() -> str:
+    from foresttime_builder_spark.operators.text import quality_gate_oracle_sql
+
+    return quality_gate_oracle_sql("doc_id", "text", "documents")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3061,4 +3079,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q82_bm25_scores": QuerySpec(q82_bm25_scores, _bm25_oracle()),
     "q83_quota_prefilter": QuerySpec(q83_quota_prefilter, ORACLE_Q57),
     "q84_epoch_upsample": QuerySpec(q84_epoch_upsample, _epoch_upsample_oracle()),
+    "q85_quality_gate": QuerySpec(q85_quality_gate, _quality_gate_oracle()),
 }

@@ -252,3 +252,29 @@ def test_chunk_tokens_property_coverage(spark):
             assert covered == set(range(1, L + 1))
 
     run()
+
+
+def test_quality_gate_rules_fire_individually(spark):
+    from foresttime_builder_spark.operators.text import quality_gate
+
+    good = "the quick brown fox is happy and jumps over " + " ".join(
+        f"word{i}" for i in range(50)
+    )
+    docs = [
+        (1, good),                                      # passes all
+        (2, "the and of short"),                        # too short
+        (3, good + " " + " ".join(["####"] * 30)),      # symbol storm
+        (4, " ".join(f"tok{i}" for i in range(60))),    # no stopwords
+        (5, "the is " + " ".join(["dup"] * 120)),       # repetition
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.passes, r.fail_reasons) for r in quality_gate(
+        df, "doc_id", "text"
+    ).collect()}
+    assert got[1] == (True, "")
+    assert got[2][0] is False and "len" in got[2][1]
+    assert got[3][0] is False and "symbols" in got[3][1]
+    assert got[4][0] is False and "stopwords" in got[4][1]
+    assert got[5][0] is False and "repetition" in got[5][1]
+    # reason order is the fixed rule order
+    assert got[2][1].split(",")[0] == "len"
