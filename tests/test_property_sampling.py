@@ -1,0 +1,95 @@
+"""Property-based tests for the sampling family: the prefiltered
+quota_sample path and upsample_to_quota must agree with a sequential
+Python model on arbitrary corpora and quotas."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from foresttime_builder_spark.operators.sampling import (
+    quota_sample,
+    upsample_to_quota,
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# (doc_ids per source, quota per source) over up to 3 sources
+corpus_strategy = st.lists(
+    st.tuples(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        ),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _model(corpus):
+    """Sequential model: per source, rank ids by (hash, id); emit
+    floor(q/n)+[rank<=q%n] copies of each with 1-based epochs."""
+    out = []
+    for si, (ids, q) in enumerate(corpus):
+        ranked = sorted(ids, key=lambda i: (_hash60(str(i)), i))
+        n = len(ranked)
+        for rank, i in enumerate(ranked, start=1):
+            copies = q // n + (1 if rank <= q % n else 0)
+            for epoch in range(1, copies + 1):
+                out.append((f"s{si}", i, rank, epoch))
+    return sorted(out)
+
+
+@given(corpus=corpus_strategy)
+@settings(**_SETTINGS)
+def test_upsample_matches_sequential_model(spark, corpus):
+    rows = [(i, f"s{si}") for si, (ids, _) in enumerate(corpus) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    quotas = spark.createDataFrame(
+        [(f"s{si}", q) for si, (_, q) in enumerate(corpus)],
+        "source string, quota long",
+    )
+    got = sorted(
+        (r.source, r.doc_id, r.sample_rank, r.epoch)
+        for r in upsample_to_quota(df, quotas).collect()
+    )
+    assert got == _model(corpus)
+    # exact-quota invariant
+    per_src = {}
+    for s, *_ in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    for si, (_ids, q) in enumerate(corpus):
+        assert per_src.get(f"s{si}", 0) == q
+
+
+@given(corpus=corpus_strategy, safety=st.sampled_from([0.5, 1.5, 3.0]))
+@settings(**_SETTINGS)
+def test_prefilter_equals_plain_quota_sample(spark, corpus, safety):
+    rows = [(i, f"s{si}") for si, (ids, _) in enumerate(corpus) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    quotas = spark.createDataFrame(
+        [(f"s{si}", q) for si, (_, q) in enumerate(corpus)],
+        "source string, quota long",
+    )
+    plain = sorted(
+        (r.source, r.doc_id, r.sample_rank)
+        for r in quota_sample(df, quotas).collect()
+    )
+    pre = sorted(
+        (r.source, r.doc_id, r.sample_rank)
+        for r in quota_sample(df, quotas, prefilter_safety=safety).collect()
+    )
+    assert pre == plain
