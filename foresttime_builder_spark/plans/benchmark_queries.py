@@ -2968,6 +2968,25 @@ def _quality_gate_oracle() -> str:
     return quality_gate_oracle_sql("doc_id", "text", "documents")
 
 
+def q86_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical-LM scoring (`operators/lm.ngram_lm_score`):
+    corpus-trained add-k-smoothed bigram log-prob totals per document —
+    the perplexity-filter signal. Per-bigram log-probs quantize to e6
+    BIGINTs BEFORE summation so the aggregate is order-free integer
+    arithmetic; bigrams stream from a hoisted-split explode(sequence) +
+    element_at projection (no lambda HOFs)."""
+    from foresttime_builder_spark.operators.lm import ngram_lm_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_lm_score(d, "doc_id", "text")
+
+
+def _lm_score_oracle() -> str:
+    from foresttime_builder_spark.operators.lm import ngram_lm_score_oracle_sql
+
+    return ngram_lm_score_oracle_sql("doc_id", "text", "documents")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3080,4 +3099,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q83_quota_prefilter": QuerySpec(q83_quota_prefilter, ORACLE_Q57),
     "q84_epoch_upsample": QuerySpec(q84_epoch_upsample, _epoch_upsample_oracle()),
     "q85_quality_gate": QuerySpec(q85_quality_gate, _quality_gate_oracle()),
+    "q86_lm_score": QuerySpec(q86_lm_score, _lm_score_oracle()),
 }

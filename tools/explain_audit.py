@@ -43,6 +43,7 @@ EXPECTED_BNLJ = {
     "q46_kmv_sketch": (1, "1-row-aggregate crossJoin attaching the sketch bound"),
     "q74_temperature_mix": (1, "1-row weight-total crossJoin in temperature_quotas"),
     "q82_bm25_scores": (1, "1-row corpus-stats (N/avgdl/df) crossJoin in bm25_scores"),
+    "q86_lm_score": (1, "1-row vocabulary-size crossJoin in ngram_lm_score"),
 }
 
 
