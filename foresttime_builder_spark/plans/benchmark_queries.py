@@ -2987,6 +2987,87 @@ def _lm_score_oracle() -> str:
     return ngram_lm_score_oracle_sql("doc_id", "text", "documents")
 
 
+def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication END-TO-END: embedding-cosine
+    near-dup pairs (q40's LSH-bucketed candidates + exact verify) feed
+    min-label connected components (q50's operator), every vector joins
+    back so singletons form their own cluster, and the representative is
+    the smallest vec_id — which IS the component label, so `kept` is a
+    pure comparison. The whole chain is existing gated operators
+    composed; the oracle replays the identical pair SQL + the identical
+    fixed-depth label propagation."""
+    from foresttime_builder_spark.operators.ann import embedding_neardup_pairs
+    from foresttime_builder_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # SemDeDup keeps only true semantic duplicates: a HIGH cosine bar
+    # (0.85) — which also keeps components small and dense, so the
+    # label-propagation diameter stays far under the iteration bound
+    # (0.3 produced a sprawling diameter->17 chain at sf0.1)
+    pairs = embedding_neardup_pairs(emb, threshold=0.85)
+    comp = connected_components(pairs, "id_a", "id_b")
+    assigned = (
+        emb.select("vec_id")
+        .join(comp, emb["vec_id"] == comp["id"], "left")
+        .select(
+            "vec_id", F.coalesce("comp", "vec_id").alias("cluster_id")
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_id")).alias("kept"),
+    )
+
+
+def _semantic_dedup_oracle(rounds: int | None = None) -> str:
+    """Same layered min-label chain as `_dup_clusters_oracle`, over the
+    embedding near-dup pair SQL, with singleton attach + kept flag."""
+    from foresttime_builder_spark.operators.ann import (
+        embedding_neardup_oracle_sql,
+    )
+
+    if rounds is None:
+        from foresttime_builder_spark.operators.graph import MAX_ITER_DEFAULT
+
+        rounds = MAX_ITER_DEFAULT
+    layers = []
+    for i in range(rounds):
+        layers.append(
+            f"lab{i + 1} AS MATERIALIZED ("
+            f"  SELECT n.id, least(n.lab, coalesce(m.minlab, n.lab)) AS lab"
+            f"  FROM lab{i} n LEFT JOIN ("
+            f"    SELECT s.b AS id, min(l.lab) AS minlab"
+            f"    FROM sym s JOIN lab{i} l ON l.id = s.a GROUP BY s.b"
+            f"  ) m ON n.id = m.id)"
+        )
+    chain = ",\n".join(layers)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({embedding_neardup_oracle_sql(threshold=0.85)}) p
+),
+sym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+lab0 AS MATERIALIZED (SELECT id, id AS lab FROM (SELECT DISTINCT a AS id FROM sym)),
+{chain},
+comp AS (SELECT id, lab FROM lab{rounds}),
+assigned AS (
+  SELECT e.vec_id, coalesce(c.lab, e.vec_id) AS cluster_id
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+),
+csize AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY 1)
+SELECT vec_id, assigned.cluster_id, cluster_size,
+       vec_id = assigned.cluster_id AS kept
+FROM assigned JOIN csize ON assigned.cluster_id = csize.cluster_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3100,4 +3181,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q84_epoch_upsample": QuerySpec(q84_epoch_upsample, _epoch_upsample_oracle()),
     "q85_quality_gate": QuerySpec(q85_quality_gate, _quality_gate_oracle()),
     "q86_lm_score": QuerySpec(q86_lm_score, _lm_score_oracle()),
+    "q87_semantic_dedup": QuerySpec(q87_semantic_dedup, _semantic_dedup_oracle()),
 }

@@ -120,3 +120,30 @@ def test_dedup_finalize_matches_unguarded_on_small_corpus(spark):
     # finalizing from precomputed clusters is identical to the fused form
     pre = cluster_near_dups(small, "doc_id", "text", threshold=0.5)
     assert base == rows(dedup_finalize(small, "doc_id", "text", clusters=pre))
+
+
+def test_semantic_dedup_composition_semantics(spark):
+    """SemDeDup chain on a tiny vector set: two near-identical pairs, one
+    chained triple, one singleton — representative is the smallest id."""
+    from foresttime_builder_spark.operators.ann import embedding_neardup_pairs
+    from foresttime_builder_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (32 - len(xs))
+
+    rows = [
+        (1, v(1, 0)), (2, v(1, 0.01)),        # dup pair -> cluster 1
+        (3, v(0, 1)), (4, v(0.01, 1)), (5, v(0.02, 1)),  # triple -> cluster 3
+        (6, v(1, 1, 1, 1, 1, 1)),             # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(emb, threshold=0.99, n_bits=1)
+    comp = connected_components(pairs, "id_a", "id_b")
+    assigned = (
+        emb.select("vec_id")
+        .join(comp, emb["vec_id"] == comp["id"], "left")
+        .select("vec_id", F.coalesce("comp", "vec_id").alias("cluster_id"))
+    )
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 6: 6}
