@@ -3068,6 +3068,32 @@ FROM assigned JOIN csize ON assigned.cluster_id = csize.cluster_id
 """
 
 
+def q88_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (`operators/dsir.dsir_logweights`):
+    hashed unigram+bigram bag models (Xie et al. 2023) — target = the
+    English subset, raw = the whole corpus — scoring every document by
+    the e6-quantized integer sum of per-bucket log-likelihood ratios.
+    Bucket model broadcasts (<= n_buckets rows); feature stream is the
+    hoisted-split explode(sequence) projection with map-side
+    pre-aggregation per (doc, bucket)."""
+    from foresttime_builder_spark.operators.dsir import dsir_logweights
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == F.lit("en")
+    )
+    return dsir_logweights(d, "doc_id", "text", "is_target")
+
+
+def _dsir_oracle() -> str:
+    from foresttime_builder_spark.operators.dsir import (
+        dsir_logweights_oracle_sql,
+    )
+
+    return dsir_logweights_oracle_sql(
+        "doc_id", "text", "documents", "lang = 'en'"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3182,4 +3208,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q85_quality_gate": QuerySpec(q85_quality_gate, _quality_gate_oracle()),
     "q86_lm_score": QuerySpec(q86_lm_score, _lm_score_oracle()),
     "q87_semantic_dedup": QuerySpec(q87_semantic_dedup, _semantic_dedup_oracle()),
+    "q88_dsir_weights": QuerySpec(q88_dsir_weights, _dsir_oracle()),
 }
