@@ -3094,6 +3094,28 @@ def _dsir_oracle() -> str:
     )
 
 
+def q89_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (`operators/invindex.inverted_index`): term ->
+    (df, cf, top-3 postings by tf with full deterministic tie-break),
+    with the stopword-elision bound `max_doc_freq=400` exercised (drops
+    corpus-ubiquitous terms before the per-term window so the worst key
+    stays bounded)."""
+    from foresttime_builder_spark.operators.invindex import inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    return inverted_index(d, "doc_id", "text", k=3, max_doc_freq=400)
+
+
+def _inverted_index_oracle() -> str:
+    from foresttime_builder_spark.operators.invindex import (
+        inverted_index_oracle_sql,
+    )
+
+    return inverted_index_oracle_sql(
+        "doc_id", "text", "documents", k=3, max_doc_freq=400
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3209,4 +3231,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q86_lm_score": QuerySpec(q86_lm_score, _lm_score_oracle()),
     "q87_semantic_dedup": QuerySpec(q87_semantic_dedup, _semantic_dedup_oracle()),
     "q88_dsir_weights": QuerySpec(q88_dsir_weights, _dsir_oracle()),
+    "q89_inverted_index": QuerySpec(q89_inverted_index, _inverted_index_oracle()),
 }
