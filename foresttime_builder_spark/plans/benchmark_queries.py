@@ -3116,6 +3116,98 @@ def _inverted_index_oracle() -> str:
     )
 
 
+def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-history dedup
+    (`operators/dedup.incremental_dedup`): the nightly-ingest shape —
+    batch docs are checked against an already-kept history via content
+    hash (exact) and banded MinHash + exact-Jaccard verify (near).  The
+    overlapping id split (history < 300, batch >= 200) makes the
+    exact_hist arm fire on real rows; near_hist fires on the corpus'
+    genuine near-dups crossing the split."""
+    from foresttime_builder_spark.operators.dedup import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") < 300)
+    batch = d.filter(F.col("doc_id") >= 200)
+    return incremental_dedup(history, batch, "doc_id", "text")
+
+
+def _incremental_dedup_oracle(
+    n_hashes: int = 16, band_size: int = 4, threshold: float = 0.5
+) -> str:
+    n_bands = n_hashes // band_size
+    mins = ",\n         ".join(
+        f"min({_HASH60_SQL.format(x=repr(str(i) + '|') + ' || token')}) AS mh_{i:02d}"
+        for i in range(n_hashes)
+    )
+    bands = ",\n         ".join(
+        "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * band_size + j:02d} AS VARCHAR)"
+                for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    band_list = ", ".join(f"band_{b}" for b in range(n_bands))
+
+    def _stack(src: str) -> str:
+        return f"""(
+  SELECT doc_id, unnest([{band_list}]) AS band_key FROM (
+    SELECT doc_id, {bands} FROM (
+      SELECT doc_id, {mins}
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM {src})
+      GROUP BY doc_id
+    )
+  )
+)"""
+
+    return f"""
+WITH history AS (SELECT * FROM documents WHERE doc_id < 300),
+batch AS (SELECT * FROM documents WHERE doc_id >= 200),
+b_hash AS (SELECT doc_id AS bid, md5(text) AS h FROM batch),
+hist_keep AS (
+  SELECT md5(text) AS h, min(doc_id) AS exact_hist_id FROM history GROUP BY 1
+),
+batch_keep AS (SELECT h, min(bid) AS batch_keep_id FROM b_hash GROUP BY h),
+cand AS (
+  SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+  FROM {_stack("batch")} b JOIN {_stack("history")} h USING (band_key)
+),
+bsets AS (
+  SELECT doc_id AS bid, list_distinct(string_split(text, ' ')) AS btoks,
+         len(list_distinct(string_split(text, ' '))) AS bsz
+  FROM batch
+),
+hsets AS (
+  SELECT doc_id AS hid, list_distinct(string_split(text, ' ')) AS htoks,
+         len(list_distinct(string_split(text, ' '))) AS hsz
+  FROM history
+),
+near_keep AS (
+  SELECT bid, min(hid) AS near_hist_id
+  FROM cand JOIN bsets USING (bid) JOIN hsets USING (hid)
+  WHERE len(list_intersect(btoks, htoks))
+        / (bsz + hsz - len(list_intersect(btoks, htoks))) >= {threshold!r}
+  GROUP BY bid
+)
+SELECT bid AS doc_id,
+       CASE WHEN exact_hist_id IS NOT NULL THEN 'exact_hist'
+            WHEN bid <> batch_keep_id THEN 'exact_batch'
+            WHEN near_hist_id IS NOT NULL THEN 'near_hist'
+            ELSE 'kept' END AS verdict,
+       CASE WHEN exact_hist_id IS NOT NULL THEN exact_hist_id
+            WHEN bid <> batch_keep_id THEN batch_keep_id
+            ELSE near_hist_id END AS match_id
+FROM b_hash
+LEFT JOIN hist_keep USING (h)
+JOIN batch_keep USING (h)
+LEFT JOIN near_keep USING (bid)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3232,4 +3324,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q87_semantic_dedup": QuerySpec(q87_semantic_dedup, _semantic_dedup_oracle()),
     "q88_dsir_weights": QuerySpec(q88_dsir_weights, _dsir_oracle()),
     "q89_inverted_index": QuerySpec(q89_inverted_index, _inverted_index_oracle()),
+    "q90_incremental_dedup": QuerySpec(
+        q90_incremental_dedup, _incremental_dedup_oracle()
+    ),
 }

@@ -1,0 +1,68 @@
+"""Incremental batch-vs-history dedup contract: all four verdicts,
+priority order, match-id determinism, and validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from foresttime_builder_spark.operators.dedup import incremental_dedup
+
+HISTORY = [
+    (1, "alpha beta gamma delta epsilon"),
+    (2, "one two three four five six"),
+    (3, "unrelated corpus noise words here"),
+]
+BATCH = [
+    (10, "alpha beta gamma delta epsilon"),  # exact copy of hist 1
+    (11, "same same inside batch"),
+    (12, "same same inside batch"),          # exact copy of 11 -> keeper 11
+    (13, "one two three four five seven"),   # jaccard 5/7 vs hist 2
+    (14, "totally novel content never seen"),
+]
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    h = spark.createDataFrame(HISTORY, ["doc_id", "text"])
+    b = spark.createDataFrame(BATCH, ["doc_id", "text"])
+    rows = incremental_dedup(h, b, "doc_id", "text", threshold=0.5).collect()
+    return {r["doc_id"]: (r["verdict"], r["match_id"]) for r in rows}
+
+
+def test_all_batch_rows_judged(verdicts):
+    assert set(verdicts) == {10, 11, 12, 13, 14}
+
+
+def test_exact_hist(verdicts):
+    assert verdicts[10] == ("exact_hist", 1)
+
+
+def test_exact_batch_keeper_and_loser(verdicts):
+    assert verdicts[11][0] == "kept"          # the keeper survives
+    assert verdicts[12] == ("exact_batch", 11)
+
+
+def test_near_hist_verified(verdicts):
+    assert verdicts[13] == ("near_hist", 2)
+
+
+def test_kept(verdicts):
+    assert verdicts[14] == ("kept", None)
+
+
+def test_exact_hist_outranks_near(spark):
+    # a batch doc that is BOTH an exact copy of hist 1 and near hist 1
+    # via bands must report exact_hist (priority), not near_hist
+    h = spark.createDataFrame(HISTORY, ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    (r,) = incremental_dedup(h, b, "doc_id", "text").collect()
+    assert (r["verdict"], r["match_id"]) == ("exact_hist", 1)
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="threshold"):
+        incremental_dedup(None, None, "i", "t", threshold=0.0)
+    with pytest.raises(ValueError, match="band_size"):
+        incremental_dedup(None, None, "i", "t", n_hashes=16, band_size=5)
