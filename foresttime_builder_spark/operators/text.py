@@ -706,3 +706,79 @@ SELECT {id_col},
        coalesce(list_aggregate({arr}, 'string_agg', ','), '') AS fail_reasons
 FROM {table}
 """
+
+
+def vocabulary_overlap(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups (sources/domains) — the
+    corpus-diversity matrix a mixing pipeline reads before setting
+    sampling weights ("are these two crawls the same thing?").
+
+    Emits ``(group_a, group_b, n_common, jaccard)`` for every group pair
+    sharing at least one distinct token, ``group_a < group_b``, jaccard
+    rounded to 4 decimals (the q16 convention).
+
+    Scale shape: the (group, token) projection is distinct-reduced BEFORE
+    the self-join (one shuffle, map-side partial), so join input is
+    vocabulary-sized, not corpus-sized.  The token self-join emits one
+    row per (shared token, group pair) — inherently |G|^2 per ubiquitous
+    token, the exact-overlap price; with thousands of groups switch to
+    per-group KMV sketches (`operators/sketch.py`) and estimate instead.
+    """
+    vocab = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+    a = vocab.select(F.col("_g").alias("group_a"), "_tok")
+    b = vocab.select(F.col("_g").alias("group_b"), "_tok")
+    common = (
+        a.join(b, "_tok")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_g").alias("group_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_g").alias("group_b"), F.col("_sz").alias("_szb"))
+    return (
+        common.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("_sza") + F.col("_szb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def vocabulary_overlap_oracle_sql(
+    group_col: str, text_col: str, table: str
+) -> str:
+    """DuckDB twin of :func:`vocabulary_overlap`."""
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT {group_col} AS g, unnest(string_split({text_col}, ' ')) AS tok
+  FROM {table}
+), sizes AS (
+  SELECT g, count(*) AS sz FROM vocab GROUP BY g
+), common AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT group_a, group_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.g = group_a
+JOIN sizes sb ON sb.g = group_b
+"""

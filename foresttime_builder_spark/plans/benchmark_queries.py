@@ -3208,6 +3208,43 @@ LEFT JOIN near_keep USING (bid)
 """
 
 
+def q91_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity matrix (`operators/text.vocabulary_overlap`):
+    pairwise vocabulary Jaccard between sources, distinct-reduced before
+    the token self-join so join input is vocabulary-sized."""
+    from foresttime_builder_spark.operators.text import vocabulary_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocabulary_overlap(d, "source", "text")
+
+
+def _vocab_overlap_oracle() -> str:
+    from foresttime_builder_spark.operators.text import (
+        vocabulary_overlap_oracle_sql,
+    )
+
+    return vocabulary_overlap_oracle_sql("source", "text", "documents")
+
+
+def q92_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build (`operators/scd.scd2_build`): collapse
+    each user's event stream into distinct consecutive event_type runs
+    with validity intervals — one shuffle, two stacked windows on the
+    same key partitioning."""
+    from foresttime_builder_spark.operators.scd import scd2_build
+
+    e = load_table(spark, sf_dir, "events")
+    return scd2_build(e, "user_id", "ts", ["event_type"], "event_id")
+
+
+def _scd2_oracle() -> str:
+    from foresttime_builder_spark.operators.scd import scd2_build_oracle_sql
+
+    return scd2_build_oracle_sql(
+        "user_id", "ts", ["event_type"], "event_id", "events"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3327,4 +3364,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q90_incremental_dedup": QuerySpec(
         q90_incremental_dedup, _incremental_dedup_oracle()
     ),
+    "q91_vocab_overlap": QuerySpec(q91_vocab_overlap, _vocab_overlap_oracle()),
+    "q92_scd2_build": QuerySpec(q92_scd2_build, _scd2_oracle()),
 }

@@ -278,3 +278,23 @@ def test_quality_gate_rules_fire_individually(spark):
     assert got[5][0] is False and "repetition" in got[5][1]
     # reason order is the fixed rule order
     assert got[2][1].split(",")[0] == "len"
+
+
+def test_vocabulary_overlap_known_matrix(spark):
+    from foresttime_builder_spark.operators.text import vocabulary_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "c d", "s1"),     # s1 vocab {a,b,c,d}
+            (3, "c d e", "s2"),   # s2 vocab {c,d,e}
+            (4, "x y", "s3"),     # s3 vocab {x,y} — disjoint
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["group_a"], r["group_b"]): (r["n_common"], r["jaccard"])
+        for r in vocabulary_overlap(df, "source", "text").collect()
+    }
+    # {c,d} shared of union {a,b,c,d,e} -> 2/5
+    assert out == {("s1", "s2"): (2, 0.4)}

@@ -1,0 +1,71 @@
+"""SCD2 build contract: run collapse, null-safe change detection,
+interval chaining, and validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from foresttime_builder_spark.operators.scd import scd2_build
+
+ROWS = [
+    # key, ts, seq, status, tier
+    ("u1", 1, 1, "free", None),
+    ("u1", 2, 2, "free", None),      # repeat -> collapses
+    ("u1", 3, 3, "paid", None),      # status change
+    ("u1", 4, 4, "paid", "gold"),    # NULL -> value is a change
+    ("u1", 5, 5, "paid", "gold"),    # repeat -> collapses
+    ("u2", 1, 6, None, None),        # all-NULL first version
+    ("u2", 2, 7, None, None),        # repeat of NULLs -> collapses
+    ("u2", 3, 8, "free", None),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    df = spark.createDataFrame(
+        ROWS, ["user_id", "ts", "seq", "status", "tier"]
+    )
+    rows = scd2_build(
+        df, "user_id", "ts", ["status", "tier"], "seq"
+    ).collect()
+    return sorted(
+        (
+            (r["user_id"], r["status"], r["tier"], r["effective_from"],
+             r["effective_to"], r["is_current"])
+            for r in rows
+        ),
+        key=lambda t: (t[0], t[3]),
+    )
+
+
+def test_versions(built):
+    assert built == [
+        ("u1", "free", None, 1, 3, False),
+        ("u1", "paid", None, 3, 4, False),
+        ("u1", "paid", "gold", 4, None, True),
+        ("u2", None, None, 1, 3, False),
+        ("u2", "free", None, 3, None, True),
+    ]
+
+
+def test_single_current_version_per_key(built):
+    per_key = {}
+    for k, *_, cur in built:
+        per_key[k] = per_key.get(k, 0) + (1 if cur else 0)
+    assert all(v == 1 for v in per_key.values())
+
+
+def test_intervals_chain_without_gaps(built):
+    by_key: dict = {}
+    for k, _s, _t, f, to, _c in built:
+        by_key.setdefault(k, []).append((f, to))
+    for spans in by_key.values():
+        for (f1, to1), (f2, _to2) in zip(spans, spans[1:]):
+            assert to1 == f2
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_build(None, "k", "ts", [], "tb")
+    with pytest.raises(ValueError, match="distinct"):
+        scd2_build(None, "k", "ts", ["a", "a"], "tb")
