@@ -3245,6 +3245,58 @@ def _scd2_oracle() -> str:
     )
 
 
+def q93_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (`operators/ivm.incremental_group_sum`):
+    a per-user sum/count view is delta-merged from an old to a new
+    events snapshot — deletes (event_id % 23 = 3), value updates
+    (% 13 = 0), group-moving updates (% 17 = 1), and inserts (% 11 = 0
+    absent from old) all in play.  The oracle is a FULL RECOMPUTE over
+    the new snapshot: hash-matching it proves the delta algebra."""
+    from foresttime_builder_spark.operators.ivm import incremental_group_sum
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("value_e2"),
+    )
+    old = e.filter(F.col("event_id") % 11 != 0)
+    new = (
+        e.filter(F.col("event_id") % 23 != 3)
+        .withColumn(
+            "value_e2",
+            F.when(
+                F.col("event_id") % 13 == 0, F.col("value_e2") + 100
+            ).otherwise(F.col("value_e2")),
+        )
+        .withColumn(
+            "user_id",
+            F.when(
+                F.col("event_id") % 17 == 1, F.col("user_id") + 1
+            ).otherwise(F.col("user_id")),
+        )
+    )
+    return incremental_group_sum(
+        old, new, ["event_id"], "user_id", "value_e2"
+    )
+
+
+def _incremental_agg_oracle() -> str:
+    from foresttime_builder_spark.operators.ivm import (
+        incremental_group_sum_oracle_sql,
+    )
+
+    new_sql = """
+      SELECT event_id,
+             CASE WHEN event_id % 17 = 1 THEN user_id + 1 ELSE user_id END
+               AS user_id,
+             CASE WHEN event_id % 13 = 0
+                  THEN CAST(floor(value * 100) AS BIGINT) + 100
+                  ELSE CAST(floor(value * 100) AS BIGINT) END AS value_e2
+      FROM events WHERE event_id % 23 <> 3
+    """
+    return incremental_group_sum_oracle_sql(new_sql, "user_id", "value_e2")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3366,4 +3418,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q91_vocab_overlap": QuerySpec(q91_vocab_overlap, _vocab_overlap_oracle()),
     "q92_scd2_build": QuerySpec(q92_scd2_build, _scd2_oracle()),
+    "q93_incremental_agg": QuerySpec(
+        q93_incremental_agg, _incremental_agg_oracle()
+    ),
 }
