@@ -15,7 +15,7 @@ DuckDB correctness gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from foresttime_builder_spark.operators.spread import spread as _spread
 
@@ -781,4 +781,95 @@ SELECT group_a, group_b,
 FROM common
 JOIN sizes sa ON sa.g = group_a
 JOIN sizes sb ON sb.g = group_b
+"""
+
+
+def tfidf_signature_terms(
+    df: DataFrame, group_col: str, text_col: str, k: int = 10
+) -> DataFrame:
+    """Top-k TF-IDF signature terms per group (source/domain) — "what
+    makes this crawl different": each group is treated as one aggregate
+    document, term frequency is the group's occurrence count, and
+    idf = ln(1 + G / df_t) over the number of groups containing the term.
+
+    Emits ``(group_col, term, tf, score_e6, rank)`` with rank 1..k by
+    (score desc, term asc).  ``score_e6 = floor(tf * idf * 1e6)`` — the
+    only transcendental is ``ln`` under the usual e-floor accepted-risk
+    class; ties are fully ordered so engines agree.
+
+    Scale shape: one (group, term) shuffle with map-side partial counts;
+    df_t is a second vocabulary-sized aggregate joined back on term;
+    G is a 1-row broadcast; the top-k window partitions by group.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tf = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy("_g", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_dft"))
+    groups = tf.select("_g").distinct().agg(F.count(F.lit(1)).alias("_ngroups"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(groups))  # 1-row group count: benign BNLJ
+        .withColumn(
+            "score_e6",
+            F.floor(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("_ngroups") / F.col("_dft"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy(F.desc("score_e6"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_g").alias(group_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score_e6",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def tfidf_signature_terms_oracle_sql(
+    group_col: str, text_col: str, table: str, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`tfidf_signature_terms`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return f"""
+WITH tf AS (
+  SELECT g, term, count(*) AS tf
+  FROM (
+    SELECT {group_col} AS g, unnest(string_split({text_col}, ' ')) AS term
+    FROM {table}
+  )
+  GROUP BY g, term
+), dft AS (
+  SELECT term, count(*) AS dft FROM tf GROUP BY term
+), groups AS (
+  SELECT count(DISTINCT g) AS G FROM tf
+), scored AS (
+  SELECT tf.g, tf.term, tf.tf,
+         CAST(floor(tf.tf * ln(1.0 + groups.G / dft.dft) * 1000000)
+              AS BIGINT) AS score_e6
+  FROM tf JOIN dft USING (term) CROSS JOIN groups
+)
+SELECT g AS {group_col}, term,
+       CAST(tf AS BIGINT) AS tf, score_e6,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY score_e6 DESC, term)
+            AS rank
+  FROM scored
+)
+WHERE rank <= {k}
 """

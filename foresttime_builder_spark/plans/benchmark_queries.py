@@ -3297,6 +3297,25 @@ def _incremental_agg_oracle() -> str:
     return incremental_group_sum_oracle_sql(new_sql, "user_id", "value_e2")
 
 
+def q94_tfidf_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF signature terms
+    (`operators/text.tfidf_signature_terms`): top-5 terms per source by
+    group-level tf-idf with fully-ordered ties — the "what makes this
+    crawl different" profile."""
+    from foresttime_builder_spark.operators.text import tfidf_signature_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_signature_terms(d, "source", "text", k=5)
+
+
+def _tfidf_signatures_oracle() -> str:
+    from foresttime_builder_spark.operators.text import (
+        tfidf_signature_terms_oracle_sql,
+    )
+
+    return tfidf_signature_terms_oracle_sql("source", "text", "documents", k=5)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3420,5 +3439,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q92_scd2_build": QuerySpec(q92_scd2_build, _scd2_oracle()),
     "q93_incremental_agg": QuerySpec(
         q93_incremental_agg, _incremental_agg_oracle()
+    ),
+    "q94_tfidf_signatures": QuerySpec(
+        q94_tfidf_signatures, _tfidf_signatures_oracle()
     ),
 }

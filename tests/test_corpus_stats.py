@@ -298,3 +298,30 @@ def test_vocabulary_overlap_known_matrix(spark):
     }
     # {c,d} shared of union {a,b,c,d,e} -> 2/5
     assert out == {("s1", "s2"): (2, 0.4)}
+
+
+def test_tfidf_signature_terms_ranks_distinctive_terms(spark):
+    import math
+
+    from foresttime_builder_spark.operators.text import tfidf_signature_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared rust rust rust", "s1"),
+            (2, "shared python", "s2"),
+            (3, "shared go", "s3"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["source"], r["rank"]): (r["term"], r["tf"], r["score_e6"])
+        for r in tfidf_signature_terms(df, "source", "text", k=2).collect()
+    }
+    # 'rust' is s1-exclusive (df=1, G=3): score = 3 * ln(1 + 3/1)
+    assert out[("s1", 1)] == (
+        "rust", 3, math.floor(3 * math.log(4.0) * 1e6)
+    )
+    # 'shared' appears in all groups: idf = ln(2), still ranked (k=2)
+    assert out[("s1", 2)][0] == "shared"
+    assert out[("s2", 1)][0] == "python"
+    assert out[("s3", 1)][0] == "go"
