@@ -759,3 +759,117 @@ WHERE round(list_dot_product(a.vec, b.vec)
             / (sqrt(list_dot_product(a.vec, a.vec))
                * sqrt(list_dot_product(b.vec, b.vec))), 6) >= {threshold}
 """
+
+
+def _rp_sign(salt: str, i: int, j: int) -> int:
+    """+-1 from the parity of hash60(f'{salt}|{i}|{j}') — the engine-
+    portable Achlioptas-style sign matrix entry (md5, same as hash60)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def random_projection(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 8,
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign-matrix dimensionality reduction
+    (Achlioptas 2003): project ``in_dims`` embeddings onto ``out_dims``
+    via a deterministic +-1 matrix derived from md5 parity — the cheap
+    pre-step that shrinks vectors before ANN indexing or clustering at
+    corpus scale.
+
+    Engine-exactness: each input component is quantized to an e9 BIGINT
+    (``floor(x * 1e9)``) BEFORE the matmul, so every output is an exact
+    order-free int64 sum — the Arrow kernel's ``Q @ S`` and the oracle's
+    ``sum(big * sign)`` agree bit-for-bit.  Consumers recover floats as
+    ``value_e9 / (1e9 * sqrt(out_dims))``.
+
+    Returns ``(id_col, out_dim, value_e9)`` — ``out_dims`` rows per
+    vector.
+
+    Scale shape (100 TB): the sign matrix is a task closure
+    (``in_dims x out_dims`` int8 — KBs), the kernel is one Arrow-batched
+    int64 matmul per partition (no shuffle at all: the operator is
+    embarrassingly parallel map-side), and the long output is produced
+    directly in the batch, never via explode.
+    """
+    if out_dims < 1:
+        raise ValueError(f"out_dims must be >= 1, got {out_dims}")
+    dims = _probe_width(emb, vec_col)
+
+    import numpy as np
+
+    S = np.array(
+        [
+            [_rp_sign(salt, i, j) for j in range(out_dims)]
+            for i in range(dims)
+        ],
+        dtype="int64",
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["vec"].to_numpy()).astype("float64")
+            Q = np.floor(M * 1e9).astype("int64")
+            out = Q @ S  # exact int64 matmul
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf["vid"].to_numpy(), out_dims),
+                    "out_dim": np.tile(np.arange(out_dims, dtype="int32"), n),
+                    "value_e9": out.ravel(),
+                }
+            )
+
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    return base.mapInPandas(
+        fn, "vid long, out_dim int, value_e9 long"
+    ).select(
+        F.col("vid").alias(id_col), "out_dim", "value_e9"
+    )
+
+
+def random_projection_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 8,
+    salt: str = "rp",
+) -> str:
+    """DuckDB twin of :func:`random_projection` — identical md5-parity
+    signs (0-based indices in the hash string) and identical e9
+    quantization before the integer sum."""
+    if out_dims < 1:
+        raise ValueError(f"out_dims must be >= 1, got {out_dims}")
+    sign = (
+        "CASE WHEN CAST(concat('0x', substr(md5("
+        f"'{salt}|' || (i - 1) || '|' || j), 1, 15)) AS BIGINT) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    return f"""
+WITH comps AS (
+  SELECT {id_col}, i, CAST(floor({vec_col}[i] * 1e9) AS BIGINT) AS big
+  FROM {table}, LATERAL (
+    SELECT unnest(generate_series(1, len({vec_col}))) AS i
+  ) g
+), expanded AS (
+  SELECT {id_col}, i, big, j, {sign} AS sign
+  FROM comps, LATERAL (
+    SELECT unnest(generate_series(0, {out_dims - 1})) AS j
+  ) h
+)
+SELECT {id_col}, CAST(j AS INTEGER) AS out_dim,
+       CAST(sum(big * sign) AS BIGINT) AS value_e9
+FROM expanded GROUP BY {id_col}, j
+"""

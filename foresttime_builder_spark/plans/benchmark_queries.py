@@ -3316,6 +3316,27 @@ def _tfidf_signatures_oracle() -> str:
     return tfidf_signature_terms_oracle_sql("source", "text", "documents", k=5)
 
 
+def q95_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-matrix dimensionality reduction
+    (`operators/ann.random_projection`): 64 -> 8 dims via a
+    deterministic md5-parity +-1 matrix, e9-quantized int64 Arrow
+    matmul — zero shuffles, exact cross-engine."""
+    from foresttime_builder_spark.operators.ann import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, "vec_id", "embedding", out_dims=8)
+
+
+def _random_projection_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import (
+        random_projection_oracle_sql,
+    )
+
+    return random_projection_oracle_sql(
+        "embeddings", "vec_id", "embedding", out_dims=8
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3442,5 +3463,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q94_tfidf_signatures": QuerySpec(
         q94_tfidf_signatures, _tfidf_signatures_oracle()
+    ),
+    "q95_random_projection": QuerySpec(
+        q95_random_projection, _random_projection_oracle()
     ),
 }

@@ -61,3 +61,57 @@ def test_ivf_topk_dims_mismatch_raises(spark):
     emb = _corpus(spark, n=10, dims=4).withColumnRenamed("vec", "embedding")
     with pytest.raises(ValueError, match="probed width"):
         ivf_topk(emb, dims=8)
+
+
+def test_random_projection_matches_numpy_reference(spark):
+    import numpy as np
+
+    from foresttime_builder_spark.operators.ann import (
+        _rp_sign,
+        random_projection,
+    )
+
+    vecs = [
+        (0, [0.5, -1.25, 2.0, 0.125]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1e-9, -1e-9, 3.7, -2.2]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {
+        (r["vec_id"], r["out_dim"]): r["value_e9"]
+        for r in random_projection(df, out_dims=3, salt="t").collect()
+    }
+    S = np.array(
+        [[_rp_sign("t", i, j) for j in range(3)] for i in range(4)],
+        dtype="int64",
+    )
+    for vid, v in vecs:
+        q = np.floor(np.array(v, dtype="float64") * 1e9).astype("int64")
+        ref = q @ S
+        for j in range(3):
+            assert out[(vid, j)] == ref[j]
+    assert len(out) == 9
+
+
+def test_random_projection_preserves_sign_symmetry(spark):
+    # projecting v and -v must give exactly opposite outputs when the
+    # quantization is symmetric (use values exact in binary: no floor bias)
+    from foresttime_builder_spark.operators.ann import random_projection
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (1, [-1.0, 2.0])], ["vec_id", "embedding"]
+    )
+    rows = random_projection(df, out_dims=4, salt="s").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["vec_id"], {})[r["out_dim"]] = r["value_e9"]
+    assert all(by[0][j] == -by[1][j] for j in range(4))
+
+
+def test_random_projection_validation():
+    from foresttime_builder_spark.operators.ann import random_projection
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out_dims"):
+        random_projection(None, out_dims=0)
