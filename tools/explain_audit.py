@@ -44,6 +44,8 @@ EXPECTED_BNLJ = {
     "q74_temperature_mix": (1, "1-row weight-total crossJoin in temperature_quotas"),
     "q82_bm25_scores": (1, "1-row corpus-stats (N/avgdl/df) crossJoin in bm25_scores"),
     "q86_lm_score": (1, "1-row vocabulary-size crossJoin in ngram_lm_score"),
+    "q88_dsir_weights": (1, "1-row model-totals (R/T) crossJoin in dsir_logweights"),
+    "q94_tfidf_signatures": (1, "1-row group-count crossJoin in tfidf_signature_terms"),
 }
 
 
