@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from foresttime_builder_spark.operators.cache import release_on_gc
 from foresttime_builder_spark.operators.dedup import hash60
 
 __all__ = ["dsir_logweights", "dsir_logweights_oracle_sql"]
@@ -108,10 +109,14 @@ def dsir_logweights(
     )
     feats = uni.unionByName(bi)
     # per-(doc, bucket) pre-aggregation: shrinks the scoring join input to
-    # at most (docs x distinct buckets per doc) and combines map-side
+    # at most (docs x distinct buckets per doc) and combines map-side.
+    # Persisted because three plan branches consume it (scoring join,
+    # bucket model, totals) — without the persist Spark re-runs the
+    # explode+hash feature stream once per branch (6 scans measured).
     doc_bkt = feats.groupBy(id_col, "_tgt", "_bkt").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
+    doc_bkt = doc_bkt.persist()
     model = doc_bkt.groupBy("_bkt").agg(
         F.sum("_cnt").alias("_cnt_r"),
         F.sum(F.when(F.col("_tgt"), F.col("_cnt")).otherwise(F.lit(0))).alias(
@@ -139,10 +144,11 @@ def dsir_logweights(
             ).cast("long"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    out = scored.groupBy(id_col).agg(
         F.sum("_cnt").cast("long").alias("n_features"),
         F.sum("_w_e6").cast("long").alias("logweight_e6"),
     )
+    return release_on_gc(out, doc_bkt)
 
 
 def dsir_logweights_oracle_sql(
