@@ -3467,4 +3467,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q95_random_projection": QuerySpec(
         q95_random_projection, _random_projection_oracle()
     ),
+    "q96_stream_dedup": QuerySpec(
+        _stream("q96_stream_dedup"), _stream_oracle("ORACLE_STREAM_DEDUP")
+    ),
 }

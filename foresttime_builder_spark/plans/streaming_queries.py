@@ -142,3 +142,30 @@ FROM events p JOIN events c
  AND c.user_id = p.user_id
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 DAYS
 """
+
+
+def q96_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication over an at-least-once source
+    (simulated by unioning the stream with itself — every event delivered
+    twice, possibly across micro-batches): dropDuplicates keyed on
+    event_id must converge to exactly-once, i.e. the plain batch
+    projection of the events table."""
+    from foresttime_builder_spark.streaming import dedup_stream
+
+    s = read_event_stream(spark, sf_dir)
+    out = run_to_memory(
+        dedup_stream(s.union(read_event_stream(spark, sf_dir))),
+        output_mode="append",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _e4("value").alias("value_e4"),
+    )
+
+
+ORACLE_STREAM_DEDUP = f"""
+SELECT event_id, user_id, event_type, {_sql_e4('value')} AS value_e4
+FROM events
+"""
