@@ -1,0 +1,96 @@
+"""Numeric data profiling: exact equi-width histograms.
+
+The table-profiling primitive (column distribution before building
+layouts, choosing bucket counts, spotting skew): min/max-driven
+equi-width buckets with EXACT integer boundary arithmetic, so two
+engines — and two runs — agree bit-for-bit.
+
+Exactness: values are quantized to scaled BIGINTs by the caller-chosen
+``scale`` (e.g. 100 for cents) BEFORE any arithmetic; bucket width is
+the integer ``ceil((max - min + 1) / n_buckets)``, bucket index is
+integer division — no doubles anywhere, so there are no float boundary
+risks at all (stronger than the usual e-floor accepted-risk class).
+
+Scale shape (100 TB): one map-side-combined aggregate for the 1-row
+(min, max) stats, broadcast back (benign 1-row BNLJ, the repo's totals
+convention), then one groupBy over at most ``n_buckets`` keys.  Two
+scans of a single pruned column; both whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["numeric_histogram", "numeric_histogram_oracle_sql"]
+
+
+def _check(n_buckets: int, scale: int) -> None:
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+
+def numeric_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 20, scale: int = 100
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` (NULLs excluded).
+
+    Returns ``(bucket, lo, hi, n_rows)`` where ``lo``/``hi`` are the
+    bucket's inclusive/exclusive scaled-integer bounds (value * scale,
+    floored) and ``bucket`` runs 0..n_buckets-1 (empty buckets are not
+    emitted — the output is sparse, like everything else in the gate).
+    """
+    _check(n_buckets, scale)
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    base = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    stats = base.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    width = F.ceil((F.col("_hi") - F.col("_lo") + 1) / n_buckets).cast(
+        "long"
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))  # 1-row stats: benign BNLJ
+        .withColumn("_w", width)
+        .withColumn(
+            "bucket",
+            F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min(F.col("_lo") + F.col("bucket") * F.col("_w"))
+            .cast("long")
+            .alias("lo"),
+            F.min(F.col("_lo") + (F.col("bucket") + 1) * F.col("_w"))
+            .cast("long")
+            .alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def numeric_histogram_oracle_sql(
+    value_col: str, table: str, n_buckets: int = 20, scale: int = 100
+) -> str:
+    """DuckDB twin of :func:`numeric_histogram` — identical integer
+    width/bucket arithmetic."""
+    _check(n_buckets, scale)
+    return f"""
+WITH base AS (
+  SELECT CAST(floor({value_col} * {scale}) AS BIGINT) AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+), stats AS (
+  SELECT min(v) AS lo, max(v) AS hi,
+         CAST(ceil((max(v) - min(v) + 1) / {n_buckets}.0) AS BIGINT) AS w
+  FROM base
+)
+SELECT CAST(floor((v - stats.lo) / (1.0 * stats.w)) AS INTEGER) AS bucket,
+       CAST(min(stats.lo + floor((v - stats.lo) / (1.0 * stats.w)) * stats.w)
+            AS BIGINT) AS lo,
+       CAST(min(stats.lo + (floor((v - stats.lo) / (1.0 * stats.w)) + 1)
+                * stats.w) AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM base CROSS JOIN stats
+GROUP BY 1
+"""

@@ -3337,6 +3337,56 @@ def _random_projection_oracle() -> str:
     )
 
 
+def q97_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events `props` JSON column
+    (`get_json_object`, JVM-side SIMD JSON path — no UDF), bucket the
+    extracted integer, and aggregate counts + value sums per bucket.
+    The analytics-engine table stake for JSON payload columns."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select(
+            (F.floor(k / 10) * 10).cast("long").alias("k_bucket"),
+            F.floor(F.col("value") * 100).cast("long").alias("value_e2"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value_e2").cast("long").alias("total_value_e2"),
+        )
+    )
+
+
+ORACLE_Q97 = """
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10)
+            * 10 AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_value_e2
+FROM events GROUP BY 1
+"""
+
+
+def q98_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram (`operators/profile.numeric_histogram`)
+    of order totals in cents — all-integer boundary arithmetic, one
+    1-row stats broadcast + one bounded groupBy."""
+    from foresttime_builder_spark.operators.profile import numeric_histogram
+
+    o = load_table(spark, sf_dir, "orders")
+    return numeric_histogram(o, "o_totalprice", n_buckets=16, scale=100)
+
+
+def _numeric_histogram_oracle() -> str:
+    from foresttime_builder_spark.operators.profile import (
+        numeric_histogram_oracle_sql,
+    )
+
+    return numeric_histogram_oracle_sql(
+        "o_totalprice", "orders", n_buckets=16, scale=100
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3469,5 +3519,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q96_stream_dedup": QuerySpec(
         _stream("q96_stream_dedup"), _stream_oracle("ORACLE_STREAM_DEDUP")
+    ),
+    "q97_json_extract": QuerySpec(q97_json_extract, ORACLE_Q97),
+    "q98_numeric_histogram": QuerySpec(
+        q98_numeric_histogram, _numeric_histogram_oracle()
     ),
 }

@@ -1,0 +1,45 @@
+"""Numeric histogram contract: exact integer buckets, null exclusion,
+coverage invariants, validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from foresttime_builder_spark.operators.profile import numeric_histogram
+
+VALUES = [0.0, 0.01, 0.99, 1.0, 2.5, 9.99, 10.0, None]
+
+
+@pytest.fixture(scope="module")
+def hist(spark):
+    df = spark.createDataFrame([(v,) for v in VALUES], "v double")
+    rows = numeric_histogram(df, "v", n_buckets=4, scale=100).collect()
+    return sorted(
+        (r["bucket"], r["lo"], r["hi"], r["n_rows"]) for r in rows
+    )
+
+
+def test_buckets(hist):
+    # cents range 0..1000, width ceil(1001/4)=251
+    # 0,1,99,100 -> b0; 250 -> b0; 999 -> b3; 1000 -> b3
+    assert hist == [
+        (0, 0, 251, 5),
+        (3, 753, 1004, 2),
+    ]
+
+
+def test_nulls_excluded_and_total_preserved(hist):
+    assert sum(n for *_, n in hist) == len([v for v in VALUES if v is not None])
+
+
+def test_bounds_contain_values(hist):
+    for b, lo, hi, _ in hist:
+        assert lo < hi
+        assert hi - lo == 251
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="n_buckets"):
+        numeric_histogram(None, "v", n_buckets=0)
+    with pytest.raises(ValueError, match="scale"):
+        numeric_histogram(None, "v", scale=0)
