@@ -284,3 +284,51 @@ def temperature_quotas(
         )
         .select(mix_col, "n_docs", "weight", "quota")
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-group score calibration: percent_rank of ``score_col`` within
+    each group, e6-quantized — the normalization step before applying a
+    single global quality threshold across heterogeneous sources (a raw
+    LM score of -3.2 means different things in src_wiki vs src_crawl;
+    the within-source rank does not).
+
+    Ties share a rank (standard percent_rank), so equal scores calibrate
+    equally regardless of id — deterministic without needing a tiebreak.
+    Returns ``(id_col, group_col, score_col, pct_e6)`` with
+    ``pct_e6 = floor(percent_rank * 1e6)`` (0 for singleton groups, by
+    percent_rank's (rank-1)/(n-1) definition in both engines).
+
+    Scale shape: ONE shuffle (the group window); the sort within each
+    group is the unavoidable rank cost and AQE splits oversized groups'
+    partitions upstream.  No joins, no driver state.
+    """
+    w = W.partitionBy(group_col).orderBy(score_col)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.floor(F.percent_rank().over(w) * 1_000_000)
+        .cast("long")
+        .alias("pct_e6"),
+    )
+
+
+def calibrate_scores_oracle_sql(
+    id_col: str, group_col: str, score_col: str, table: str
+) -> str:
+    """DuckDB twin of :func:`calibrate_scores` — percent_rank is
+    (rank-1)/(n-1) in both engines; the division is the identical IEEE
+    double op, floored at e6."""
+    return f"""
+SELECT {id_col}, {group_col}, {score_col},
+       CAST(floor(percent_rank() OVER (
+         PARTITION BY {group_col} ORDER BY {score_col}
+       ) * 1000000) AS BIGINT) AS pct_e6
+FROM {table}
+"""

@@ -3387,6 +3387,28 @@ def _numeric_histogram_oracle() -> str:
     )
 
 
+def q99_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score calibration
+    (`operators/sampling.calibrate_scores`): within-source percent_rank
+    of document length — the normalization applied before a single
+    global quality threshold spans heterogeneous sources.  ONE window
+    shuffle, no joins."""
+    from foresttime_builder_spark.operators.sampling import calibrate_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return calibrate_scores(d, "doc_id", "source", "n_chars")
+
+
+def _score_calibration_oracle() -> str:
+    from foresttime_builder_spark.operators.sampling import (
+        calibrate_scores_oracle_sql,
+    )
+
+    return calibrate_scores_oracle_sql(
+        "doc_id", "source", "n_chars", "documents"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3523,5 +3545,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q97_json_extract": QuerySpec(q97_json_extract, ORACLE_Q97),
     "q98_numeric_histogram": QuerySpec(
         q98_numeric_histogram, _numeric_histogram_oracle()
+    ),
+    "q99_score_calibration": QuerySpec(
+        q99_score_calibration, _score_calibration_oracle()
     ),
 }

@@ -93,3 +93,27 @@ def test_prefilter_equals_plain_quota_sample(spark, corpus, safety):
         for r in quota_sample(df, quotas, prefilter_safety=safety).collect()
     )
     assert pre == plain
+
+
+def test_calibrate_scores_percent_rank_and_ties(spark):
+    from foresttime_builder_spark.operators.sampling import calibrate_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 20),
+            (3, "a", 20),   # tie with 2 -> same pct
+            (4, "a", 30),
+            (5, "b", 99),   # singleton group -> 0
+        ],
+        ["doc_id", "source", "score"],
+    )
+    out = {
+        r["doc_id"]: r["pct_e6"]
+        for r in calibrate_scores(df, "doc_id", "source", "score").collect()
+    }
+    # group a: n=4 -> (rank-1)/3
+    assert out[1] == 0
+    assert out[2] == out[3] == 333333  # rank 2 -> 1/3 floored at e6
+    assert out[4] == 1_000_000
+    assert out[5] == 0
