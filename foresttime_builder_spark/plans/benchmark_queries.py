@@ -3409,6 +3409,65 @@ def _score_calibration_oracle() -> str:
     )
 
 
+def q100_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data pipeline END-TO-END: Gopher-style quality gate
+    (q85's operator) -> exact dedup keep-smallest (q12's) -> per-source
+    quota sampling (q57/q83's) — three gated operators composed the way
+    a production curation job chains them.  The oracle replays the
+    identical composition in one SQL text, so the gate certifies the
+    stage INTERFACES, not just each stage alone."""
+    from foresttime_builder_spark.operators.dedup import exact_dedup
+    from foresttime_builder_spark.operators.sampling import quota_sample
+    from foresttime_builder_spark.operators.text import quality_gate
+
+    d = load_table(spark, sf_dir, "documents")
+    gate = quality_gate(d, "doc_id", "text")
+    survivors = d.join(
+        gate.filter(F.col("passes")).select("doc_id", "n_tokens"), "doc_id"
+    )
+    keepers = exact_dedup(survivors, "doc_id", "text").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    pool = survivors.join(keepers, "doc_id")
+    quotas = (
+        pool.select("source").distinct().withColumn("quota", F.lit(10))
+    )
+    sampled = quota_sample(
+        pool.select("doc_id", "source", "n_tokens"), quotas
+    )
+    return sampled.select("doc_id", "source", "n_tokens", "sample_rank")
+
+
+def _pipeline_e2e_oracle() -> str:
+    from foresttime_builder_spark.operators.text import quality_gate_oracle_sql
+
+    gate = quality_gate_oracle_sql("doc_id", "text", "documents")
+    h = _HASH60_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH gate AS ({gate}),
+survivors AS (
+  SELECT d.doc_id, d.source, d.text, g.n_tokens
+  FROM documents d JOIN gate g USING (doc_id)
+  WHERE g.passes
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM survivors GROUP BY md5(text)
+),
+pool AS (
+  SELECT s.doc_id, s.source, s.n_tokens
+  FROM survivors s JOIN keepers USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id)
+           AS sample_rank
+  FROM pool
+)
+SELECT doc_id, source, n_tokens, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3549,4 +3608,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q99_score_calibration": QuerySpec(
         q99_score_calibration, _score_calibration_oracle()
     ),
+    "q100_pipeline_e2e": QuerySpec(q100_pipeline_e2e, _pipeline_e2e_oracle()),
 }
