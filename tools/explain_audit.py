@@ -46,6 +46,7 @@ EXPECTED_BNLJ = {
     "q86_lm_score": (1, "1-row vocabulary-size crossJoin in ngram_lm_score"),
     "q88_dsir_weights": (1, "1-row model-totals (R/T) crossJoin in dsir_logweights"),
     "q94_tfidf_signatures": (1, "1-row group-count crossJoin in tfidf_signature_terms"),
+    "q98_numeric_histogram": (1, "1-row min/max stats crossJoin in numeric_histogram"),
 }
 
 
