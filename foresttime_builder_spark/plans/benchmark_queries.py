@@ -3468,6 +3468,91 @@ FROM ranked WHERE sample_rank <= 10
 """
 
 
+def q101_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the IVF index (q42's operator)
+    against brute-force ground truth (q17's kernel) on the shared
+    bounded probe set — the eval harness that tells a pipeline whether
+    its nprobe/k_clusters are good enough before committing to the
+    approximate path.  Both sides are deterministic (6-dp rounding +
+    neighbor-id tie-break), so recall itself is engine-exact.  Measured
+    baseline at sf0.01: mean recall@3 = 1/3 with the q42 defaults
+    (nprobe=2 of ~22 lists over near-isotropic synthetic vectors) — the
+    harness exposing a weak default is the point; raise nprobe to trade
+    scan fraction for recall."""
+    from foresttime_builder_spark.operators.ann import brute_topk_np, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cap = 25 * 512  # bounded probe subset, q17's convention
+    ivf = ivf_topk(e).filter(F.col("probe_id") < cap)
+    base = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    probes = base.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < cap)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec"))
+    exact = brute_topk_np(base, probes, k=3).select(
+        F.col("probe_id").alias("e_probe"),
+        F.col("neighbor_id").alias("e_neighbor"),
+    )
+    matched = ivf.join(
+        exact,
+        (F.col("probe_id") == F.col("e_probe"))
+        & (F.col("neighbor_id") == F.col("e_neighbor")),
+        "left",
+    )
+    return matched.groupBy("probe_id").agg(
+        F.sum(F.when(F.col("e_probe").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.floor(
+            F.sum(F.when(F.col("e_probe").isNotNull(), 1).otherwise(0))
+            * 1_000_000
+            / 3
+        )
+        .cast("long")
+        .alias("recall_e6"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import ivf_topk_oracle_sql
+
+    return f"""
+WITH ivf AS (
+  SELECT probe_id, neighbor_id FROM ({ivf_topk_oracle_sql()}) z
+  WHERE probe_id < 25 * 512
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(p.vec, b.vec)
+               / (sqrt(list_dot_product(p.vec, p.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM base p JOIN base b ON p.vec_id != b.vec_id
+  WHERE p.vec_id % 25 = 0 AND p.vec_id < 25 * 512
+),
+exact AS (
+  SELECT probe_id AS e_probe, neighbor_id AS e_neighbor
+  FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+  ) WHERE rank <= 3
+)
+SELECT i.probe_id,
+       CAST(sum(CASE WHEN e.e_probe IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(floor(sum(CASE WHEN e.e_probe IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000 / 3) AS BIGINT) AS recall_e6
+FROM ivf i LEFT JOIN exact e
+  ON i.probe_id = e.e_probe AND i.neighbor_id = e.e_neighbor
+GROUP BY i.probe_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3609,4 +3694,5 @@ QUERIES: dict[str, QuerySpec] = {
         q99_score_calibration, _score_calibration_oracle()
     ),
     "q100_pipeline_e2e": QuerySpec(q100_pipeline_e2e, _pipeline_e2e_oracle()),
+    "q101_ann_recall": QuerySpec(q101_ann_recall, _ann_recall_oracle()),
 }
