@@ -636,6 +636,38 @@ def minhash_signatures(
     return tok.groupBy("doc_id").agg(*aggs)
 
 
+def _stacked_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    band_size: int,
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """(out_id, band_key) rows: MinHash signatures banded and exploded —
+    the shared LSH blocking stage of :func:`minhash_lsh_pairs` and
+    :func:`incremental_dedup` (one definition, so the banding scheme
+    cannot silently diverge between the two paths)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * band_size + j:02d}") for j in range(band_size)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    return sigs.select("doc_id", *band_cols).select(
+        F.col("doc_id").alias(out_id),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(n_bands)])).alias(
+            "band_key"
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -654,25 +686,7 @@ def minhash_lsh_pairs(
     verification representation: 'bitmask' (vocab <= 64, popcount
     arithmetic), 'arrays' (general, ``array_intersect``), or 'auto'.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
-    n_bands = n_hashes // band_size
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * band_size + j:02d}") for j in range(band_size)],
-            )
-        ).alias(f"band_{b}")
-        for b in range(n_bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(n_bands)])).alias(
-            "band_key"
-        ),
-    )
+    stacked = _stacked_bands(df, id_col, text_col, n_hashes, band_size)
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(
@@ -855,46 +869,32 @@ def incremental_dedup(
         raise ValueError(
             f"band_size {band_size} must divide n_hashes {n_hashes}"
         )
-    n_bands = n_hashes // band_size
 
-    def _stack_bands(df: DataFrame, out_id: str) -> DataFrame:
-        sigs = minhash_signatures(df, id_col, text_col, n_hashes)
-        band_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[
-                        F.col(f"mh_{b * band_size + j:02d}")
-                        for j in range(band_size)
-                    ],
-                )
-            ).alias(f"band_{b}")
-            for b in range(n_bands)
-        ]
-        return sigs.select("doc_id", *band_cols).select(
-            F.col("doc_id").alias(out_id),
-            F.explode(
-                F.array(*[F.col(f"band_{b}") for b in range(n_bands)])
-            ).alias("band_key"),
-        )
-
+    # NULL text gets a tagged sentinel hash rather than md5(NULL)=NULL —
+    # NULL keys never equi-join, so without this a NULL-text row would
+    # silently vanish from the output instead of being judged
+    content_h = F.when(
+        F.col(text_col).isNull(), F.lit("<NULL>")
+    ).otherwise(F.md5(F.col(text_col)))
     b_hash = batch.select(
         F.col(id_col).alias("_bid"),
-        F.md5(F.col(text_col)).alias("_h"),
+        content_h.alias("_h"),
     )
     hist_keep = (
-        history.select(
-            F.md5(F.col(text_col)).alias("_h"), F.col(id_col).alias("_hid")
-        )
+        history.select(content_h.alias("_h"), F.col(id_col).alias("_hid"))
         .groupBy("_h")
         .agg(F.min("_hid").alias("exact_hist_id"))
     )
     batch_keep = b_hash.groupBy("_h").agg(F.min("_bid").alias("batch_keep_id"))
 
     cand = (
-        _stack_bands(batch, "_bid")
-        .join(_stack_bands(history, "_hid"), "band_key")
+        _stacked_bands(batch, id_col, text_col, n_hashes, band_size, "_bid")
+        .join(
+            _stacked_bands(
+                history, id_col, text_col, n_hashes, band_size, "_hid"
+            ),
+            "band_key",
+        )
         .select("_bid", "_hid")
         .distinct()
     )

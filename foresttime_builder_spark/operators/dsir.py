@@ -64,15 +64,17 @@ def dsir_logweights(
 ) -> DataFrame:
     """Per-document DSIR importance log-weight (e6-quantized BIGINT).
 
-    Returns ``(id_col, n_features, logweight_e6)`` for every input row
-    (documents with zero features — empty text still yields its unigram —
-    cannot occur: ``split`` of any string has >= 1 element).  Higher
-    ``logweight_e6`` = more target-like.  ``target_col`` must be a
-    boolean column on ``df``; rows where it is true define the target
-    distribution, all rows define the raw distribution.
+    Returns ``(id_col, n_features, logweight_e6)`` for every input row:
+    NULL text is treated as the empty document (coalesced to ``''``,
+    whose single empty-string unigram keeps the row scoreable — without
+    the coalesce, ``split(NULL)`` explodes to nothing and the row would
+    silently vanish).  Higher ``logweight_e6`` = more target-like.
+    ``target_col`` must be a boolean column on ``df``; rows where it is
+    true define the target distribution, all rows define the raw
+    distribution.
     """
     _check(n_buckets, add_k)
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     base = df.select(
         F.col(id_col), F.col(target_col).alias("_tgt"), toks.alias("_t")
     )
@@ -171,7 +173,7 @@ def dsir_logweights_oracle_sql(
     return f"""
 WITH docs AS (
   SELECT {id_col}, CAST(({target_expr}) AS BOOLEAN) AS tgt,
-         string_split({text_col}, ' ') AS ts
+         string_split(coalesce({text_col}, ''), ' ') AS ts
   FROM {table}
 ), feats AS (
   SELECT {id_col}, tgt, {h_uni} AS bkt

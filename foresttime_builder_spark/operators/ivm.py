@@ -26,6 +26,14 @@ decimal).  Floating-point values would drift between the incremental
 and full-recompute paths (``(a+b)-b != a`` in IEEE), silently breaking
 the invariant — normalize doubles to scaled BIGINTs first, as the gate
 queries do everywhere else.  The operator raises on float inputs.
+
+NULL handling: NULL-valued rows count toward ``n_rows`` and are ignored
+by the sum (SQL aggregate semantics); a NULL group is a legal key (the
+merge join is null-safe).  One documented deviation from SQL: a group
+whose non-null values ALL disappear reports ``total=0`` where a full
+recompute's ``sum`` would report NULL — maintaining that distinction
+needs a third maintained counter (non-null value count); add one
+downstream if it matters.
 """
 
 from __future__ import annotations
@@ -60,8 +68,8 @@ def incremental_group_sum(
     """
     keys = list(keys)
     vtype = dict(new.dtypes).get(value_col)
-    if vtype is not None and not any(
-        vtype.startswith(t) or vtype.startswith("decimal") for t in _EXACT_TYPES
+    if vtype is not None and not (
+        vtype in _EXACT_TYPES or vtype.startswith("decimal")
     ):
         raise ValueError(
             f"value_col {value_col!r} has type {vtype}; IVM requires an "
@@ -70,16 +78,22 @@ def incremental_group_sum(
         )
 
     def proj(df: DataFrame, tag: str) -> DataFrame:
+        # _p_* marks ROW PRESENCE — value nullness cannot stand in for it,
+        # or NULL-valued rows would vanish from the count delta
         return df.select(
             *keys,
             F.col(group_col).alias(f"_g_{tag}"),
             F.col(value_col).alias(f"_v_{tag}"),
+            F.lit(True).alias(f"_p_{tag}"),
         )
 
     joined = proj(old, "o").join(proj(new, "n"), on=keys, how="full_outer")
-    unchanged = F.col("_g_o").eqNullSafe(F.col("_g_n")) & F.col(
-        "_v_o"
-    ).eqNullSafe(F.col("_v_n"))
+    unchanged = (
+        F.col("_p_o").isNotNull()
+        & F.col("_p_n").isNotNull()
+        & F.col("_g_o").eqNullSafe(F.col("_g_n"))
+        & F.col("_v_o").eqNullSafe(F.col("_v_n"))
+    )
     deltas = (
         joined.filter(~unchanged)
         .select(
@@ -88,7 +102,7 @@ def incremental_group_sum(
                     F.struct(
                         F.col("_g_o").alias("_g"),
                         (-F.col("_v_o")).alias("_dv"),
-                        F.when(F.col("_v_o").isNull(), None)
+                        F.when(F.col("_p_o").isNull(), None)
                         .otherwise(F.lit(-1))
                         .cast("long")
                         .alias("_dn"),
@@ -96,7 +110,7 @@ def incremental_group_sum(
                     F.struct(
                         F.col("_g_n").alias("_g"),
                         F.col("_v_n").alias("_dv"),
-                        F.when(F.col("_v_n").isNull(), None)
+                        F.when(F.col("_p_n").isNull(), None)
                         .otherwise(F.lit(1))
                         .cast("long")
                         .alias("_dn"),
@@ -115,7 +129,9 @@ def incremental_group_sum(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     merged = old_agg.join(
-        deltas, old_agg[group_col] == deltas["_g"], "full_outer"
+        # null-safe: a NULL group is a legal grouping key and its deltas
+        # must land on its view row, not on a phantom second row
+        deltas, old_agg[group_col].eqNullSafe(deltas["_g"]), "full_outer"
     ).select(
         F.coalesce(old_agg[group_col], deltas["_g"]).alias(group_col),
         (

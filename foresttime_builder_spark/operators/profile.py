@@ -6,10 +6,14 @@ equi-width buckets with EXACT integer boundary arithmetic, so two
 engines — and two runs — agree bit-for-bit.
 
 Exactness: values are quantized to scaled BIGINTs by the caller-chosen
-``scale`` (e.g. 100 for cents) BEFORE any arithmetic; bucket width is
-the integer ``ceil((max - min + 1) / n_buckets)``, bucket index is
-integer division — no doubles anywhere, so there are no float boundary
-risks at all (stronger than the usual e-floor accepted-risk class).
+``scale`` (e.g. 100 for cents) BEFORE any arithmetic; width and bucket
+index are then ``ceil``/``floor`` over the SAME IEEE double division in
+both engines (long/long `/` is double division in Spark and DuckDB
+alike), so the engines agree bit-for-bit — the usual identical-ops
+class, not exact integer math.  For scaled ranges beyond 2^53 the
+division itself can round; the bucket index is clamped to
+``n_buckets - 1`` in both engines so even that regime cannot emit an
+out-of-range bucket.
 
 Scale shape (100 TB): one map-side-combined aggregate for the 1-row
 (min, max) stats, broadcast back (benign 1-row BNLJ, the repo's totals
@@ -55,7 +59,10 @@ def numeric_histogram(
         .withColumn("_w", width)
         .withColumn(
             "bucket",
-            F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).cast("int"),
+            F.least(
+                F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")),
+                F.lit(n_buckets - 1),
+            ).cast("int"),
         )
         .groupBy("bucket")
         .agg(
@@ -85,10 +92,13 @@ WITH base AS (
          CAST(ceil((max(v) - min(v) + 1) / {n_buckets}.0) AS BIGINT) AS w
   FROM base
 )
-SELECT CAST(floor((v - stats.lo) / (1.0 * stats.w)) AS INTEGER) AS bucket,
-       CAST(min(stats.lo + floor((v - stats.lo) / (1.0 * stats.w)) * stats.w)
+SELECT CAST(least(floor((v - stats.lo) / (1.0 * stats.w)),
+                  {n_buckets - 1}) AS INTEGER) AS bucket,
+       CAST(min(stats.lo + least(floor((v - stats.lo) / (1.0 * stats.w)),
+                                 {n_buckets - 1}) * stats.w)
             AS BIGINT) AS lo,
-       CAST(min(stats.lo + (floor((v - stats.lo) / (1.0 * stats.w)) + 1)
+       CAST(min(stats.lo + (least(floor((v - stats.lo) / (1.0 * stats.w)),
+                                  {n_buckets - 1}) + 1)
                 * stats.w) AS BIGINT) AS hi,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM base CROSS JOIN stats

@@ -308,7 +308,10 @@ def calibrate_scores(
     group is the unavoidable rank cost and AQE splits oversized groups'
     partitions upstream.  No joins, no driver state.
     """
-    w = W.partitionBy(group_col).orderBy(score_col)
+    # NULL scores rank FIRST, pinned explicitly: Spark's ascending
+    # default is nulls-first but DuckDB's is nulls-last, so an implicit
+    # order would silently disagree between the engines
+    w = W.partitionBy(group_col).orderBy(F.asc_nulls_first(score_col))
     return df.select(
         F.col(id_col),
         F.col(group_col),
@@ -328,7 +331,7 @@ def calibrate_scores_oracle_sql(
     return f"""
 SELECT {id_col}, {group_col}, {score_col},
        CAST(floor(percent_rank() OVER (
-         PARTITION BY {group_col} ORDER BY {score_col}
+         PARTITION BY {group_col} ORDER BY {score_col} NULLS FIRST
        ) * 1000000) AS BIGINT) AS pct_e6
 FROM {table}
 """

@@ -58,9 +58,16 @@ def scd2_build(
     versions = (
         cur.withColumn("_keep", first | changed)
         .filter(F.col("_keep"))
-        .select(key_col, *attr_cols, F.col(ts_col).alias("effective_from"))
+        .select(
+            key_col,
+            *attr_cols,
+            F.col(ts_col).alias("effective_from"),
+            # carried so equal-timestamp versions (legal under the
+            # precondition) chain deterministically, matching the oracle
+            F.col(tiebreak_col).alias("_tb"),
+        )
     )
-    w2 = Window.partitionBy(key_col).orderBy("effective_from")
+    w2 = Window.partitionBy(key_col).orderBy("effective_from", "_tb")
     return versions.select(
         key_col,
         *attr_cols,
@@ -88,21 +95,22 @@ def scd2_build_oracle_sql(
     )
     return f"""
 WITH lagged AS (
-  SELECT {key_col}, {attrs}, {ts_col},
+  SELECT {key_col}, {attrs}, {ts_col}, {tiebreak_col},
          row_number() OVER w AS rn,
          {lags}
   FROM {table}
   WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})
 ), versions AS (
-  SELECT {key_col}, {attrs}, {ts_col} AS effective_from
+  SELECT {key_col}, {attrs}, {ts_col} AS effective_from,
+         {tiebreak_col} AS tb
   FROM lagged WHERE rn = 1 OR {change}
 )
 SELECT {key_col}, {attrs}, effective_from,
        lead(effective_from) OVER (
-         PARTITION BY {key_col} ORDER BY effective_from
+         PARTITION BY {key_col} ORDER BY effective_from, tb
        ) AS effective_to,
        lead(effective_from) OVER (
-         PARTITION BY {key_col} ORDER BY effective_from
+         PARTITION BY {key_col} ORDER BY effective_from, tb
        ) IS NULL AS is_current
 FROM versions
 """

@@ -3167,9 +3167,9 @@ def _incremental_dedup_oracle(
     return f"""
 WITH history AS (SELECT * FROM documents WHERE doc_id < 300),
 batch AS (SELECT * FROM documents WHERE doc_id >= 200),
-b_hash AS (SELECT doc_id AS bid, md5(text) AS h FROM batch),
+b_hash AS (SELECT doc_id AS bid, CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END AS h FROM batch),
 hist_keep AS (
-  SELECT md5(text) AS h, min(doc_id) AS exact_hist_id FROM history GROUP BY 1
+  SELECT CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END AS h, min(doc_id) AS exact_hist_id FROM history GROUP BY 1
 ),
 batch_keep AS (SELECT h, min(bid) AS batch_keep_id FROM b_hash GROUP BY h),
 cand AS (

@@ -89,3 +89,18 @@ def test_validation():
         dsir_logweights(None, "i", "t", "g", add_k=0.0)
     with pytest.raises(ValueError, match="broadcastable"):
         dsir_logweights(None, "i", "t", "g", n_buckets=5_000_001)
+
+
+def test_null_text_scored_as_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "real text here", True), (2, None, False)],
+        ["doc_id", "text", "is_target"],
+    )
+    out = {
+        r["doc_id"]: r["n_features"]
+        for r in dsir_logweights(
+            df, "doc_id", "text", "is_target", n_buckets=N_BUCKETS
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2] == 1  # the empty-string unigram

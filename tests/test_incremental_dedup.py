@@ -66,3 +66,19 @@ def test_validation():
         incremental_dedup(None, None, "i", "t", threshold=0.0)
     with pytest.raises(ValueError, match="band_size"):
         incremental_dedup(None, None, "i", "t", n_hashes=16, band_size=5)
+
+
+def test_null_text_rows_are_judged_not_dropped(spark):
+    # review regression: NULL text must not vanish from the output
+    h = spark.createDataFrame(
+        [(1, None), (2, "some history doc")], "doc_id int, text string"
+    )
+    b = spark.createDataFrame(
+        [(10, None), (11, "fresh content")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in incremental_dedup(h, b, "doc_id", "text").collect()
+    }
+    assert out[10] == ("exact_hist", 1)  # NULL matches NULL history
+    assert out[11] == ("kept", None)

@@ -65,3 +65,29 @@ def test_rejects_float_values(spark):
     old = spark.createDataFrame([(1, "g", 1.5)], COLS)
     with pytest.raises(ValueError, match="exactly-summable"):
         incremental_group_sum(old, old, ["k"], "g", "v")
+
+
+def test_null_valued_rows_count_in_deltas(spark):
+    # review regression: a deleted NULL-valued row must decrement n_rows
+    schema = "k int, g string, v int"
+    old = spark.createDataFrame([(1, "a", None), (2, "a", 5)], schema)
+    new = spark.createDataFrame([(2, "a", 5)], schema)
+    (r,) = incremental_group_sum(old, new, ["k"], "g", "v").collect()
+    assert (r["g"], r["total"], r["n_rows"]) == ("a", 5, 1)
+
+
+def test_null_group_is_a_legal_key(spark):
+    # review regression: updates to NULL-group rows must merge null-safely
+    schema = "k int, g string, v int"
+    old = spark.createDataFrame([(1, None, 5)], schema)
+    new = spark.createDataFrame([(1, None, 7)], schema)
+    (r,) = incremental_group_sum(old, new, ["k"], "g", "v").collect()
+    assert (r["g"], r["total"], r["n_rows"]) == (None, 7, 1)
+
+
+def test_rejects_interval_like_type_names(spark):
+    # 'interval ...' must not sneak past a prefix match on 'int'
+    old = spark.createDataFrame([(1, "g", 1)], "k int, g string, v int")
+    bad = old.select("k", "g", F.expr("INTERVAL 1 DAY").alias("v"))
+    with pytest.raises(ValueError, match="exactly-summable"):
+        incremental_group_sum(bad, bad, ["k"], "g", "v")

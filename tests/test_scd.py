@@ -69,3 +69,23 @@ def test_validation():
         scd2_build(None, "k", "ts", [], "tb")
     with pytest.raises(ValueError, match="distinct"):
         scd2_build(None, "k", "ts", ["a", "a"], "tb")
+
+
+def test_equal_timestamp_versions_chain_by_tiebreak(spark):
+    # review regression: two kept versions sharing a timestamp must get
+    # deterministic intervals ordered by the tiebreak
+    df = spark.createDataFrame(
+        [("u1", 5, 1, "A"), ("u1", 5, 2, "B"), ("u1", 9, 3, "C")],
+        ["user_id", "ts", "seq", "status"],
+    )
+    rows = sorted(
+        (
+            (r["status"], r["effective_from"], r["effective_to"], r["is_current"])
+            for r in scd2_build(df, "user_id", "ts", ["status"], "seq").collect()
+        ),
+    )
+    assert rows == [
+        ("A", 5, 5, False),   # zero-length interval, closed by B at the same ts
+        ("B", 5, 9, False),
+        ("C", 9, None, True),
+    ]
