@@ -335,3 +335,80 @@ SELECT {id_col}, {group_col}, {score_col},
        ) * 1000000) AS BIGINT) AS pct_e6
 FROM {table}
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis-Spirakis A-ES scheme (2006): each row draws a reproducible
+    uniform u from its hashed id and ranks by ``u^(1/w)`` descending;
+    the top-k are a true weight-proportional without-replacement sample.
+    The mixing-pipeline primitive for "sample 10k docs per source,
+    proportional to quality weight, reproducibly".
+
+    Engine parity: u = (hash60(salt:id) + 1) / (2^60 + 1) in (0, 1) —
+    both engines compute the identical double division; ranking uses the
+    monotone transform ``ln(u)/w`` (same order as u^(1/w) for w > 0, one
+    ``ln`` instead of an exact-risk ``pow``), and ties (only possible
+    for identical hash AND weight) break on ascending id.  No float is
+    emitted: the output carries ids, weights, and the integer rank.
+
+    Rows with NULL or non-positive weight are excluded (zero weight =
+    never sampled; ES keys are undefined there).
+
+    Scale shape: ONE window shuffle on the group; everything else is
+    map-side column algebra.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) + 1) / (
+        float(_MAX_HASH60) + 2.0
+    )
+    key = F.log(u) / F.col(weight_col)
+    w = W.partitionBy(group_col).orderBy(F.desc("_es_key"), F.asc(id_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(id_col, group_col, weight_col, "sample_rank")
+    )
+
+
+def weighted_sample_oracle_sql(
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    table: str,
+    k: int,
+    salt: str = "ws",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — identical u construction
+    and ln(u)/w ranking."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = (
+        f"CAST(concat('0x', substr(md5('{salt}:' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    u = f"(({h} + 1) / ({float(_MAX_HASH60)!r} + 2.0))"
+    return f"""
+SELECT {id_col}, {group_col}, {weight_col},
+       CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+  SELECT {id_col}, {group_col}, {weight_col},
+         row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY ln({u}) / {weight_col} DESC, {id_col}
+         ) AS sample_rank
+  FROM {table}
+  WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+)
+WHERE sample_rank <= {k}
+"""

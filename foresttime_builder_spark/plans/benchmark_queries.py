@@ -3553,6 +3553,27 @@ GROUP BY i.probe_id
 """
 
 
+def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (`operators/sampling.weighted_sample`, Efraimidis-Spirakis A-ES):
+    5 docs per language, probability proportional to length weight,
+    fully reproducible from hashed ids — one window shuffle."""
+    from foresttime_builder_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "lang", "n_chars", k=5)
+
+
+def _weighted_sample_oracle() -> str:
+    from foresttime_builder_spark.operators.sampling import (
+        weighted_sample_oracle_sql,
+    )
+
+    return weighted_sample_oracle_sql(
+        "doc_id", "lang", "n_chars", "documents", k=5
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3695,4 +3716,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q100_pipeline_e2e": QuerySpec(q100_pipeline_e2e, _pipeline_e2e_oracle()),
     "q101_ann_recall": QuerySpec(q101_ann_recall, _ann_recall_oracle()),
+    "q102_weighted_sample": QuerySpec(
+        q102_weighted_sample, _weighted_sample_oracle()
+    ),
 }

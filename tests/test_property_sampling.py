@@ -117,3 +117,47 @@ def test_calibrate_scores_percent_rank_and_ties(spark):
     assert out[2] == out[3] == 333333  # rank 2 -> 1/3 floored at e6
     assert out[4] == 1_000_000
     assert out[5] == 0
+
+
+def test_weighted_sample_contract(spark):
+    import hashlib
+    import math
+
+    from foresttime_builder_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g", 1 + (i % 7)) for i in range(30)] + [
+        (100, "h", 5),
+        (101, "h", 0),      # zero weight -> excluded
+        (102, "h", None),   # null weight -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    out = weighted_sample(df, "doc_id", "grp", "w", k=4).collect()
+    got = {(r["doc_id"], r["grp"], r["sample_rank"]) for r in out}
+
+    # python reference of the ES ranking
+    def key(i, w):
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / (float((1 << 60) - 1) + 2.0)
+        return math.log(u) / w
+
+    ref = set()
+    for g, members in (
+        ("g", [(i, 1 + (i % 7)) for i in range(30)]),
+        ("h", [(100, 5)]),
+    ):
+        ranked = sorted(members, key=lambda t: (-key(*t), t[0]))
+        for rk, (i, _) in enumerate(ranked[:4], 1):
+            ref.add((i, g, rk))
+    assert got == ref
+
+
+def test_weighted_sample_heavier_weights_win_more(spark):
+    # statistical sanity at a fixed seed: heavy ids (weight 100) should
+    # dominate light ids (weight 1) in the sample
+    from foresttime_builder_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g", 100 if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    out = weighted_sample(df, "doc_id", "grp", "w", k=20).collect()
+    heavy = sum(1 for r in out if r["doc_id"] < 50)
+    assert heavy >= 15  # deterministic given the fixed hash construction
