@@ -3574,6 +3574,54 @@ def _weighted_sample_oracle() -> str:
     )
 
 
+def q103_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the running-distinct
+    analytic Spark has no native window for, decomposed as first-seen
+    flag + cumulative sum: a user contributes to the running total only
+    on their first day, so ``cum_distinct(d) = sum over days <= d of
+    new_users``.  Per-day grain: the final cumsum window runs over a
+    BOUNDED day table (one row per day), never over events."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("daily_active")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_users = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    joined = daily.join(new_users, "day", "left").select(
+        "day",
+        "daily_active",
+        F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return joined.withColumn(
+        "cum_distinct_users", F.sum("new_users").over(w).cast("long")
+    )
+
+
+ORACLE_Q103 = """
+WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+daily AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS daily_active
+  FROM e GROUP BY day
+),
+first_seen AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id),
+new_users AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT d.day, d.daily_active,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0)) OVER (
+         ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_distinct_users
+FROM daily d LEFT JOIN new_users n ON d.day = n.day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3719,4 +3767,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q102_weighted_sample": QuerySpec(
         q102_weighted_sample, _weighted_sample_oracle()
     ),
+    "q103_cumulative_distinct": QuerySpec(q103_cumulative_distinct, ORACLE_Q103),
 }
