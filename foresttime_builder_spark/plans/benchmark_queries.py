@@ -3622,6 +3622,63 @@ FROM daily d LEFT JOIN new_users n ON d.day = n.day
 """
 
 
+def q104_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window anomaly scoring: each (event_type, day) count gets
+    a z-score against its trailing 7-day window.  Variance comes from
+    INTEGER window sums (n*sumsq - sum^2 over n*(n-1)) rather than the
+    engines' streaming stddev kernels (Welford vs naive would disagree
+    in low bits); the only floats are the final identical-IEEE divisions
+    under the e6 floor.  NULL where the window has <2 rows or zero
+    variance."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    x = F.col("n_events")
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    n = F.count(F.lit(1)).over(w)
+    var = (n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))
+    z = (x - s1 / n) / F.sqrt(var)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when((n >= 2) & (n * s2 - s1 * s1 > 0), F.floor(z * 1_000_000))
+        .cast("long")
+        .alias("z_e6"),
+    )
+
+
+ORACLE_Q104 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, day, n_events,
+         sum(n_events) OVER w AS s1,
+         sum(n_events * n_events) OVER w AS s2,
+         count(*) OVER w AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n_events,
+       CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0 THEN
+         CAST(floor((n_events - s1 / n)
+                    / sqrt((n * s2 - s1 * s1) / (n * (n - 1.0)))
+                    * 1000000) AS BIGINT)
+       END AS z_e6
+FROM win
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3768,4 +3825,5 @@ QUERIES: dict[str, QuerySpec] = {
         q102_weighted_sample, _weighted_sample_oracle()
     ),
     "q103_cumulative_distinct": QuerySpec(q103_cumulative_distinct, ORACLE_Q103),
+    "q104_anomaly_zscore": QuerySpec(q104_anomaly_zscore, ORACLE_Q104),
 }
