@@ -3679,6 +3679,61 @@ FROM win
 """
 
 
+def q105_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: order totals winsorized at the exact
+    interpolated p05/p95 (Spark `percentile` == DuckDB `quantile_cont`,
+    both the (n-1)*p linear-interpolation definition), then clipped
+    values are e2-quantized BEFORE summation so the robust mean is an
+    exact integer aggregate.  The outlier-resistant profile a pipeline
+    reads instead of raw means."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_e2"),
+    )
+    pcts = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(price_e2, 0.05)").alias("_p05"),
+        F.expr("percentile(price_e2, 0.95)").alias("_p95"),
+    )
+    clipped = o.join(F.broadcast(pcts), "o_orderpriority").select(
+        "o_orderpriority",
+        F.floor(
+            F.least(
+                F.greatest(F.col("price_e2").cast("double"), F.col("_p05")),
+                F.col("_p95"),
+            )
+        )
+        .cast("long")
+        .alias("_w"),
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_w").cast("long").alias("winsorized_sum_e2"),
+    )
+
+
+ORACLE_Q105 = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2
+  FROM orders
+), pcts AS (
+  SELECT o_orderpriority,
+         quantile_cont(price_e2, 0.05) AS p05,
+         quantile_cont(price_e2, 0.95) AS p95
+  FROM o GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(least(greatest(CAST(price_e2 AS DOUBLE), p05),
+                                 p95)) AS BIGINT)) AS BIGINT)
+         AS winsorized_sum_e2
+FROM o JOIN pcts USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3826,4 +3881,5 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q103_cumulative_distinct": QuerySpec(q103_cumulative_distinct, ORACLE_Q103),
     "q104_anomaly_zscore": QuerySpec(q104_anomaly_zscore, ORACLE_Q104),
+    "q105_winsorized_stats": QuerySpec(q105_winsorized_stats, ORACLE_Q105),
 }
