@@ -104,3 +104,59 @@ SELECT CAST(least(floor((v - stats.lo) / (1.0 * stats.w)),
 FROM base CROSS JOIN stats
 GROUP BY 1
 """
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, id_col: str, n_buckets: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Equi-depth (equal-height) histogram — the optimizer's histogram:
+    ``ntile`` over the scaled values splits the rows into ``n_buckets``
+    near-equal groups; each bucket reports its inclusive lo/hi bounds
+    and row count.  Tie rows are assigned deterministically by the
+    ``(value, id)`` total order, so engines agree exactly.
+
+    Scale note: the ntile window is a GLOBAL sort — the honest cost of
+    an exact equi-depth histogram (both engines pay it).  At 100 TB use
+    the sampled variant: equi-depth over a hash-sampled fraction bounds
+    per-bucket error by the usual quantile-sketch analysis while sorting
+    only the sample.
+    """
+    _check(n_buckets, scale)
+    from pyspark.sql import Window as _W
+
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    base = df.select(
+        v.alias("_v"), F.col(id_col).alias("_id")
+    ).filter(F.col("_v").isNotNull())
+    w = _W.orderBy("_v", "_id")
+    return (
+        base.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(F.col("bucket").cast("int"), "lo", "hi", "n_rows")
+    )
+
+
+def equidepth_histogram_oracle_sql(
+    value_col: str, id_col: str, table: str, n_buckets: int = 20,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`equidepth_histogram` — identical ntile over
+    the identical (value, id) total order."""
+    _check(n_buckets, scale)
+    return f"""
+WITH base AS (
+  SELECT CAST(floor({value_col} * {scale}) AS BIGINT) AS v, {id_col} AS id
+  FROM {table} WHERE {value_col} IS NOT NULL
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       min(v) AS lo, max(v) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM (SELECT v, ntile({n_buckets}) OVER (ORDER BY v, id) AS bucket FROM base)
+GROUP BY bucket
+"""

@@ -3734,6 +3734,76 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q106_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet snapshots written with
+    DIFFERENT schemas (v1 lacks ``o_orderstatus``; v2 added it) are read
+    back through ``mergeSchema`` — v1 rows surface the new column as
+    NULL, exactly how a long-lived table accretes columns in production.
+    The oracle recomputes the same aggregate straight from the source
+    table with the v1 rows' status nulled, proving the merged read is
+    lossless (the q70 fidelity pattern)."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_e2"),
+    )
+    v1 = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", "price_e2"
+    )
+    v2 = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "price_e2", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="q106_evo_")
+    v1.write.mode("overwrite").parquet(f"{base}/v1")
+    v2.write.mode("overwrite").parquet(f"{base}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/v1", f"{base}/v2"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price_e2").cast("long").alias("total_e2"),
+    )
+
+
+ORACLE_Q106 = """
+SELECT CASE WHEN year(o_orderdate) = 1996 THEN o_orderstatus END
+         AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_e2
+FROM orders
+WHERE year(o_orderdate) IN (1995, 1996)
+GROUP BY 1
+"""
+
+
+def q107_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (`operators/profile.equidepth_histogram`):
+    ntile over the (value, id) total order — the optimizer-style
+    histogram complementing q98's equi-width buckets."""
+    from foresttime_builder_spark.operators.profile import equidepth_histogram
+
+    o = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram(
+        o, "o_totalprice", "o_orderkey", n_buckets=12, scale=100
+    )
+
+
+def _equidepth_oracle() -> str:
+    from foresttime_builder_spark.operators.profile import (
+        equidepth_histogram_oracle_sql,
+    )
+
+    return equidepth_histogram_oracle_sql(
+        "o_totalprice", "o_orderkey", "orders", n_buckets=12, scale=100
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3882,4 +3952,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q103_cumulative_distinct": QuerySpec(q103_cumulative_distinct, ORACLE_Q103),
     "q104_anomaly_zscore": QuerySpec(q104_anomaly_zscore, ORACLE_Q104),
     "q105_winsorized_stats": QuerySpec(q105_winsorized_stats, ORACLE_Q105),
+    "q106_schema_evolution": QuerySpec(q106_schema_evolution, ORACLE_Q106),
+    "q107_equidepth_histogram": QuerySpec(
+        q107_equidepth_histogram, _equidepth_oracle()
+    ),
 }

@@ -43,3 +43,23 @@ def test_validation():
         numeric_histogram(None, "v", n_buckets=0)
     with pytest.raises(ValueError, match="scale"):
         numeric_histogram(None, "v", scale=0)
+
+
+def test_equidepth_histogram_contract(spark):
+    from foresttime_builder_spark.operators.profile import equidepth_histogram
+
+    # 12 rows into 4 buckets of exactly 3; ties split by id order
+    rows = [(i, float(v)) for i, v in enumerate([5, 5, 5, 5, 1, 1, 2, 2, 9, 9, 9, 3])]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = sorted(
+        (r["bucket"], r["lo"], r["hi"], r["n_rows"])
+        for r in equidepth_histogram(df, "v", "k", n_buckets=4, scale=1).collect()
+    )
+    # sorted values: 1,1,2,2,3,5,5,5,5,9,9,9
+    assert out == [
+        (1, 1, 2, 3),
+        (2, 2, 5, 3),
+        (3, 5, 5, 3),
+        (4, 9, 9, 3),
+    ]
+    assert sum(n for *_, n in out) == 12
