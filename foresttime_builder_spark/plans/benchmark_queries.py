@@ -3956,4 +3956,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q107_equidepth_histogram": QuerySpec(
         q107_equidepth_histogram, _equidepth_oracle()
     ),
+    "q108_stream_outer_join": QuerySpec(
+        _stream("q108_stream_outer_join"),
+        _stream_oracle("ORACLE_STREAM_OUTER_JOIN"),
+    ),
 }

@@ -169,3 +169,63 @@ ORACLE_STREAM_DEDUP = f"""
 SELECT event_id, user_id, event_type, {_sql_e4('value')} AS value_e4
 FROM events
 """
+
+
+def q108_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, streamed to completion:
+    unmatched purchases emit NULL click columns once the watermark
+    passes.  Both sides apply the identical deterministic cutoff
+    (max event time - the 4-day watermark) because rows inside the final
+    watermark window are not yet final when an availableNow run ends —
+    that cutoff IS the operator's contract, not a test convenience."""
+    from foresttime_builder_spark.sources import load_table
+    from foresttime_builder_spark.streaming import purchase_attribution_outer
+
+    out = run_to_memory(
+        purchase_attribution_outer(read_event_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    # one-hour margin below the watermark: Spark finalizes unmatched rows
+    # STRICTLY below the watermark (max ts - 4 days), so a row exactly at
+    # the boundary is not yet flushed when an availableNow run ends
+    cutoff = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 97 HOURS")).alias("_co")
+    )
+    return (
+        out.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("purchase_ts") <= F.col("_co"))
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.col("click_ts").cast("long").alias("click_ts"),
+            F.col("purchase_ts").cast("long").alias("purchase_ts"),
+        )
+    )
+
+
+ORACLE_STREAM_OUTER_JOIN = """
+WITH cutoff AS (
+  SELECT max(ts) - INTERVAL 97 HOURS AS co FROM events
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, c.click_id,
+       CAST(floor(epoch(CAST(c.click_ts AS TIMESTAMP))) AS BIGINT)
+         AS click_ts,
+       CAST(floor(epoch(CAST(p.purchase_ts AS TIMESTAMP))) AS BIGINT)
+         AS purchase_ts
+FROM purch p
+LEFT JOIN clicks c
+  ON c.c_user = p.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND c.click_ts >= p.purchase_ts - INTERVAL 2 DAYS
+CROSS JOIN cutoff
+WHERE p.purchase_ts <= cutoff.co
+"""

@@ -190,6 +190,45 @@ def purchase_attribution(
     ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
 
 
+def purchase_attribution_outer(
+    events: DataFrame, horizon: str = "2 days", watermark: str = "4 days"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    :func:`purchase_attribution`, but purchases with NO qualifying click
+    are also emitted (click columns NULL) — the semantics that needs the
+    watermark to PASS before an unmatched row can be declared final.
+    With an availableNow run the trailing no-data micro-batch advances
+    the watermark past ``max(ts) - watermark``, so unmatched purchases up
+    to that cutoff are flushed; rows inside the final watermark window
+    stay in state (consumers must apply the cutoff — the q108 gate does,
+    identically on the batch oracle side)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
+
+
 def _upsert_current_dir(path: str) -> str | None:
     """Resolve the committed version directory of an upsert table, or None
     if no commit has happened yet."""
