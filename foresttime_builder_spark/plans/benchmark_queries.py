@@ -3804,6 +3804,39 @@ def _equidepth_oracle() -> str:
     )
 
 
+def q109_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape round-trip: pivot order counts to a wide (year x status)
+    matrix, then `unpivot` (melt) back to long — the wide->long
+    direction q19's manual pivot lacks.  The oracle computes the long
+    form directly, so the gate proves pivot∘unpivot is the identity on
+    non-empty cells (unpivot drops NULL cells by design —
+    include_nulls=False — matching the direct GROUP BY which never had
+    those rows)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"), "o_orderstatus"
+    )
+    wide = (
+        o.groupBy("year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ["year"], ["F", "O", "P"], "o_orderstatus", "n_orders"
+    ).filter(F.col("n_orders").isNotNull())
+    return long.select(
+        "year", "o_orderstatus", F.col("n_orders").cast("long").alias("n_orders")
+    )
+
+
+ORACLE_Q109 = """
+SELECT year(o_orderdate) AS year, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderstatus IN ('F', 'O', 'P')
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3960,4 +3993,5 @@ QUERIES: dict[str, QuerySpec] = {
         _stream("q108_stream_outer_join"),
         _stream_oracle("ORACLE_STREAM_OUTER_JOIN"),
     ),
+    "q109_unpivot_roundtrip": QuerySpec(q109_unpivot_roundtrip, ORACLE_Q109),
 }
