@@ -3837,6 +3837,47 @@ GROUP BY 1, 2
 """
 
 
+def q110_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 `pyspark.sql.datasource`,
+    `sources/pysource.py`): a deterministic md5-derived synthetic-record
+    generator whose `partitions()` fans generation across executors with
+    no driver materialization.  Aggregated per lang so the gate hashes a
+    stable shape; the oracle regenerates the identical rows from
+    generate_series."""
+    from foresttime_builder_spark.sources.pysource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    d = (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", 5000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score").cast("long").alias("total_score"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+def _python_datasource_oracle() -> str:
+    from foresttime_builder_spark.sources.pysource import (
+        synthetic_docs_oracle_sql,
+    )
+
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score) AS BIGINT) AS total_score,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM ({synthetic_docs_oracle_sql(5000)})
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -3994,4 +4035,7 @@ QUERIES: dict[str, QuerySpec] = {
         _stream_oracle("ORACLE_STREAM_OUTER_JOIN"),
     ),
     "q109_unpivot_roundtrip": QuerySpec(q109_unpivot_roundtrip, ORACLE_Q109),
+    "q110_python_datasource": QuerySpec(
+        q110_python_datasource, _python_datasource_oracle()
+    ),
 }
