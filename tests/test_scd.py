@@ -89,3 +89,44 @@ def test_equal_timestamp_versions_chain_by_tiebreak(spark):
         ("B", 5, 9, False),
         ("C", 9, None, True),
     ]
+
+
+def test_scd2_matches_brute_reference_on_random_streams(spark):
+    """Property-style check against a sequential Python model."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    seq = 0
+    for key in ("a", "b", "c"):
+        for ts in range(1, 11):
+            if rng.random() < 0.3:
+                continue
+            seq += 1
+            rows.append((key, ts, seq, rng.choice(["x", "y", None])))
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "attr"])
+    keyf = lambda t: (t[0], t[2], t[1] or "", t[3] or -1)
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["effective_from"], r["effective_to"])
+            for r in scd2_build(df, "k", "ts", ["attr"], "seq").collect()
+        ),
+        key=keyf,
+    )
+
+    # sequential model
+    ref = []
+    by_key: dict = {}
+    for k, ts, seq_, attr in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_key.setdefault(k, []).append((ts, attr))
+    for k, stream in by_key.items():
+        versions = []
+        prev = object()
+        for ts, attr in stream:
+            if attr != prev:
+                versions.append([ts, attr, None])
+                prev = attr
+        for v, nxt in zip(versions, versions[1:]):
+            v[2] = nxt[0]
+        ref.extend((k, attr, f, to) for f, attr, to in versions)
+    assert got == sorted(ref, key=keyf)
