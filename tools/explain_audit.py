@@ -47,6 +47,7 @@ EXPECTED_BNLJ = {
     "q88_dsir_weights": (1, "1-row model-totals (R/T) crossJoin in dsir_logweights"),
     "q94_tfidf_signatures": (1, "1-row group-count crossJoin in tfidf_signature_terms"),
     "q98_numeric_histogram": (1, "1-row min/max stats crossJoin in numeric_histogram"),
+    "q108_stream_outer_join": (1, "1-row watermark-cutoff crossJoin on the materialized sink"),
 }
 
 
