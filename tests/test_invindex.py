@@ -68,3 +68,26 @@ def test_validation():
         inverted_index(None, "i", "t", k=0)
     with pytest.raises(ValueError, match="max_doc_freq"):
         inverted_index(None, "i", "t", max_doc_freq=0)
+
+
+def test_matches_reference_on_random_corpora(spark):
+    import random
+
+    rng = random.Random(13)
+    words = ["w%d" % i for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+        for i in range(25)
+    ]
+    for k, mdf in ((1, None), (3, 10), (5, 2)):
+        got = _run_docs(spark, docs, k=k, max_doc_freq=mdf)
+        assert got == _ref(docs, k, mdf)
+
+
+def _run_docs(spark, docs, k, max_doc_freq=None):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = inverted_index(df, "doc_id", "text", k=k, max_doc_freq=max_doc_freq)
+    return {
+        r["term"]: (r["doc_freq"], r["coll_freq"], r["postings"])
+        for r in rows.collect()
+    }
