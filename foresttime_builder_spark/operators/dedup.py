@@ -939,3 +939,80 @@ def incremental_dedup(
         verdict.alias("verdict"),
         match_id.alias("match_id"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-superset detection: pairs where containment
+    ``C(A, B) = |A ∩ B| / |A|`` >= threshold — document A is (almost)
+    entirely inside B, which symmetric Jaccard misses when B is much
+    longer (J = inter/union shrinks with |B|; C does not).  The
+    RefinedWeb-style signal for "this page is a quoted copy plus
+    boilerplate".
+
+    Blocking is a LOSSLESS containment prefix filter, not LSH: for
+    C(A, B) >= t, B must contain at least ``ceil(t*|A|)`` of A's tokens,
+    so B must contain at least one of A's first ``|A| - ceil(t*|A|) + 1``
+    tokens in rarest-first order (if it missed all of them it already
+    misses too many).  Only those prefix tokens of the CONTAINED side
+    join the full inverted index of the container side — exact recall,
+    and because the prefix picks the rarest tokens, the candidate stream
+    stays small (symmetric-MinHash banding was tried first and rejected:
+    a 1.0-containment pair with Jaccard 0.3 — the operator's whole point
+    — collides in a band with probability ~3%).
+
+    Returns ``(contained_id, container_id, n_common, containment)`` with
+    containment rounded to 4 decimals (the q16 convention); both
+    directions of a mutual pair emit independently.
+    """
+    if threshold <= 0 or threshold > 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    docsets = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).withColumn("sz", F.size("toks"))
+    tok = docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    prefix = (
+        tok.join(dfreq, "token")
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_df", "token")
+            ),
+        )
+        .filter(
+            F.col("_rnk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select(F.col("doc_id").alias("contained_id"), "token")
+    )
+    index = tok.select(F.col("doc_id").alias("container_id"), "token")
+    cand = (
+        prefix.join(index, "token")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    sa = docsets.select(
+        F.col("doc_id").alias("contained_id"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("container_id"),
+        F.col("toks").alias("toks_b"),
+    )
+    return (
+        cand.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("sz_a"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "n_common", "containment")
+    )

@@ -3878,6 +3878,55 @@ GROUP BY lang
 """
 
 
+def q111_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset detection
+    (`operators/dedup.containment_pairs`): pairs where |A∩B|/|A| >= 0.8
+    — the quoted-copy-plus-boilerplate signal symmetric Jaccard misses.
+    LOSSLESS containment prefix-filter blocking (rarest tokens of the
+    contained side vs the full inverted index), exact verify."""
+    from foresttime_builder_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+def _containment_oracle(threshold: float = 0.8) -> str:
+    return f"""
+WITH docsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         len(list_distinct(string_split(text, ' '))) AS sz
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, sz, unnest(toks) AS token FROM docsets
+),
+dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+prefix AS (
+  SELECT doc_id AS contained_id, token
+  FROM (
+    SELECT t.doc_id, t.token, t.sz,
+           row_number() OVER (
+             PARTITION BY t.doc_id ORDER BY d.df, t.token
+           ) AS rnk
+    FROM tok t JOIN dfreq d USING (token)
+  )
+  WHERE rnk <= sz - ceil({threshold!r} * sz) + 1
+),
+cand AS (
+  SELECT DISTINCT p.contained_id, i.doc_id AS container_id
+  FROM prefix p JOIN tok i USING (token)
+  WHERE p.contained_id != i.doc_id
+)
+SELECT contained_id, container_id,
+       len(list_intersect(sa.toks, sb.toks)) AS n_common,
+       round(len(list_intersect(sa.toks, sb.toks)) / sa.sz, 4) AS containment
+FROM cand
+JOIN docsets sa ON sa.doc_id = contained_id
+JOIN docsets sb ON sb.doc_id = container_id
+WHERE round(len(list_intersect(sa.toks, sb.toks)) / sa.sz, 4) >= {threshold!r}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -4037,5 +4086,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q109_unpivot_roundtrip": QuerySpec(q109_unpivot_roundtrip, ORACLE_Q109),
     "q110_python_datasource": QuerySpec(
         q110_python_datasource, _python_datasource_oracle()
+    ),
+    "q111_containment_pairs": QuerySpec(
+        q111_containment_pairs, _containment_oracle()
     ),
 }

@@ -82,3 +82,30 @@ def test_null_text_rows_are_judged_not_dropped(spark):
     }
     assert out[10] == ("exact_hist", 1)  # NULL matches NULL history
     assert out[11] == ("kept", None)
+
+
+def test_containment_asymmetric_detection(spark):
+    """A short doc fully inside a long one: containment fires A->B at
+    1.0 even though Jaccard is far below the bar; B->A does not fire."""
+    from foresttime_builder_spark.operators.dedup import containment_pairs
+
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "unrelated words entirely different content"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert out.get((1, 2)) == 1.0
+    assert (2, 1) not in out     # only 3/10 of B is in A
+    assert all(3 not in k for k in out)
+
+
+def test_containment_validation():
+    from foresttime_builder_spark.operators.dedup import containment_pairs
+
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(None, "i", "t", threshold=1.5)
