@@ -971,13 +971,22 @@ def containment_pairs(
     """
     if threshold <= 0 or threshold > 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # persisted: the tokenized relation feeds the prefix stage, the full
+    # inverted index, AND both verification sides (the token_jaccard_pairs
+    # discipline; without it the corpus re-tokenizes ~5x).  The ranked
+    # rarest-first prefix below intentionally mirrors token_jaccard_pairs'
+    # formula with the CONTAINED side's |A| as the sole denominator —
+    # kept inline because the Jaccard path's prefix lives inside its
+    # strategy branches and shares no extractable seam yet.
     docsets = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
-    ).withColumn("sz", F.size("toks"))
-    tok = docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
+    ).withColumn("sz", F.size("toks")).persist()
+    tok = docsets.select(
+        "doc_id", "sz", F.explode("toks").alias("token")
+    ).persist()
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     prefix = (
-        tok.join(dfreq, "token")
+        tok.join(F.broadcast(dfreq), "token")
         .withColumn(
             "_rnk",
             F.row_number().over(
@@ -1006,13 +1015,17 @@ def containment_pairs(
         F.col("doc_id").alias("container_id"),
         F.col("toks").alias("toks_b"),
     )
-    return (
+    out = (
         cand.join(sa, "contained_id")
         .join(sb, "container_id")
         .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
+        # filter on the UNROUNDED ratio: the prefix filter's lossless
+        # guarantee holds for true containment >= t; a rounded filter
+        # would admit boundary pairs the blocking never promised to find
+        .filter(F.col("n_common") / F.col("sz_a") >= F.lit(threshold))
         .withColumn(
             "containment", F.round(F.col("n_common") / F.col("sz_a"), 4)
         )
-        .filter(F.col("containment") >= threshold)
         .select("contained_id", "container_id", "n_common", "containment")
     )
+    return _release_on_gc(out, docsets, tok)

@@ -352,12 +352,19 @@ def weighted_sample(
     The mixing-pipeline primitive for "sample 10k docs per source,
     proportional to quality weight, reproducibly".
 
-    Engine parity: u = (hash60(salt:id) + 1) / (2^60 + 1) in (0, 1) —
-    both engines compute the identical double division; ranking uses the
-    monotone transform ``ln(u)/w`` (same order as u^(1/w) for w > 0, one
-    ``ln`` instead of an exact-risk ``pow``), and ties (only possible
-    for identical hash AND weight) break on ascending id.  No float is
-    emitted: the output carries ids, weights, and the integer rank.
+    Engine parity: u = hash60(salt:id) / 2^60 clamped into
+    [2^-60, 1 - 2^-53] — the clamp matters at BOTH ends: near the top,
+    double rounding would otherwise let u reach exactly 1.0 (key 0, an
+    unconditional rank-1 winner regardless of weight); at the bottom,
+    u = 0 diverges between engines (Spark ``log(0)`` is NULL, DuckDB is
+    -inf).  Ranking uses the monotone transform ``ln(u)/w`` (same order
+    as u^(1/w) for w > 0); ``ln`` itself is transcendental, so a
+    last-ulp JVM-vs-libm disagreement could in principle flip a near-tie
+    between two rows' keys — the same accepted-risk class as the repo's
+    e-floor ``ln``/``pow`` family, needing a ~2^-50 coincidence across
+    md5-derived values.  Hash/weight ties break on ascending id.  No
+    float is emitted: the output carries ids, weights, and the integer
+    rank.
 
     Rows with NULL or non-positive weight are excluded (zero weight =
     never sampled; ES keys are undefined there).
@@ -367,8 +374,13 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    u = (hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) + 1) / (
-        float(_MAX_HASH60) + 2.0
+    u = F.greatest(
+        F.least(
+            hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+            / F.lit(2.0**60),
+            F.lit(1.0 - 2.0**-53),
+        ),
+        F.lit(2.0**-60),
     )
     key = F.log(u) / F.col(weight_col)
     w = W.partitionBy(group_col).orderBy(F.desc("_es_key"), F.asc(id_col))
@@ -397,7 +409,10 @@ def weighted_sample_oracle_sql(
         f"CAST(concat('0x', substr(md5('{salt}:' || "
         f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
     )
-    u = f"(({h} + 1) / ({float(_MAX_HASH60)!r} + 2.0))"
+    u = (
+        f"greatest(least({h} / {2.0**60!r}, {1.0 - 2.0**-53!r}), "
+        f"{2.0**-60!r})"
+    )
     return f"""
 SELECT {id_col}, {group_col}, {weight_col},
        CAST(sample_rank AS INTEGER) AS sample_rank

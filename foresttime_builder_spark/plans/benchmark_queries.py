@@ -3625,11 +3625,13 @@ FROM daily d LEFT JOIN new_users n ON d.day = n.day
 def q104_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window anomaly scoring: each (event_type, day) count gets
     a z-score against its trailing 7-day window.  Variance comes from
-    INTEGER window sums (n*sumsq - sum^2 over n*(n-1)) rather than the
-    engines' streaming stddev kernels (Welford vs naive would disagree
-    in low bits); the only floats are the final identical-IEEE divisions
-    under the e6 floor.  NULL where the window has <2 rows or zero
-    variance."""
+    EXACT integer window sums (n*sumsq - sum^2 over n*(n-1)) rather than
+    the engines' streaming stddev kernels (Welford vs naive would
+    disagree in low bits); the sums are then widened to DOUBLE on both
+    engine sides before the identical IEEE products/divisions under the
+    e6 floor (int64 s1*s1 would overflow at ~3e9 events/window while
+    DuckDB widens to HUGEINT).  NULL where the window has <2 rows or
+    zero variance."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -3640,16 +3642,21 @@ def q104_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-6, 0)
     )
     x = F.col("n_events")
-    s1 = F.sum(x).over(w)
-    s2 = F.sum(x * x).over(w)
-    n = F.count(F.lit(1)).over(w)
-    var = (n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))
+    # the window sums stay exact BIGINTs; the variance arithmetic is then
+    # done in DOUBLE on BOTH engine sides (identical IEEE ops) — int64
+    # s1*s1 would overflow at ~3e9 events/window while DuckDB silently
+    # widens to HUGEINT, breaking parity exactly at scale
+    s1 = F.sum(x).over(w).cast("double")
+    s2 = F.sum(x * x).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    num = n * s2 - s1 * s1
+    var = num / (n * (n - F.lit(1.0)))
     z = (x - s1 / n) / F.sqrt(var)
     return daily.select(
         "event_type",
         "day",
         "n_events",
-        F.when((n >= 2) & (n * s2 - s1 * s1 > 0), F.floor(z * 1_000_000))
+        F.when((n >= 2) & (num > 0), F.floor(z * 1_000_000))
         .cast("long")
         .alias("z_e6"),
     )
@@ -3662,9 +3669,9 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ), win AS (
   SELECT event_type, day, n_events,
-         sum(n_events) OVER w AS s1,
-         sum(n_events * n_events) OVER w AS s2,
-         count(*) OVER w AS n
+         CAST(sum(n_events) OVER w AS DOUBLE) AS s1,
+         CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS s2,
+         CAST(count(*) OVER w AS DOUBLE) AS n
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -3923,7 +3930,7 @@ SELECT contained_id, container_id,
 FROM cand
 JOIN docsets sa ON sa.doc_id = contained_id
 JOIN docsets sb ON sb.doc_id = container_id
-WHERE round(len(list_intersect(sa.toks, sb.toks)) / sa.sz, 4) >= {threshold!r}
+WHERE len(list_intersect(sa.toks, sb.toks)) / sa.sz >= {threshold!r}
 """
 
 

@@ -185,11 +185,22 @@ def q108_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchase_attribution_outer(read_event_stream(spark, sf_dir)),
         output_mode="append",
     )
-    # one-hour margin below the watermark: Spark finalizes unmatched rows
-    # STRICTLY below the watermark (max ts - 4 days), so a row exactly at
-    # the boundary is not yet flushed when an availableNow run ends
-    cutoff = load_table(spark, sf_dir, "events").agg(
-        (F.max("ts") - F.expr("INTERVAL 97 HOURS")).alias("_co")
+    # The cutoff must mirror Spark's GLOBAL watermark, which under the
+    # default multipleWatermarkPolicy=min is the MIN of the two sides'
+    # max event times minus the delay — basing it on max(ts) over all
+    # events would over-admit whenever the lagging side trails other
+    # event types.  The extra hour covers the strictly-below-watermark
+    # flush boundary (a row exactly at the watermark is not yet final
+    # when an availableNow run ends).
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 97 HOURS")
+        ).alias("_co")
     )
     return (
         out.crossJoin(F.broadcast(cutoff))
@@ -206,7 +217,11 @@ def q108_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_OUTER_JOIN = """
 WITH cutoff AS (
-  SELECT max(ts) - INTERVAL 97 HOURS AS co FROM events
+  SELECT least(
+           max(CASE WHEN event_type = 'click' THEN ts END),
+           max(CASE WHEN event_type = 'purchase' THEN ts END)
+         ) - INTERVAL 97 HOURS AS co
+  FROM events
 ),
 purch AS (
   SELECT event_id AS purchase_id, user_id, ts AS purchase_ts

@@ -137,7 +137,7 @@ def test_weighted_sample_contract(spark):
     # python reference of the ES ranking
     def key(i, w):
         h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
-        u = (h + 1) / (float((1 << 60) - 1) + 2.0)
+        u = max(min(h / 2.0**60, 1.0 - 2.0**-53), 2.0**-60)
         return math.log(u) / w
 
     ref = set()

@@ -386,3 +386,49 @@ def test_foreach_upsert_retains_previous_version(spark, chunked, tmp_path_factor
     assert current in vdirs
     prev = next(v for v in vdirs if v != current)
     assert spark.read.parquet(os.path.join(target, prev)).count() > 0
+
+
+def test_outer_join_stream_equals_batch_below_watermark(spark, events_batch):
+    """Stream-stream LEFT OUTER interval join converges to the batch left
+    join for purchases below the global (min-of-sides) watermark — NULL
+    rows for unmatched purchases included."""
+    from foresttime_builder_spark.streaming import purchase_attribution_outer
+
+    out = run_to_memory(
+        purchase_attribution_outer(read_event_stream(spark, SF)),
+        output_mode="append",
+    )
+    clicks = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events_batch.filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 DAYS")),
+        "left_outer",
+    ).select("purchase_id", "user_id", "click_id", "purchase_ts")
+    cut = events_batch.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("m")
+    ).collect()[0]["m"]
+    import datetime
+
+    cutoff = cut - datetime.timedelta(hours=97)
+    cols = ["purchase_id", "user_id", "click_id", "purchase_ts"]
+    got = _canon(out.filter(F.col("purchase_ts") <= F.lit(cutoff)), cols)
+    want = _canon(batch.filter(F.col("purchase_ts") <= F.lit(cutoff)), cols)
+    assert got == want
+    # the contract is only meaningful if NULL-click rows actually occur
+    assert any(t[2] is None for t in want)
