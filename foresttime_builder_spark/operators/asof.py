@@ -70,3 +70,51 @@ def asof_join(
         *left.columns,
         *[F.col("_vals").getField(c).alias(c) for c in value_cols],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-overlap equi-join: pairs where ``[l_start, l_end)`` and
+    ``[r_start, r_end)`` overlap — the ranges-times-ranges join (q05 is
+    point-in-band, q47 is as-of; this is the third interval shape).
+
+    Scale path: a naive theta join is quadratic, so each interval
+    explodes to the integer bucket ids it spans (``floor(t /
+    bucket_width)``), the join is a bucket-id EQUI-join (hash
+    partitionable at any scale), duplicates from multi-bucket spans are
+    collapsed, and the true overlap predicate verifies exactly.  Bucket
+    width trades explode factor against join selectivity — pick ~ the
+    typical interval length.  Bounds must be integers (cast timestamps
+    to epoch seconds first); all arithmetic is exact.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+
+    def buckets(df: DataFrame, s: str, e: str, cols: list) -> DataFrame:
+        return df.select(
+            *cols,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_width).cast("long"),
+                    F.floor((F.col(e) - 1) / bucket_width).cast("long"),
+                )
+            ).alias("_bkt"),
+        )
+
+    lb = buckets(left, l_start, l_end, left.columns)
+    rb = buckets(right, r_start, r_end, right.columns)
+    return (
+        lb.join(rb, "_bkt")
+        .drop("_bkt")
+        .distinct()
+        .filter(
+            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+    )

@@ -427,3 +427,91 @@ FROM (
 )
 WHERE sample_rank <= {k}
 """
+
+
+def stratified_split_exact(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 8000),
+        ("val", 1000),
+        ("test", 1000),
+    ),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """EXACT stratified split: within every stratum, rows are ranked by
+    the deterministic (salt, id) hash and the rank range is carved by the
+    cumulative split weights — so each stratum's split counts are exact
+    to the rounding of ``floor(n * cum_bp / 10000)``, not merely expected
+    (the :func:`split_assign` hash-cell method is stable under appends
+    but only proportional in expectation, which under-fills small
+    strata).  Use this one when per-stratum quotas must be exact and the
+    corpus snapshot is fixed; use ``split_assign`` when assignments must
+    survive appends.
+
+    Returns ``(id_col, stratum_col, split)``.  One window shuffle on the
+    stratum; ranking is the same hash order as quota_sample.
+    """
+    total = sum(w for _, w in splits)
+    if total != 10_000:
+        raise ValueError(f"split weights must sum to 10000 bp, got {total}")
+    h = hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = W.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    n = W.partitionBy(stratum_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(n).alias("_n"),
+    )
+    expr = None
+    cum = 0
+    for name, bp in splits[:-1]:
+        cum += bp
+        cond = F.col("_rk") <= F.floor(F.col("_n") * cum / 10_000)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit(splits[-1][0]))
+    return ranked.select(id_col, stratum_col, expr.alias("split"))
+
+
+def stratified_split_exact_oracle_sql(
+    id_col: str,
+    stratum_col: str,
+    table: str,
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 8000),
+        ("val", 1000),
+        ("test", 1000),
+    ),
+    salt: str = "split-v1",
+) -> str:
+    """DuckDB twin of :func:`stratified_split_exact`."""
+    total = sum(w for _, w in splits)
+    if total != 10_000:
+        raise ValueError(f"split weights must sum to 10000 bp, got {total}")
+    h = (
+        f"CAST(concat('0x', substr(md5('{salt}:' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    case = "CASE "
+    cum = 0
+    for name, bp in splits[:-1]:
+        cum += bp
+        case += f"WHEN rk <= floor(n * {cum} / 10000) THEN '{name}' "
+    case += f"ELSE '{splits[-1][0]}' END"
+    return f"""
+SELECT {id_col}, {stratum_col}, {case} AS split
+FROM (
+  SELECT {id_col}, {stratum_col},
+         row_number() OVER (
+           PARTITION BY {stratum_col} ORDER BY {h}, {id_col}
+         ) AS rk,
+         count(*) OVER (PARTITION BY {stratum_col}) AS n
+  FROM {table}
+)
+"""

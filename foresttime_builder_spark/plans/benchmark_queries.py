@@ -3934,6 +3934,151 @@ WHERE len(list_intersect(sa.toks, sb.toks)) / sa.sz >= {threshold!r}
 """
 
 
+def q112_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified train/val/test split
+    (`operators/sampling.stratified_split_exact`): per-language split
+    counts exact to floor(n*bp/10000), rank order = the deterministic
+    (salt, id) hash — vs q65's append-stable but only-in-expectation
+    hash cells."""
+    from foresttime_builder_spark.operators.sampling import (
+        stratified_split_exact,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_split_exact(d, "doc_id", "lang")
+
+
+def _stratified_split_oracle() -> str:
+    from foresttime_builder_spark.operators.sampling import (
+        stratified_split_exact_oracle_sql,
+    )
+
+    return stratified_split_exact_oracle_sql("doc_id", "lang", "documents")
+
+
+def q113_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (`operators/asof.interval_overlap_join`):
+    per-user-day activity spans overlap-joined against daily 10:00-14:00
+    maintenance windows via integer bucket explode + EQUI-join + exact
+    verify — the ranges-x-ranges join made hash-partitionable."""
+    from foresttime_builder_spark.operators.asof import interval_overlap_join
+
+    e = load_table(spark, sf_dir, "events")
+    # ts arrives as TIMESTAMP_NTZ, which has no direct BIGINT cast; the
+    # session runs in UTC so the timestamp hop matches DuckDB's epoch()
+    ep = F.col("ts").cast("timestamp").cast("long")
+    spans = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.min(ep).alias("s_start"),
+        (F.max(ep) + 1).alias("s_end"),
+    )
+    windows = (
+        e.select(F.to_date("ts").alias("wday"))
+        .distinct()
+        .select(
+            "wday",
+            (F.col("wday").cast("timestamp").cast("long") + 10 * 3600).alias(
+                "w_start"
+            ),
+            (F.col("wday").cast("timestamp").cast("long") + 14 * 3600).alias(
+                "w_end"
+            ),
+        )
+    )
+    out = interval_overlap_join(
+        spans, windows, "s_start", "s_end", "w_start", "w_end",
+        bucket_width=6 * 3600,
+    )
+    return out.select(
+        "user_id", "day", "wday", "s_start", "s_end", "w_start", "w_end"
+    )
+
+
+ORACLE_Q113 = """
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS s_start,
+         max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) + 1 AS s_end
+  FROM events GROUP BY 1, 2
+),
+windows AS (
+  SELECT wday,
+         CAST(floor(epoch(CAST(wday AS TIMESTAMP))) AS BIGINT) + 10 * 3600
+           AS w_start,
+         CAST(floor(epoch(CAST(wday AS TIMESTAMP))) AS BIGINT) + 14 * 3600
+           AS w_end
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS wday FROM events)
+)
+SELECT user_id, day, wday, s_start, s_end, w_start, w_end
+FROM spans JOIN windows
+  ON s_start < w_end AND w_start < s_end
+"""
+
+
+def q114_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two order snapshots
+    (1995 vs 1996 price distributions): fixed-rule price buckets, smoothed
+    proportions, per-bucket PSI terms quantized to e9 BIGINTs BEFORE the
+    sum (order-free) — the ML-monitoring signal for "did the input
+    distribution move"."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("_y"),
+        F.floor(F.col("o_totalprice") / 50_000).cast("long").alias("_bkt"),
+    )
+    counts = (
+        o.filter(F.col("_y").isin(1995, 1996))
+        .groupBy("_bkt")
+        .agg(
+            F.sum(F.when(F.col("_y") == 1995, 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(F.col("_y") == 1996, 1).otherwise(0)).alias("_c2"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("_c1").alias("_n1"),
+        F.sum("_c2").alias("_n2"),
+        F.count(F.lit(1)).alias("_B"),
+    )
+    p1 = (F.col("_c1") + F.lit(0.5)) / (F.col("_n1") + F.lit(0.5) * F.col("_B"))
+    p2 = (F.col("_c2") + F.lit(0.5)) / (F.col("_n2") + F.lit(0.5) * F.col("_B"))
+    terms = counts.crossJoin(F.broadcast(totals)).select(
+        F.col("_bkt"),
+        F.floor((p1 - p2) * F.log(p1 / p2) * 1e9).cast("long").alias("_t_e9"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_t_e9").cast("long").alias("psi_e9"),
+    )
+
+
+ORACLE_Q114 = """
+WITH o AS (
+  SELECT year(o_orderdate) AS y,
+         CAST(floor(o_totalprice / 50000) AS BIGINT) AS bkt
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+),
+counts AS (
+  SELECT bkt,
+         sum(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS c2
+  FROM o GROUP BY bkt
+),
+totals AS (
+  SELECT sum(c1) AS n1, sum(c2) AS n2, count(*) AS B FROM counts
+),
+terms AS (
+  SELECT CAST(floor(
+           ((c1 + 0.5) / (n1 + 0.5 * B) - (c2 + 0.5) / (n2 + 0.5 * B))
+           * ln(((c1 + 0.5) / (n1 + 0.5 * B)) / ((c2 + 0.5) / (n2 + 0.5 * B)))
+           * 1e9) AS BIGINT) AS t_e9
+  FROM counts CROSS JOIN totals
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(t_e9) AS BIGINT) AS psi_e9
+FROM terms
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -4096,5 +4241,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q111_containment_pairs": QuerySpec(
         q111_containment_pairs, _containment_oracle()
+    ),
+    "q112_stratified_split": QuerySpec(
+        q112_stratified_split, _stratified_split_oracle()
+    ),
+    "q113_interval_overlap": QuerySpec(q113_interval_overlap, ORACLE_Q113),
+    "q114_distribution_drift": QuerySpec(
+        q114_distribution_drift, ORACLE_Q114
     ),
 }

@@ -59,3 +59,39 @@ def test_kmv_estimate_accuracy(spark):
     assert row["n_exact"] == 2000
     # KMV relative error ~ 1/sqrt(k) ≈ 9%; allow 3 sigma
     assert abs(row["est_distinct"] - 2000) / 2000 < 0.27
+
+
+def test_interval_overlap_join_matches_theta(spark):
+    from foresttime_builder_spark.operators.asof import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 15, 25), (3, 100, 101), (4, 5, 6)],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, 8, 16), (11, 24, 30), (12, 40, 50)], ["rid", "rs", "re"]
+    )
+    for width in (1, 3, 7, 100):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, "ls", "le", "rs", "re", bucket_width=width
+            ).collect()
+        )
+        # theta reference: [ls, le) overlaps [rs, re)
+        want = sorted(
+            (l[0], r[0])
+            for l in [(1, 0, 10), (2, 15, 25), (3, 100, 101), (4, 5, 6)]
+            for r in [(10, 8, 16), (11, 24, 30), (12, 40, 50)]
+            if l[1] < r[2] and r[1] < l[2]
+        )
+        assert got == want, f"width={width}"
+
+
+def test_interval_overlap_validation(spark):
+    from foresttime_builder_spark.operators.asof import interval_overlap_join
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_width"):
+        interval_overlap_join(None, None, "a", "b", "c", "d", bucket_width=0)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from foresttime_builder_spark.operators.sampling import (
@@ -161,3 +163,42 @@ def test_weighted_sample_heavier_weights_win_more(spark):
     out = weighted_sample(df, "doc_id", "grp", "w", k=20).collect()
     heavy = sum(1 for r in out if r["doc_id"] < 50)
     assert heavy >= 15  # deterministic given the fixed hash construction
+
+
+def test_stratified_split_exact_counts(spark):
+    from foresttime_builder_spark.operators.sampling import (
+        stratified_split_exact,
+    )
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(97)]
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    out = stratified_split_exact(
+        df, "doc_id", "stratum",
+        splits=(("train", 7000), ("val", 2000), ("test", 1000)),
+    ).collect()
+    from collections import Counter
+
+    per = Counter((r["stratum"], r["split"]) for r in out)
+    sizes = Counter(r["stratum"] for r in out)
+    for s, n in sizes.items():
+        assert per[(s, "train")] == n * 7000 // 10000
+        assert per[(s, "val")] == n * 9000 // 10000 - n * 7000 // 10000
+        assert per[(s, "test")] == n - n * 9000 // 10000
+    # deterministic: re-run gives identical assignments
+    again = {
+        (r["doc_id"], r["split"])
+        for r in stratified_split_exact(
+            df, "doc_id", "stratum",
+            splits=(("train", 7000), ("val", 2000), ("test", 1000)),
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+
+
+def test_stratified_split_weight_validation():
+    from foresttime_builder_spark.operators.sampling import (
+        stratified_split_exact,
+    )
+
+    with pytest.raises(ValueError, match="10000"):
+        stratified_split_exact(None, "i", "s", splits=(("a", 5000),))

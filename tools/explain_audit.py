@@ -48,6 +48,7 @@ EXPECTED_BNLJ = {
     "q94_tfidf_signatures": (1, "1-row group-count crossJoin in tfidf_signature_terms"),
     "q98_numeric_histogram": (1, "1-row min/max stats crossJoin in numeric_histogram"),
     "q108_stream_outer_join": (1, "1-row watermark-cutoff crossJoin on the materialized sink"),
+    "q114_distribution_drift": (1, "1-row totals (n1/n2/B) crossJoin in the PSI terms"),
 }
 
 
