@@ -98,6 +98,11 @@ def interval_overlap_join(
         raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
 
     def buckets(df: DataFrame, s: str, e: str, cols: list) -> DataFrame:
+        # An empty interval [x, x) overlaps nothing, and an inverted one
+        # (end < start) would make sequence() emit a DESCENDING bucket
+        # list instead of erroring — both are dropped here so malformed
+        # rows can never satisfy the overlap predicate by accident.
+        df = df.filter(F.col(s) < F.col(e))
         return df.select(
             *cols,
             F.explode(

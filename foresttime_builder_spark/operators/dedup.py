@@ -111,11 +111,14 @@ def derive_candidate_budget(
     for d in conf_dirs.split(","):
         d = d.strip() or "/tmp"
         try:
+            # count each filesystem once even if several dirs share it —
+            # keyed by device id, not by (total, free), which can both
+            # collapse distinct same-sized idle disks and double-count one
+            # filesystem whose free bytes moved between the two stat calls
+            key = os.stat(d).st_dev
             usage = shutil.disk_usage(d)
         except OSError:
             continue
-        # count each filesystem once even if several dirs share it
-        key = (usage.total, usage.free)
         if key in seen:
             continue
         seen.add(key)

@@ -66,7 +66,11 @@ def bm25_scores(
     """
     query_terms = tuple(query_terms)
     _check(query_terms)
-    toks = F.split(F.col(text_col), " ")
+    # NULL text → '' (the dsir_logweights convention): without it, Spark's
+    # size(split(NULL)) = -1 leaks into the avgdl average while DuckDB's
+    # len(string_split(NULL)) = NULL is EXCLUDED from avg() — one NULL row
+    # would shift bm25_e4 for every document on the Spark side only.
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
 
     stats = df.select(toks.alias("_t")).agg(
         F.count(F.lit(1)).alias("_N"),
@@ -125,7 +129,8 @@ def bm25_scores_oracle_sql(
     ``repr``, identical left-fold order, identical idf/tf formulas."""
     query_terms = tuple(query_terms)
     _check(query_terms)
-    ts = f"string_split({text_col}, ' ')"
+    # coalesce NULL text to '' exactly like the Spark side (see bm25_scores)
+    ts = f"string_split(coalesce({text_col}, ''), ' ')"
     # per-row scalars in the inner projection; the aggregate sees only
     # plain columns (DuckDB rejects aggregates over list lambdas)
     row_flags = ", ".join(
@@ -163,7 +168,8 @@ WITH stats AS (
   SELECT count(*) AS N, avg(n) AS avgdl, {dfs}
   FROM (SELECT len({ts}) AS n, {row_flags} FROM {table})
 ), docs AS (
-  SELECT {id_col}, string_split({text_col}, ' ') AS ts FROM {table}
+  SELECT {id_col}, string_split(coalesce({text_col}, ''), ' ') AS ts
+  FROM {table}
 )
 SELECT {id_col},
        CAST(len(ts) AS BIGINT) AS n_tokens,

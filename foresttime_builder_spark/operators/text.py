@@ -634,10 +634,15 @@ def quality_gate(
     the reason string are emitted), so the cross-engine hash sees no
     rounding boundary.
     """
-    toks = F.split(F.col(text_col), " ")
+    # NULL text → '' so both engines give the NULL document one
+    # deterministic verdict: raw NULL makes Spark's size(split) = -1 fail
+    # the len rule while DuckDB's NULL predicates drop out of the fail
+    # list entirely (the junk row would PASS the oracle's gate).
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(txt, " ")
     n = F.size(toks)
-    mean_wl = (F.length(F.col(text_col)) - (n - F.lit(1))) / n
-    sym = F.size(F.regexp_extract_all(F.col(text_col), F.lit(QUALITY_SYMBOLS_PATTERN), 0))
+    mean_wl = (F.length(txt) - (n - F.lit(1))) / n
+    sym = F.size(F.regexp_extract_all(txt, F.lit(QUALITY_SYMBOLS_PATTERN), 0))
     stop_hits = F.size(
         F.array_intersect(toks, F.array(*[F.lit(s) for s in QUALITY_STOPWORDS]))
     )
@@ -675,11 +680,13 @@ def quality_gate_oracle_sql(
     min_distinct_ratio: float = 0.1,
 ) -> str:
     """DuckDB twin of :func:`quality_gate` — identical rule order and
-    constants (embedded via ``repr``)."""
-    ts = f"string_split({text_col}, ' ')"
+    constants (embedded via ``repr``); NULL text coalesced to '' exactly
+    like the Spark side."""
+    txt = f"coalesce({text_col}, '')"
+    ts = f"string_split({txt}, ' ')"
     n = f"len({ts})"
-    mean_wl = f"((length({text_col}) - ({n} - 1)) / {n})"
-    sym = f"len(regexp_extract_all({text_col}, '{QUALITY_SYMBOLS_PATTERN}'))"
+    mean_wl = f"((length({txt}) - ({n} - 1)) / {n})"
+    sym = f"len(regexp_extract_all({txt}, '{QUALITY_SYMBOLS_PATTERN}'))"
     stops = "[" + ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS) + "]"
     stop_hits = f"len(list_intersect({ts}, {stops}))"
     distinct_ratio = f"(len(list_distinct({ts})) / {n})"

@@ -3749,6 +3749,7 @@ def q106_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the same aggregate straight from the source
     table with the v1 rows' status nulled, proving the merged read is
     lossless (the q70 fidelity pattern)."""
+    import os
     import tempfile
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -3765,7 +3766,14 @@ def q106_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = o.filter(F.year("o_orderdate") == 1996).select(
         "o_orderkey", "price_e2", "o_orderstatus"
     )
-    base = tempfile.mkdtemp(prefix="q106_evo_")
+    # fixed per-sf scratch path, overwritten each run — mkdtemp() here
+    # would leak one orphan temp dir per sweep/gate invocation (cleanup
+    # after return is impossible: the result DataFrame reads these files
+    # lazily, after this function exits)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"q106_evo_scratch_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
     v1.write.mode("overwrite").parquet(f"{base}/v1")
     v2.write.mode("overwrite").parquet(f"{base}/v2")
     merged = spark.read.option("mergeSchema", "true").parquet(

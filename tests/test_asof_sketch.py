@@ -95,3 +95,34 @@ def test_interval_overlap_validation(spark):
 
     with _pytest.raises(ValueError, match="bucket_width"):
         interval_overlap_join(None, None, "a", "b", "c", "d", bucket_width=0)
+
+
+def test_interval_overlap_drops_degenerate_intervals(spark):
+    """Empty [x, x) and inverted (end < start) intervals overlap nothing —
+    previously an empty interval inside a window passed the strict-< verify
+    predicate, and an inverted one fed sequence() a descending range."""
+    from foresttime_builder_spark.operators.asof import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 10), (2, 20, 12), (3, 5, 6)], ["lid", "ls", "le"]
+    )
+    right = spark.createDataFrame(
+        [(10, 0, 100), (11, 9, 11), (12, 12, 20)], ["rid", "rs", "re"]
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=4
+        ).collect()
+    )
+    # only the well-formed left row (3) matches; rows 1 (empty) and 2
+    # (inverted) are dropped even though window 10 strictly contains them
+    assert got == [(3, 10)]
+    # and degenerate RIGHT rows are dropped symmetrically
+    got2 = sorted(
+        (r["rid"], r["lid"])
+        for r in interval_overlap_join(
+            right, left, "rs", "re", "ls", "le", bucket_width=4
+        ).collect()
+    )
+    assert got2 == [(10, 3)]

@@ -280,6 +280,25 @@ def test_quality_gate_rules_fire_individually(spark):
     assert got[2][1].split(",")[0] == "len"
 
 
+def test_quality_gate_null_text_fails_deterministically(spark):
+    """NULL text must get the same verdict as '' on both engines:
+    previously Spark saw n_tokens=-1 while the DuckDB twin's NULL
+    predicates dropped out of the fail list, PASSING the junk row."""
+    from foresttime_builder_spark.operators.text import quality_gate
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.passes, r.fail_reasons)
+        for r in quality_gate(df, "doc_id", "text").collect()
+    }
+    # identical verdicts, n_tokens = 1 (one empty token), never -1
+    assert got[1] == got[2]
+    assert got[1][0] == 1 and got[1][1] is False
+    assert "len" in got[1][2] and "stopwords" in got[1][2]
+
+
 def test_vocabulary_overlap_known_matrix(spark):
     from foresttime_builder_spark.operators.text import vocabulary_overlap
 

@@ -65,6 +65,22 @@ def test_bm25_tf_saturation_and_length_norm(spark):
     assert got[3] < got[1], "longer doc with same tf must score lower"
 
 
+def test_bm25_null_text_treated_as_empty(spark):
+    """A NULL-text row must behave exactly like '' (one empty token):
+    previously Spark's size(split(NULL)) = -1 leaked into avgdl, shifting
+    every document's score while DuckDB excluded the row — cross-engine
+    divergence from a single junk row."""
+    docs_null = DOCS + [(6, None)]
+    docs_empty = [(i, t if t is not None else "") for i, t in docs_null]
+    df = spark.createDataFrame(docs_null, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_hits, r.bm25_e4)
+        for r in bm25_scores(df, "doc_id", "text", TERMS).collect()
+    }
+    assert got == _bm25_ref(docs_empty, TERMS)
+    assert 6 not in got  # the NULL doc itself has zero hits
+
+
 def test_bm25_validates_terms(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
