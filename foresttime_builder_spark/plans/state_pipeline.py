@@ -51,19 +51,44 @@ def run_states(
 ) -> dict[str, str]:
     """Write ``annualized_midpt`` and ``annualized_mortyr`` parquet datasets
     (the reference's ``{state}_midpt.parquet`` / ``{state}_mortyr.parquet``
-    outputs, one partitioned dataset instead of one file per state)."""
-    midpt, mortyr = annualized_both(db, estimate=estimate)
-    paths = {}
-    for name, df in (("annualized_midpt", midpt), ("annualized_mortyr", mortyr)):
-        # recover STATECD from the composite plot key for partitioning
-        if partition_by == "STATECD" and "STATECD" not in df.columns:
-            df = df.withColumn(
-                "STATECD", F.split(F.col("plot_ID"), "_").getItem(0).cast("int")
-            )
-        path = os.path.join(out_dir, name)
-        writer = df.write.mode("overwrite")
-        if partition_by in df.columns:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(path)
-        paths[name] = path
-    return paths
+    outputs, one partitioned dataset instead of one file per state).
+
+    The two variants are TAGGED and UNIONED before the carbon stage, so
+    the ~40-column NSVB plan (prep_carbon + estimate_carbon, purely
+    row-wise — no windows or aggregates) is built, analyzed, codegen'd,
+    and scheduled ONCE for both, and one write job partitioned by
+    (variant, STATECD) replaces two full jobs.  Each returned path points
+    below the variant partition level, so read-back schemas are identical
+    to the former per-dataset layout.
+    """
+    tidy = fia.fia_tidy(db)
+    interp = fia.interpolate_data(fia.expand_data(tidy)).persist()
+
+    # "auto" keeps the reference's runtime downgrade for MORTYR-less
+    # states; its probe re-reads the persisted intermediate, so it is
+    # cheap here
+    tagged = [
+        fia.adjust_mortality(interp, use_mortyr=um).withColumn(
+            "variant", F.lit(name)
+        )
+        for name, um in (("annualized_midpt", False),
+                         ("annualized_mortyr", "auto"))
+    ]
+    both = tagged[0].unionByName(tagged[1])
+    if estimate:
+        both = carbon.estimate_carbon(carbon.prep_carbon(both))
+
+    # recover STATECD from the composite plot key for partitioning
+    if partition_by == "STATECD" and "STATECD" not in both.columns:
+        both = both.withColumn(
+            "STATECD", F.split(F.col("plot_ID"), "_").getItem(0).cast("int")
+        )
+    part_cols = ["variant"] + (
+        [partition_by] if partition_by in both.columns else []
+    )
+    root = os.path.join(out_dir, "annualized")
+    both.write.mode("overwrite").partitionBy(*part_cols).parquet(root)
+    return {
+        name: os.path.join(root, f"variant={name}")
+        for name in ("annualized_midpt", "annualized_mortyr")
+    }
