@@ -3,21 +3,22 @@
 After near-dup detection (token-Jaccard q16, MinHash-LSH q23, SimHash q24,
 embedding cosine q40) a training-data pipeline groups the pairs into
 CLUSTERS and keeps one canonical document per cluster.  That grouping is
-connected components, computed here by iterative minimum-label propagation:
+connected components, with two driver-controlled iterative backends behind
+one API (SURVEY classifies this as a non-SQL-expressible iterative
+algorithm; the test oracle uses fixed-depth unrolled SQL instead):
 
-- every node starts labeled with its own id;
-- each round, every node takes the minimum label among itself and its
-  neighbors (one join + one groupBy per round);
-- converged when no label changed — the label is the component's minimum
-  node id, a deterministic canonical cluster id.
+- ``algorithm="star"`` (default): alternating large-star/small-star
+  (Kiveris et al., SoCC'14) — the edge set contracts toward a union of
+  stars rooted at each component's minimum id in O(log n)-ish rounds on
+  ANY topology, the 100 TB-safe choice.  An adversarial path graph that
+  drives label propagation to O(n) rounds converges in ~log2(n) here
+  (asserted by test).  The output is certified exactly before return.
+- ``algorithm="minlabel"``: minimum-label propagation — every node takes
+  the min label of its neighborhood each round; rounds = graph DIAMETER
+  (fine for dense near-dup clusters, typically 2-4; pathological on
+  chains).  Kept as the simpler twin of the q50 oracle's unrolled layers.
 
-Rounds needed = graph diameter (near-dup clusters are dense, so typically
-2-4).  Each round is one shuffle join + one shuffle aggregate over the
-label frame; intermediates are persisted and the loop is driver-controlled
-with an explicit convergence probe — the standard Pregel-style pattern when
-an iteration count cannot be known in advance (SURVEY classifies this as a
-non-SQL-expressible iterative algorithm; the test oracle uses a recursive
-CTE instead).
+Both raise on non-convergence rather than silently returning wrong ids.
 """
 
 from __future__ import annotations
@@ -34,17 +35,56 @@ from pyspark.sql import DataFrame, Window, functions as F
 MAX_ITER_DEFAULT = 16
 
 
+#: Round bound for the alternating large-star/small-star algorithm, which
+#: converges in O(log n)-ish rounds on any graph (O(log^2 n) proven bound,
+#: Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+#: — 64 covers any graph that fits on hardware, while an adversarial
+#: 100k-node PATH needs ~10 rounds (measured in tests) where min-label
+#: propagation would need 100k.
+STAR_MAX_ITER = 64
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = MAX_ITER_DEFAULT,
+    max_iter: int | None = None,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(id, comp)`` for every node in ``edges``; ``comp`` is the smallest
-    node id in the component.  Edges are treated as undirected.
+    node id in the component.  Edges are treated as undirected.  Pass a
+    dict as ``stats`` to receive ``{"rounds": n}`` (star path only) — the
+    tests assert the O(log n) round bound through it.
 
-    Raises ``RuntimeError`` if labels have not converged after ``max_iter``
-    rounds (rather than silently returning wrong component ids)."""
+    ``algorithm="star"`` (default) runs alternating large-star/small-star
+    (Kiveris et al.) — O(log n)-round convergence on ANY topology, the
+    100 TB-safe choice (an adversarial path graph drives min-label to
+    O(n) rounds).  ``algorithm="minlabel"`` keeps the original min-label
+    propagation — O(diameter) rounds, marginally cheaper per round, fine
+    for dense near-dup clusters and the unrolled-SQL oracle twin.
+
+    Both raise ``RuntimeError`` if not converged after ``max_iter`` rounds
+    (default :data:`STAR_MAX_ITER` / :data:`MAX_ITER_DEFAULT`) rather than
+    silently returning wrong component ids; the star path additionally
+    certifies its output EXACTLY (every input edge's endpoints share a
+    label) so a checksum-based early stop can never smuggle a wrong
+    answer through."""
+    if algorithm == "star":
+        return _cc_star(
+            edges, src, dst, STAR_MAX_ITER if max_iter is None else max_iter,
+            stats=stats,
+        )
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return _cc_minlabel(
+        edges, src, dst, MAX_ITER_DEFAULT if max_iter is None else max_iter
+    )
+
+
+def _cc_minlabel(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     # persist the edge list: it feeds every propagation round, and its
     # upstream (e.g. the whole jaccard pair join) must execute once
     sym = (
@@ -93,6 +133,156 @@ def connected_components(
     return labels
 
 
+def _cc_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    One round = large-star (every node connects its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood) then small-star
+    (every node connects its smaller neighbors and itself to their
+    minimum).  The edge set monotonically contracts toward a union of
+    stars rooted at each component's minimum id; rounds needed are
+    O(log n)-ish on any topology — including the path/chain graphs that
+    drive label propagation to O(n) rounds.
+
+    Convergence is detected by an order-free edge-set checksum
+    (count + sum of xxhash64), then the labeling is certified EXACTLY:
+    every original edge must connect two nodes with the same label, and
+    every node must be labeled.  A checksum collision (~2^-64) therefore
+    degrades to a raise, never to a wrong answer — labels only ever
+    travel along edges, so equal-labels-across-every-edge proves the
+    partition is exactly the connected components.
+    """
+    # cache the edge list once (columnar, compressed — NOT localCheckpoint,
+    # whose row-format blocks measured several times larger on the sf1
+    # pair stream): it feeds the initial canonical set, the node list, AND
+    # the final certificate — without this the whole upstream pair
+    # computation (e.g. the jaccard pair join) would re-execute for each
+    raw = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .persist()
+    )
+    # canonical undirected edge set (lo < hi), self-loops dropped; this is
+    # the working set the rounds contract.  localCheckpoint each round:
+    # same iterative-lineage truncation as the min-label loop — but each
+    # round's blocks are edge-count-sized, so the PREVIOUS round's are
+    # explicitly dropped once the new round is materialized (safe: a
+    # localCheckpointed frame is never re-read after being superseded).
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        # bit_xor: order-free, overflow-free (ANSI-safe) fold; the edge
+        # set is distinct so xor self-cancellation cannot occur
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("lo", "hi")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
+    converged = sig[0] == 0
+    rounds = 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        rounds += 1
+        # LARGE-STAR: for edge (u,v), v > u, connect v to
+        # m(u) = min(neighborhood(u) ∪ {u}).  Processing each canonical
+        # edge from its smaller endpoint's perspective covers every
+        # (u, v>u) pair exactly once; m comes from u's FULL neighborhood,
+        # which needs the symmetric view.
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        e = (
+            e.join(mins, e["lo"] == mins["u"])
+            .select(F.col("m").alias("lo"), F.col("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # SMALL-STAR: group by the larger endpoint; connect it and all its
+        # smaller neighbors to their minimum.
+        gmin = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        prev = e
+        e = (
+            e.join(gmin, "hi")
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+            .union(gmin.select(F.col("m").alias("lo"), F.col("hi")))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+        prev.unpersist()
+        new_sig = _sig(e)
+        converged = new_sig == sig
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            f"rounds — far beyond the O(log n) bound; the input graph is "
+            f"pathological or the checksum never stabilized"
+        )
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    # node-count-sized; materialized so the edge caches can be released
+    # before returning (the caller's consumption re-reads only this)
+    labels = (
+        nodes.join(
+            e.select(F.col("hi").alias("id"), F.col("lo").alias("comp")),
+            on="id",
+            how="left",
+        )
+        .select("id", F.coalesce("comp", "id").alias("comp"))
+        .localCheckpoint()
+    )
+    # exact certificate: every ORIGINAL edge joins two equal labels (and
+    # both endpoints are labeled).  Labels only move along edges, so this
+    # also rules out distinct components sharing a label.
+    la = labels.select(F.col("id").alias("a"), F.col("comp").alias("_ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("comp").alias("_cb"))
+    bad = (
+        raw.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .filter(
+            F.col("_ca").isNull()
+            | F.col("_cb").isNull()
+            | (F.col("_ca") != F.col("_cb"))
+        )
+        .count()
+    )
+    raw.unpersist()
+    e.unpersist()
+    if bad:
+        raise RuntimeError(
+            f"connected_components(star) certificate failed on {bad} "
+            f"edges — convergence checksum produced an invalid labeling"
+        )
+    return labels
+
+
 def cluster_near_dups(
     df: DataFrame,
     id_col: str,
@@ -101,7 +291,8 @@ def cluster_near_dups(
     strategy: str = "auto",
     candidate_budget: int | None = None,
     on_budget: str = "error",
-    max_iter: int = MAX_ITER_DEFAULT,
+    max_iter: int | None = None,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Near-duplicate clustering end-to-end: token-Jaccard pair detection →
     connected components → ``(doc_id-named id_col, cluster_id,
@@ -131,7 +322,10 @@ def cluster_near_dups(
         candidate_budget=candidate_budget,
         on_budget=on_budget,
     )
-    comp = connected_components(pairs, src="doc_a", dst="doc_b", max_iter=max_iter)
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", max_iter=max_iter,
+        algorithm=algorithm,
+    )
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, on="comp").select(
         F.col("id").alias(id_col),
@@ -148,7 +342,8 @@ def dedup_finalize(
     strategy: str = "auto",
     candidate_budget: int | None = None,
     on_budget: str = "error",
-    max_iter: int = MAX_ITER_DEFAULT,
+    max_iter: int | None = None,
+    algorithm: str = "star",
     clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup FINALIZE — keep exactly one representative per near-dup
@@ -178,6 +373,7 @@ def dedup_finalize(
             candidate_budget=candidate_budget,
             on_budget=on_budget,
             max_iter=max_iter,
+            algorithm=algorithm,
         )
     toks = df.select(
         id_col, F.size(F.split(F.col(text_col), " ")).alias("n_tokens")

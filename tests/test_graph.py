@@ -39,6 +39,56 @@ def test_components_converges_on_cycle(spark):
     assert got == {5: 5, 6: 5, 7: 5}
 
 
+def test_components_star_vs_minlabel_differential(spark):
+    """Both backends must agree exactly on a random multi-component graph
+    with self-loops, duplicate and reversed edges."""
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    edges += [(i, i) for i in range(0, n, 37)]          # self-loops
+    edges += [(b, a) for a, b in edges[:40]]            # reversed dups
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    star = {
+        r["id"]: r["comp"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    minl = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            df, algorithm="minlabel", max_iter=256
+        ).collect()
+    }
+    assert star == minl and len(star) > 0
+
+
+def test_components_star_logarithmic_on_adversarial_chain(spark):
+    """A 100k-node PATH graph: min-label needs ~100k rounds (it raises at
+    its 16-round bound); large/small-star must converge in O(log n)
+    rounds and still label every node with the chain's minimum id."""
+    n = 100_000
+    edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    stats: dict = {}
+    labels = connected_components(
+        edges, algorithm="star", stats=stats
+    )
+    agg = labels.groupBy("comp").count().collect()
+    assert len(agg) == 1 and agg[0]["comp"] == 0 and agg[0]["count"] == n
+    # log2(100000) ~ 17; the alternating algorithm typically needs far
+    # fewer — anything <= 20 proves the O(n)-round pathology is gone
+    assert 1 <= stats["rounds"] <= 20, stats
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, algorithm="minlabel").collect()
+
+
+def test_components_rejects_unknown_algorithm(spark):
+    edges = spark.createDataFrame([(1, 2)], "src INT, dst INT")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, algorithm="bogus")
+
+
 def test_cluster_guard_error_fires_before_shuffle(spark):
     """The regime guard passes through cluster_near_dups: a tiny budget
     raises at PLAN time (before any full-corpus candidate shuffle) with
