@@ -773,41 +773,73 @@ def edit_distance_pairs(
     id_col: str,
     key_col: str,
     max_dist: int = 1,
+    max_key_len: int = 64,
 ) -> DataFrame:
-    """All pairs whose ``key_col`` strings are within edit distance 1
-    (insert / delete / substitute), via deletion-neighborhood blocking —
-    the sub-quadratic fuzzy-match join (cf. the FastSS / SymSpell family):
+    """All pairs whose ``key_col`` strings are within edit distance
+    ``max_dist`` (insert / delete / substitute), via deletion-neighborhood
+    blocking — the sub-quadratic fuzzy-match join (the FastSS / SymSpell
+    family):
 
-    every key generates itself plus its |key| single-character deletions;
-    two keys are within distance 1 **only if** their neighborhoods share a
-    variant (substitution at i: both i-deletions agree; insertion or
-    deletion: the shorter string is literally in the longer one's
-    neighborhood).  Candidates come from one equi-join on the variant,
-    exact ``levenshtein`` verifies — no all-pairs stage, and the blocking
-    is lossless so the result equals the quadratic oracle.
+    every key generates its full ≤ ``max_dist``-deletion neighborhood
+    (itself, its |key| single-character deletions, and for ``max_dist=2``
+    every double deletion — built by EXPLODING the 1-deletion step twice,
+    so the deeper neighborhood composes from the shallow one instead of a
+    nested-lambda HOF); two keys are within distance d **only if** their
+    depth-d neighborhoods intersect (FastSS theorem).  Candidates come
+    from one equi-join on the variant, a cheap length-difference cut
+    prunes, exact ``levenshtein`` verifies — no all-pairs stage, and the
+    blocking is lossless so the result equals the quadratic oracle.
 
-    ``max_dist`` is fixed at 1: deeper neighborhoods grow
-    combinatorially and the right scale tool past distance 1 is q16/q23's
-    set-similarity machinery.
+    ``max_dist`` ≤ 2: the neighborhood is O(|key|^d) variants per row
+    (~L²/2 at d=2), so d=2 is practical for the short keys fuzzy joins
+    actually use (names, titles, SKUs) and is guarded by ``max_key_len``
+    (a 1-scan plan-time probe raises with the offending length rather
+    than silently exploding a 10 kB key into 50M variants).  Past d=2
+    the right scale tool is q16/q23's set-similarity machinery.
     """
-    if max_dist != 1:
-        raise NotImplementedError("deletion-neighborhood blocking is built for max_dist=1")
+    if max_dist not in (1, 2):
+        raise NotImplementedError(
+            "deletion-neighborhood blocking supports max_dist in (1, 2); "
+            "use token/shingle set similarity (q16/q23) for looser matches"
+        )
     key = F.col(key_col)
-    variants = F.array_union(
-        F.array(key),
-        F.transform(
-            F.sequence(F.lit(1), F.length(key)),
-            lambda i: F.concat(
-                F.substring(key, 1, i - 1),
-                key.substr(i + 1, F.length(key)),
-            ),
-        ),
-    )
+
+    def _del1(col):
+        # the string plus all its single-character deletions
+        return F.array_union(
+            F.array(col),
+            F.when(
+                F.length(col) > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(col)),
+                    lambda i: F.concat(
+                        F.substring(col, 1, i - 1),
+                        col.substr(i + 1, F.length(col)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+
+    if max_dist == 2:
+        probe = df.agg(F.max(F.length(key)).alias("m")).collect()[0]["m"]
+        if probe is not None and probe > max_key_len:
+            raise ValueError(
+                f"max_dist=2 with keys up to {probe} chars would explode "
+                f"~{probe * probe // 2} variants/row; raise max_key_len "
+                f"above {probe} to accept, or use set-similarity (q16/q23)"
+            )
+
     v = df.select(
         F.col(id_col).alias("vid"),
         key.alias("vkey"),
-        F.explode(variants).alias("variant"),
+        F.explode(_del1(key)).alias("variant"),
     )
+    if max_dist == 2:
+        v = v.select(
+            "vid",
+            "vkey",
+            F.explode(_del1(F.col("variant"))).alias("variant"),
+        ).distinct()
     b = v.select(
         F.col("vid").alias("vid_b"),
         F.col("vkey").alias("vkey_b"),
@@ -824,9 +856,13 @@ def edit_distance_pairs(
         )
         .distinct()
     )
-    return cands.filter(
-        F.levenshtein(F.col("key_a"), F.col("key_b")) <= max_dist
-    ).select("id_a", "id_b", F.levenshtein("key_a", "key_b").alias("dist"))
+    return (
+        cands.filter(
+            F.abs(F.length("key_a") - F.length("key_b")) <= max_dist
+        )
+        .filter(F.levenshtein(F.col("key_a"), F.col("key_b")) <= max_dist)
+        .select("id_a", "id_b", F.levenshtein("key_a", "key_b").alias("dist"))
+    )
 
 
 def incremental_dedup(

@@ -25,7 +25,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["numeric_histogram", "numeric_histogram_oracle_sql"]
+__all__ = [
+    "numeric_histogram",
+    "numeric_histogram_oracle_sql",
+    "equidepth_histogram",
+    "equidepth_histogram_oracle_sql",
+    "equidepth_histogram_sampled",
+    "equidepth_histogram_sampled_oracle_sql",
+]
 
 
 def _check(n_buckets: int, scale: int) -> None:
@@ -157,6 +164,103 @@ WITH base AS (
 SELECT CAST(bucket AS INTEGER) AS bucket,
        min(v) AS lo, max(v) AS hi,
        CAST(count(*) AS BIGINT) AS n_rows
+FROM (SELECT v, ntile({n_buckets}) OVER (ORDER BY v, id) AS bucket FROM base)
+GROUP BY bucket
+"""
+
+
+def equidepth_histogram_sampled(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 20,
+    scale: int = 100,
+    fraction: float = 0.1,
+    salt: str = "edh",
+) -> DataFrame:
+    """Equi-depth histogram over a DETERMINISTIC hash sample — the 100 TB
+    variant :func:`equidepth_histogram`'s docstring promises: the exact
+    form's ntile is a global sort of every row; this sorts only the
+    ``fraction`` of rows whose md5-derived ``hash60(salt:id)`` falls below
+    the threshold (content-independent, identical in both engines, stable
+    under appends/repartitioning — the `split_assign` convention).
+
+    Returns ``(bucket, lo, hi, n_sample, n_est)``: per-bucket scaled
+    bounds observed IN THE SAMPLE, the sample count, and
+    ``n_est = floor(n_sample / fraction + 0.5)`` — the unbiased total
+    estimate.  Error bound (standard sampling-quantile analysis): with
+    ``m`` sampled rows total, each bucket boundary's RANK error is
+    O(sqrt(m)) with high probability, i.e. the relative depth error per
+    bucket is ~``n_buckets / sqrt(m)``; pick ``fraction`` so
+    ``m >= (n_buckets / eps)^2`` for eps relative error.  NULL ids hash
+    like the string 'NULL'-less empty digest (md5 of NULL is NULL →
+    excluded) — NULL-id rows are dropped on BOTH engine sides.
+    """
+    _check(n_buckets, scale)
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    from pyspark.sql import Window as _W
+
+    from foresttime_builder_spark.operators.dedup import hash60
+
+    cut = int(fraction * float((1 << 60) - 1))
+    h = hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    base = (
+        df.select(v.alias("_v"), F.col(id_col).alias("_id"), h.alias("_h"))
+        .filter(F.col("_v").isNotNull() & (F.col("_h") <= cut))
+    )
+    w = _W.orderBy("_v", "_id")
+    return (
+        base.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+        )
+        .select(
+            F.col("bucket").cast("int"),
+            "lo",
+            "hi",
+            "n_sample",
+            F.floor(F.col("n_sample") / fraction + 0.5)
+            .cast("long")
+            .alias("n_est"),
+        )
+    )
+
+
+def equidepth_histogram_sampled_oracle_sql(
+    value_col: str,
+    id_col: str,
+    table: str,
+    n_buckets: int = 20,
+    scale: int = 100,
+    fraction: float = 0.1,
+    salt: str = "edh",
+) -> str:
+    """DuckDB twin of :func:`equidepth_histogram_sampled` — identical md5
+    hash threshold, ntile order, and estimate arithmetic (fraction
+    embedded via ``repr`` so the divisor double is bit-identical)."""
+    _check(n_buckets, scale)
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    cut = int(fraction * float((1 << 60) - 1))
+    h = (
+        f"CAST(concat('0x', substr(md5('{salt}:' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(floor({value_col} * {scale}) AS BIGINT) AS v, {id_col} AS id
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {h} <= {cut}
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       min(v) AS lo, max(v) AS hi,
+       CAST(count(*) AS BIGINT) AS n_sample,
+       CAST(floor(count(*) / {fraction!r} + 0.5) AS BIGINT) AS n_est
 FROM (SELECT v, ntile({n_buckets}) OVER (ORDER BY v, id) AS bucket FROM base)
 GROUP BY bucket
 """

@@ -4087,6 +4087,62 @@ FROM terms
 """
 
 
+def q115_equidepth_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled equi-depth histogram
+    (`operators/profile.equidepth_histogram_sampled`): ntile over a
+    deterministic md5-hash 20% sample of (o_totalprice, o_orderkey) — the
+    100 TB variant of q107 that sorts only the sample instead of every
+    row; per-bucket depth error ~ n_buckets/sqrt(m)."""
+    from foresttime_builder_spark.operators.profile import (
+        equidepth_histogram_sampled,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram_sampled(
+        o, "o_totalprice", "o_orderkey", n_buckets=12, scale=100,
+        fraction=0.2,
+    )
+
+
+def _equidepth_sampled_oracle() -> str:
+    from foresttime_builder_spark.operators.profile import (
+        equidepth_histogram_sampled_oracle_sql,
+    )
+
+    return equidepth_histogram_sampled_oracle_sql(
+        "o_totalprice", "o_orderkey", "orders", n_buckets=12, scale=100,
+        fraction=0.2,
+    )
+
+
+def q116_fuzzy_join_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-match at edit distance <= 2 — q71's deeper variant via
+    COMPOSED deletion neighborhoods (explode the 1-deletion step twice;
+    FastSS: depth-2 neighborhoods intersect iff distance <= 2), with the
+    max_key_len probe guarding the O(L^2) explode.  Oracle = quadratic
+    levenshtein cross join."""
+    from foresttime_builder_spark.operators.dedup import edit_distance_pairs
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.substring("text", 1, 12).alias("title"))
+    )
+    return edit_distance_pairs(d, "doc_id", "title", max_dist=2)
+
+
+ORACLE_Q116 = """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 12) AS title
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.title, b.title) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -4257,4 +4313,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q114_distribution_drift": QuerySpec(
         q114_distribution_drift, ORACLE_Q114
     ),
+    "q115_equidepth_sampled": QuerySpec(
+        q115_equidepth_sampled, _equidepth_sampled_oracle()
+    ),
+    "q116_fuzzy_join_d2": QuerySpec(q116_fuzzy_join_d2, ORACLE_Q116),
 }

@@ -96,6 +96,72 @@ def test_edit_distance_pairs_blocking_is_lossless(spark):
     assert got == expected
 
 
+def test_edit_distance_pairs_d2_matches_brute_force(spark):
+    """max_dist=2 composed deletion neighborhoods vs the quadratic model
+    over a randomized corpus of near-miss strings (substitutions,
+    transpositions, double edits, empties)."""
+    import itertools
+    import random
+
+    from foresttime_builder_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    rng = random.Random(11)
+    base = ["spark", "sparkle", "query", "hadoop", "a", ""]
+    rows = []
+    for i in range(120):
+        s = list(rng.choice(base))
+        for _ in range(rng.randrange(3)):  # 0-2 random edits
+            op = rng.randrange(3)
+            pos = rng.randrange(len(s) + 1) if s else 0
+            if op == 0 and s:
+                s.pop(min(pos, len(s) - 1))
+            elif op == 1:
+                s.insert(pos, rng.choice("abksz"))
+            elif s:
+                s[min(pos, len(s) - 1)] = rng.choice("abksz")
+        rows.append((i, "".join(s)))
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "doc_id", "title", max_dist=2).collect()
+    }
+    brute = {
+        (a, b): lev(ta, tb)
+        for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+        if lev(ta, tb) <= 2
+    }
+    assert got == brute and len(brute) > 50
+
+
+def test_edit_distance_pairs_d2_key_length_guard(spark):
+    import pytest as _pytest
+
+    from foresttime_builder_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 100)], "doc_id long, title string"
+    )
+    with _pytest.raises(ValueError, match="max_key_len"):
+        edit_distance_pairs(df, "doc_id", "title", max_dist=2)
+    # and raising the cap accepts
+    out = edit_distance_pairs(
+        df, "doc_id", "title", max_dist=2, max_key_len=128
+    )
+    assert out.count() == 0  # xxx... vs yyy... is distance 100
+
+    with _pytest.raises(NotImplementedError, match="max_dist"):
+        edit_distance_pairs(df, "doc_id", "title", max_dist=3)
+
+
 def test_temperature_quotas_upweight_small_sources(spark):
     from foresttime_builder_spark.operators.sampling import temperature_quotas
 

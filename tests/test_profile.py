@@ -63,3 +63,51 @@ def test_equidepth_histogram_contract(spark):
         (4, 9, 9, 3),
     ]
     assert sum(n for *_, n in out) == 12
+
+
+def test_equidepth_sampled_estimates_and_determinism(spark):
+    from foresttime_builder_spark.operators.profile import (
+        equidepth_histogram_sampled,
+    )
+
+    n = 20_000
+    df = spark.range(n).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    out = equidepth_histogram_sampled(
+        df, "v", "k", n_buckets=4, scale=1, fraction=0.25
+    )
+    rows = sorted(
+        (r["bucket"], r["lo"], r["hi"], r["n_sample"], r["n_est"])
+        for r in out.collect()
+    )
+    assert [b for b, *_ in rows] == [1, 2, 3, 4]
+    m = sum(s for *_, s, _ in rows)
+    # ~25% sample, md5-uniform: within 5 sigma of n/4
+    assert abs(m - n / 4) < 5 * (n * 0.25 * 0.75) ** 0.5
+    # per-bucket depth estimates recover ~n/4 each within ~12%
+    for _, lo, hi, s, est in rows:
+        assert abs(est - n / 4) / (n / 4) < 0.12
+        assert 0 <= lo <= hi < n
+    # uniform values: bucket boundaries near the true quartiles
+    for i, (_, lo, hi, *_r) in enumerate(rows):
+        assert abs(lo - i * n / 4) < n * 0.03
+    # deterministic: identical on re-run
+    rows2 = sorted(
+        (r["bucket"], r["lo"], r["hi"], r["n_sample"], r["n_est"])
+        for r in equidepth_histogram_sampled(
+            df, "v", "k", n_buckets=4, scale=1, fraction=0.25
+        ).collect()
+    )
+    assert rows == rows2
+
+
+def test_equidepth_sampled_validates_fraction(spark):
+    import pytest as _pytest
+
+    from foresttime_builder_spark.operators.profile import (
+        equidepth_histogram_sampled,
+    )
+
+    df = spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="fraction"):
+            equidepth_histogram_sampled(df, "v", "k", fraction=bad)

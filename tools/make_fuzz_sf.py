@@ -1,0 +1,117 @@
+"""Deterministic NULL / tie / overflow fuzz variant of a testdata SF dir.
+
+The synthetic gate tables contain no NULLs, no duplicate timestamps, and no
+near-overflow magnitudes — a blind spot the round-9 reviews exploited by
+hand 16 times (IVM null rows, SCD2 tiebreaks, int64 overflow at ~3e9
+events, NULL-text avgdl shifts, ...).  This tool makes that coverage
+structural: it rewrites every table of a source SF dir with type-aware,
+hash-deterministic mutations, so `tools/check_correctness.py --sf <out>`
+runs the ENTIRE registry against adversarial data with both engines seeing
+identical bytes.
+
+Mutation classes (selection hash = duckdb hash(all original row values,
+column name) so re-runs are bit-identical and equal rows mutate equally):
+
+- every column: ~5% NULL (including join/group keys — both engines must
+  agree on NULL-key join/group semantics);
+- VARCHAR: +2% empty string, +1% multi-space whitespace soup;
+- DOUBLE: +2% tie value (1.5), +1% large magnitude 1e8 (an e4-scaled
+  product of two of these overflows int64 — the q104 class);
+- BIGINT/INTEGER non-key: +2% tie (42 / 7), +1% large (1e12 / 2e9);
+- TIMESTAMP: +15% truncated to the hour (duplicate-timestamp ties for
+  windows/SCD2/as-of tie-breaks);
+- FLOAT[]: ~3% NULL vector.
+
+Key-ish columns (``*key``, ``*_id``) get NULL + tie but NOT the large
+magnitudes (overflowing a join key only makes a new distinct value —
+noise, not signal).
+
+Usage: python tools/make_fuzz_sf.py [--src /root/testdata/sf0.01]
+                                    [--out .localdata/sf0.01_fuzz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _is_keyish(col: str) -> bool:
+    return col.endswith("key") or col.endswith("_id")
+
+
+def mutated_expr(col: str, typ: str, allcols: list[str]) -> str:
+    """CASE expression applying this column's mutation ladder."""
+    h = f"hash({', '.join(allcols)}, '{col}')"
+    b = f"({h} % 1000)"
+    t = typ.upper()
+    arms = [f"WHEN {b} < 50 THEN NULL"]
+    if t == "VARCHAR":
+        arms += [
+            f"WHEN {b} < 70 THEN ''",
+            f"WHEN {b} < 80 THEN ' a  b   c '",
+        ]
+    elif t == "DOUBLE":
+        arms += [f"WHEN {b} < 70 THEN 1.5"]
+        if not _is_keyish(col):
+            arms += [f"WHEN {b} < 80 THEN 1e8"]
+    elif t == "BIGINT":
+        arms += [f"WHEN {b} < 70 THEN 42"]
+        if not _is_keyish(col):
+            arms += [f"WHEN {b} < 80 THEN 1000000000000"]
+    elif t == "INTEGER":
+        arms += [f"WHEN {b} < 70 THEN 7"]
+        if not _is_keyish(col):
+            arms += [f"WHEN {b} < 80 THEN 2000000000"]
+    elif t == "TIMESTAMP":
+        arms += [f"WHEN {b} < 200 THEN date_trunc('hour', {col})"]
+    elif t.endswith("[]"):
+        pass  # arrays: NULL only
+    return (
+        f"CAST(CASE {' '.join(arms)} ELSE {col} END AS {typ}) AS {col}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".localdata",
+            "sf0.01_fuzz",
+        ),
+    )
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(args.src, f"{t}.parquet")
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM '{src}'"
+        ).fetchall()
+        names = [c[0] for c in cols]
+        sel = ",\n  ".join(
+            mutated_expr(name, typ, names) for name, typ, *_ in cols
+        )
+        dst = os.path.join(args.out, f"{t}.parquet")
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{src}') TO '{dst}' (FORMAT parquet)"
+        )
+        n, nulls = con.execute(
+            f"SELECT count(*), sum(CASE WHEN {names[0]} IS NULL THEN 1 ELSE 0 END)"
+            f" FROM '{dst}'"
+        ).fetchone()
+        print(f"{t}: {n} rows, {nulls} NULL {names[0]}")
+
+
+if __name__ == "__main__":
+    main()
