@@ -302,7 +302,7 @@ def lsh_topk(
 
 
 def _plane_sql(b: int, j: int) -> str:
-    h = f"CAST(concat('0x', substr(md5('{b}_{j}'), 1, 15)) AS BIGINT)"
+    h = f"CAST(('0x' || substr(md5('{b}_{j}'), 1, 15)) AS BIGINT)"
     return f"(({h} % 2001) - 1000) / 1000.0"
 
 
@@ -638,7 +638,7 @@ def ivf_topk_oracle_sql(
             else f"kq AS (SELECT {k_clusters} AS kk)"
         ),
         f"""cent0 AS (
-  SELECT CAST(CAST(concat('0x', substr(md5(md5(CAST(vid AS VARCHAR))), 1, 15))
+  SELECT CAST(CAST(('0x' || substr(md5(md5(CAST(vid AS VARCHAR))), 1, 15))
                    AS BIGINT) % (SELECT kk FROM kq) AS INT) AS cid,
          arg_min(vec, concat(md5(CAST(vid AS VARCHAR)),
                              lpad(CAST(vid AS VARCHAR), 20, '0'))) AS cvec
@@ -853,7 +853,7 @@ def random_projection_oracle_sql(
     if out_dims < 1:
         raise ValueError(f"out_dims must be >= 1, got {out_dims}")
     sign = (
-        "CASE WHEN CAST(concat('0x', substr(md5("
+        "CASE WHEN CAST(('0x' || substr(md5("
         f"'{salt}|' || (i - 1) || '|' || j), 1, 15)) AS BIGINT) % 2 = 0 "
         "THEN 1 ELSE -1 END"
     )

@@ -33,7 +33,7 @@ from foresttime_builder_spark.operators.cache import release_on_gc as _release_o
 def hash60(col: Column | str) -> Column:
     """First 15 hex digits of md5 as a non-negative 60-bit bigint.
 
-    DuckDB twin: ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``.
+    DuckDB twin: ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

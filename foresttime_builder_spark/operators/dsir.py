@@ -167,7 +167,7 @@ def dsir_logweights_oracle_sql(
     boolean over ``table``'s columns."""
     _check(n_buckets, add_k)
     kb = repr(float(add_k) * n_buckets)
-    h = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+    h = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
     h_uni = h.format(x="concat('u|', w)") + f" % {n_buckets}"
     h_bi = h.format(x="concat('b|', w1, ' ', w2)") + f" % {n_buckets}"
     return f"""

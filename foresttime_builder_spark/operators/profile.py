@@ -248,7 +248,7 @@ def equidepth_histogram_sampled_oracle_sql(
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     cut = int(fraction * float((1 << 60) - 1))
     h = (
-        f"CAST(concat('0x', substr(md5('{salt}:' || "
+        f"CAST(('0x' || substr(md5('{salt}:' || "
         f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
     )
     return f"""

@@ -52,6 +52,13 @@ def quota_sample(
     unfiltered sample for every source.  ``None`` (default) ranks every
     row — right when no source is much larger than its quota.
     """
+    # NULL-id rows are excluded (here and in every rank-based sampler
+    # below, identically in the oracle twins): deterministic sampling is
+    # keyed on the id, and a row without identity has no reproducible
+    # hash/rank — NULL md5 even ERRORS inside DuckDB's '0x' cast.  Ids
+    # must also be unique per the documented precondition (duplicate ids
+    # tie the (hash, id) order and make peer ranks engine-arbitrary).
+    df = df.filter(F.col(id_col).isNotNull())
     h = hash60(F.col(id_col).cast("string"))
     rank = F.row_number().over(
         W.partitionBy(mix_col).orderBy(h.asc(), F.col(id_col).asc())
@@ -136,7 +143,16 @@ def split_assign(
     total = sum(w for _, w in splits)
     if total != 10_000:
         raise ValueError(f"split weights must sum to 10000 bp, got {total}")
-    bucket = hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 10_000
+    # NULL ids hash via a sentinel (all NULL-id rows land in one
+    # deterministic split) — pure per-row assignment needs no rank, so
+    # unlike the samplers above NULL ids stay IN; the sentinel also keeps
+    # DuckDB's md5(NULL) from collapsing to the uncastable '0x'
+    bucket = hash60(
+        F.concat(
+            F.lit(salt + ":"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("<NULL>")),
+        )
+    ) % 10_000
     expr = None
     cum = 0
     for name, w in splits[:-1]:
@@ -159,8 +175,9 @@ def split_assign_oracle_sql(
 ) -> str:
     """DuckDB CASE expression computing the identical ``split`` column."""
     bucket = (
-        f"CAST(concat('0x', substr(md5('{salt}:' || "
-        f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
+        f"CAST(('0x' || substr(md5('{salt}:' || "
+        f"coalesce(CAST({id_col} AS VARCHAR), '<NULL>')), 1, 15)) "
+        f"AS BIGINT) % 10000"
     )
     parts, cum = [], 0
     for name, w in splits[:-1]:
@@ -194,6 +211,7 @@ def upsample_to_quota(
     source is both giant and downsampled) plus an explode bounded by
     ``ceil(q/n)`` copies per row — output-size-bound, never more.
     """
+    df = df.filter(F.col(id_col).isNotNull())  # see quota_sample
     h = hash60(F.col(id_col).cast("string"))
     rank = F.row_number().over(
         W.partitionBy(mix_col).orderBy(h.asc(), F.col(id_col).asc())
@@ -221,7 +239,7 @@ def upsample_to_quota_oracle_sql(
     """DuckDB twin of :func:`upsample_to_quota` (``quotas_sql`` is a
     subquery yielding (mix_col, quota))."""
     hash_sql = (
-        f"CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
     )
     return f"""
 WITH ranked AS (
@@ -231,6 +249,7 @@ WITH ranked AS (
          ) AS sample_rank,
          count(*) OVER (PARTITION BY {mix_col}) AS n_docs
   FROM {table} t
+  WHERE {id_col} IS NOT NULL
 ), withq AS (
   SELECT r.*, q.{quota_col}
   FROM ranked r JOIN ({quotas_sql}) q USING ({mix_col})
@@ -385,7 +404,11 @@ def weighted_sample(
     key = F.log(u) / F.col(weight_col)
     w = W.partitionBy(group_col).orderBy(F.desc("_es_key"), F.asc(id_col))
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(
+            F.col(id_col).isNotNull()  # see quota_sample
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
         .withColumn("_es_key", key)
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
@@ -406,7 +429,7 @@ def weighted_sample_oracle_sql(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     h = (
-        f"CAST(concat('0x', substr(md5('{salt}:' || "
+        f"CAST(('0x' || substr(md5('{salt}:' || "
         f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
     )
     u = (
@@ -423,7 +446,8 @@ FROM (
            ORDER BY ln({u}) / {weight_col} DESC, {id_col}
          ) AS sample_rank
   FROM {table}
-  WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+  WHERE {id_col} IS NOT NULL
+    AND {weight_col} IS NOT NULL AND {weight_col} > 0
 )
 WHERE sample_rank <= {k}
 """
@@ -456,6 +480,7 @@ def stratified_split_exact(
     total = sum(w for _, w in splits)
     if total != 10_000:
         raise ValueError(f"split weights must sum to 10000 bp, got {total}")
+    df = df.filter(F.col(id_col).isNotNull())  # see quota_sample
     h = hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     w = W.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
     n = W.partitionBy(stratum_col)
@@ -495,7 +520,7 @@ def stratified_split_exact_oracle_sql(
     if total != 10_000:
         raise ValueError(f"split weights must sum to 10000 bp, got {total}")
     h = (
-        f"CAST(concat('0x', substr(md5('{salt}:' || "
+        f"CAST(('0x' || substr(md5('{salt}:' || "
         f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
     )
     case = "CASE "
@@ -513,5 +538,6 @@ FROM (
          ) AS rk,
          count(*) OVER (PARTITION BY {stratum_col}) AS n
   FROM {table}
+  WHERE {id_col} IS NOT NULL
 )
 """

@@ -142,7 +142,7 @@ WITH base AS (
            AS pos,
          unnest(list_transform(
            generate_series(1, len(string_split({text_col}, ' ')) - {n - 1}),
-           i -> CAST(concat('0x', substr(md5(
+           i -> CAST(('0x' || substr(md5(
                   array_to_string(string_split({text_col}, ' ')[i:i+{n - 1}], ' ')
                 ), 1, 15)) AS BIGINT))) AS h
   FROM {table}

@@ -166,7 +166,7 @@ def winnow_fingerprint_oracle_sql(
     id_col: str, text_col: str, table: str, k: int = 8, w: int = 4
 ) -> str:
     h = (
-        "CAST(concat('0x', substr(md5(substr({t}, CAST(p AS INT), "
+        "CAST(('0x' || substr(md5(substr({t}, CAST(p AS INT), "
         f"{k})), 1, 15)) AS BIGINT)"
     ).format(t=text_col)
     return f"""

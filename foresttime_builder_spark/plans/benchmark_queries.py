@@ -46,7 +46,7 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-_HASH60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+_HASH60_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
 # --------------------------------------------------------------------------
@@ -1282,7 +1282,7 @@ SELECT doc_id, length(text) AS byte_len,
 FROM documents
 """.format(
     feats=", ".join(
-        "CAST(floor(CAST(concat('0x', substr(md5(text), 1 + 2 * %d, 2)) AS BIGINT)"
+        "CAST(floor(CAST(('0x' || substr(md5(text), 1 + 2 * %d, 2)) AS BIGINT)"
         " / 255.0 * 1000000 + 0.5) AS BIGINT) AS f%d_e6" % (j, j)
         for j in range(8)
     )
@@ -1401,7 +1401,7 @@ def q57_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "source",
-            (5 + F.substring("source", 4, 10).cast("long") % 7).alias("quota"),
+            (5 + F.substring("source", 4, 10).try_cast("long") % 7).alias("quota"),
         )
     )
     out = quota_sample(d.select("doc_id", "source"), quotas)
@@ -1413,12 +1413,13 @@ WITH ranked AS (
   SELECT doc_id, source,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                          AS BIGINT) ASC, doc_id ASC
          ) AS sample_rank
   FROM documents
+  WHERE doc_id IS NOT NULL
 ), quotas AS (
-  SELECT source, 5 + CAST(substr(source, 4) AS BIGINT) % 7 AS quota
+  SELECT source, 5 + TRY_CAST(substr(source, 4) AS BIGINT) % 7 AS quota
   FROM (SELECT DISTINCT source FROM documents) s
 )
 SELECT r.doc_id, r.source, CAST(r.sample_rank AS INT) AS sample_rank, q.quota
@@ -2240,7 +2241,7 @@ def q66_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q66 = """
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+       bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
          AS content_sig
 FROM documents GROUP BY lang
 """
@@ -2438,7 +2439,7 @@ def q70_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q70 = """
 SELECT source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+       bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
          AS content_sig
 FROM documents WHERE lang = 'en' GROUP BY source
 """
@@ -2583,10 +2584,11 @@ WITH c AS (
   SELECT doc_id, source,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                          AS BIGINT) ASC, doc_id ASC
          ) AS sample_rank
   FROM documents
+  WHERE doc_id IS NOT NULL
 )
 SELECT q.source, q.n_docs, q.weight, q.quota,
        count(*) AS n_drawn,
@@ -2903,7 +2905,7 @@ def q83_quota_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "source",
-            (5 + F.substring("source", 4, 10).cast("long") % 7).alias("quota"),
+            (5 + F.substring("source", 4, 10).try_cast("long") % 7).alias("quota"),
         )
     )
     out = quota_sample(
@@ -2927,7 +2929,7 @@ def q84_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "source",
-            (10 + (F.substring("source", 4, 10).cast("long") % 5) * 20).alias(
+            (10 + (F.substring("source", 4, 10).try_cast("long") % 5) * 20).alias(
                 "quota"
             ),
         )
@@ -2942,7 +2944,7 @@ def _epoch_upsample_oracle() -> str:
     )
 
     quotas_sql = (
-        "SELECT source, 10 + CAST(substr(source, 4) AS BIGINT) % 5 * 20 AS quota "
+        "SELECT source, 10 + TRY_CAST(substr(source, 4) AS BIGINT) % 5 * 20 AS quota "
         "FROM (SELECT DISTINCT source FROM documents) s"
     )
     return upsample_to_quota_oracle_sql(

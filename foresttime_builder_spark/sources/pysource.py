@@ -83,7 +83,7 @@ def register_synthetic_source(spark) -> None:
 def synthetic_docs_oracle_sql(n_rows: int) -> str:
     """DuckDB twin: the identical md5-derived rows from generate_series."""
     h = (
-        "CAST(concat('0x', substr(md5('syn:' || CAST(i AS VARCHAR)), 1, 15)) "
+        "CAST(('0x' || substr(md5('syn:' || CAST(i AS VARCHAR)), 1, 15)) "
         "AS BIGINT)"
     )
     langs = ", ".join(f"'{l}'" for l in _LANGS)

@@ -62,13 +62,22 @@ def mutated_expr(col: str, typ: str, allcols: list[str]) -> str:
         if not _is_keyish(col):
             arms += [f"WHEN {b} < 80 THEN 1e8"]
     elif t == "BIGINT":
-        arms += [f"WHEN {b} < 70 THEN 42"]
+        # no tie arm for key-ish columns: id-keyed deterministic ops
+        # (sampling/splits/upserts) have a DOCUMENTED unique-non-NULL-id
+        # precondition; duplicate primary ids test outside every
+        # contract, while NULL ids (above) must still be handled
+        # identically by both engines
         if not _is_keyish(col):
-            arms += [f"WHEN {b} < 80 THEN 1000000000000"]
+            arms += [
+                f"WHEN {b} < 70 THEN 42",
+                f"WHEN {b} < 80 THEN 1000000000000",
+            ]
     elif t == "INTEGER":
-        arms += [f"WHEN {b} < 70 THEN 7"]
         if not _is_keyish(col):
-            arms += [f"WHEN {b} < 80 THEN 2000000000"]
+            arms += [
+                f"WHEN {b} < 70 THEN 7",
+                f"WHEN {b} < 80 THEN 2000000000",
+            ]
     elif t == "TIMESTAMP":
         arms += [f"WHEN {b} < 200 THEN date_trunc('hour', {col})"]
     elif t.endswith("[]"):
