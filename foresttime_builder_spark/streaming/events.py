@@ -151,9 +151,26 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Exactly-once event dedup by event_id within the watermark horizon
-    (``dropDuplicates`` keeps state per key until the watermark passes)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Exactly-once event dedup by event_id within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark``, NOT plain ``dropDuplicates``:
+    with the event-time column absent from the dedup keys, plain
+    ``dropDuplicates`` keeps one state row per event_id FOREVER — at
+    100 TB/day the state store grows with the full keyspace and the job
+    eventually drowns in state checkpointing.  The WithinWatermark
+    variant evicts a key's state once the watermark passes its event
+    time, so steady-state size is (keys arriving per watermark horizon),
+    independent of stream lifetime — the bound
+    ``tests/test_streaming.py::test_dedup_stream_state_is_bounded``
+    asserts across a replay many horizons long.  Contract difference: a
+    duplicate arriving MORE than ``watermark`` after its first delivery
+    is re-emitted — at-least-once sources redeliver within seconds to
+    minutes, so size the watermark to the source's redelivery horizon,
+    not to zero.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def purchase_attribution(

@@ -432,3 +432,63 @@ def test_outer_join_stream_equals_batch_below_watermark(spark, events_batch):
     assert got == want
     # the contract is only meaningful if NULL-click rows actually occur
     assert any(t[2] is None for t in want)
+
+
+def test_dedup_stream_state_is_bounded(spark, tmp_path):
+    """Replay a stream spanning ~20 watermark horizons of UNIQUE keys in
+    chronological micro-batches: dropDuplicatesWithinWatermark must evict
+    keys the watermark has passed, so peak state stays near one horizon's
+    keyspace instead of growing to all 4000 keys (the unbounded-state
+    failure mode of plain dropDuplicates without the event-time key)."""
+    import time as _time
+
+    from foresttime_builder_spark.streaming.events import dedup_stream
+
+    # 20 files of 200 events each, one file per 2-hour horizon, unique ids
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for day in range(20):
+        batch = spark.range(200).selectExpr(
+            f"id + {200 * day} AS event_id",
+            "CAST(timestamp'2024-01-01 00:00:00' AS TIMESTAMP)"
+            f" + make_interval(0, 0, 0, 0, {2 * day}, 0, id / 200.0) AS ts",
+            "id % 7 AS user_id",
+            "'click' AS event_type",
+            "CAST(id AS DOUBLE) AS value",
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{day:03d}")
+        )
+        _time.sleep(0.02)  # ascending mtimes -> chronological file order
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = dedup_stream(stream, watermark="2 hours")
+    name = "dedup_state_bound"
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    peaks = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    # all 4000 unique events pass through exactly once
+    assert spark.table(name).count() == 4000
+    # peak state is ~2 horizons of keys (current batch + not-yet-evicted
+    # previous), FAR below the full 4000-key keyspace plain dropDuplicates
+    # would retain
+    assert max(peaks) <= 1200, peaks
+    assert min(peaks[2:]) > 0
