@@ -137,6 +137,18 @@ def build_rows() -> dict[str, tuple[list[str], list[dict]]]:
         (2012, {"STATUSCD": 0, "RECONCILECD": 5, "DIA": None, "HT": None,
                 "CR": None}),
     ])
+    # 13-16: the full RECONCILECD branch matrix for the non-sampled mask
+    # (R/adjust_mortality.R:121 — STATUSCD 0 nulls measurements ONLY for
+    # RECONCILECD 5/6/9; other codes and NULL keep them, R %in% NA = FALSE).
+    # Trees stay alive then leave the sample, with real values at the 0
+    # survey so keep-vs-null is observable per code.
+    for tree, rec in ((13, 6), (14, 9), (15, 3), (16, None)):
+        trees += _tree_rows(2, tree, [
+            (2002, {"DIA": 6.0, "HT": 40.0}),
+            (2007, {"DIA": 7.0, "HT": 45.0}),
+            (2012, {"STATUSCD": 0, "RECONCILECD": rec,
+                    "DIA": 8.0, "HT": 50.0}),
+        ])
 
     plots, conds, geoms = [], [], []
     for plot in (1, 2, 3):  # plot 3 = empty plot (no trees)

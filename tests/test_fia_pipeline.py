@@ -153,6 +153,33 @@ def test_status_120_no_resurrection(annual):
     assert got[2010][1] is None and got[2012][2] is None
 
 
+def test_reconcilecd_branch_matrix(annual):
+    """Every branch of the non-sampled mask (R/adjust_mortality.R:121):
+    STATUSCD 0 nulls DIA/HT/CR/CULL ONLY for RECONCILECD 5, 6, 9; codes
+    outside the set — and NULL, because R `%in% NA` is FALSE — keep the
+    interpolated values."""
+    cols = ["STATUSCD", "RECONCILECD", "DIA", "HT", "CR", "CULL"]
+    # trees 12(code 5, via death), 13(6), 14(9): nulls once out of sample
+    for tree, code in ((13, 6), (14, 9)):
+        got = _tree(annual, f"44_1_1_2_1_{tree}", cols)
+        # step interp switches STATUSCD/RECONCILECD at the 2010 midpoint
+        assert got[2009][0] == 1 and got[2010][0] == 0
+        assert got[2010][1] == code
+        assert got[2009][2] is not None
+        assert all(got[y][i] is None for y in (2010, 2012) for i in (2, 3, 4, 5)), (
+            tree,
+            got,
+        )
+    # control trees: code 3 and NULL keep measurements while STATUSCD = 0
+    for tree, code in ((15, 3), (16, None)):
+        got = _tree(annual, f"44_1_1_2_1_{tree}", cols)
+        assert got[2010][0] == 0 and got[2010][1] == code
+        assert got[2010][2] is not None and got[2012][3] is not None, (
+            tree,
+            got,
+        )
+
+
 def test_mortyr_before_midpoint(annual_mortyr, annual):
     with_m = _tree(annual_mortyr, "44_1_1_2_1_7", ["STATUSCD"])
     without = _tree(annual, "44_1_1_2_1_7", ["STATUSCD"])
