@@ -141,6 +141,15 @@ def brute_topk_np(
     import numpy as np
     import pandas as pd
 
+    # junk guard (identical posture to _valid): a NULL vector crashes
+    # np.stack mid-task, a NULL id cannot be reported
+    base = base.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+    probes = probes.filter(
+        F.col("probe_id").isNotNull() & F.col("probe_vec").isNotNull()
+    )
+
     # bounded collect: fetch at most cap+1 rows so even a huge probe side
     # never materializes past the cap before the error fires
     probes_pdf = probes.limit(max_probes + 1).toPandas()
@@ -236,6 +245,28 @@ def cosine_unrolled(
     return dot_unrolled(a, b, dims) / (na * nb)
 
 
+
+def _valid(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Rows with a usable identity and vector.  Every ANN entry point
+    filters through this, and every oracle twin applies the identical
+    WHERE (:func:`_valid_sql`): a NULL vector crashes the Arrow kernels
+    ("all input arrays must have the same shape") and DuckDB's
+    list_dot_product alike, and a NULL id cannot be ranked/reported —
+    both are junk a 100 TB corpus WILL contain, so the contract is
+    "excluded identically", not "undefined behavior"."""
+    return emb.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+
+
+def _valid_sql(table: str, id_col: str, vec_col: str) -> str:
+    """DuckDB twin of :func:`_valid` as a filtered relation."""
+    return (
+        f"(SELECT * FROM {table} "
+        f"WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL)"
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -264,6 +295,7 @@ def lsh_topk(
     hyperplanes); verification always uses the vector's full width, probed
     once at plan time so the unrolled codegen'd cosine covers every
     component exactly like the array-fold form it replaced."""
+    emb = _valid(emb, id_col, vec_col)
     vdims = _probe_width(emb, vec_col)
     if n_bits == "auto":
         n_bits = adaptive_bits(emb.count(), target_occupancy)
@@ -350,7 +382,8 @@ def lsh_topk_oracle_sql(
     and, in auto mode, identical occupancy-derived signature width)."""
     return f"""
 WITH base AS (
-  SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
+  SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec
+  FROM {_valid_sql(table, id_col, vec_col)}
 ),
 {_sigs_cte("base", dims, n_bits, target_occupancy)},
 pairs AS (
@@ -494,6 +527,7 @@ def ivf_topk(
     cosine all run over every component, matching the oracle's full-width
     ``list_dot_product``.  A pinned ``dims`` that disagrees with the data
     raises rather than silently truncating the arithmetic."""
+    emb = _valid(emb, id_col, vec_col)
     vdims = _probe_width(emb, vec_col)
     if dims is None:
         dims = vdims
@@ -629,7 +663,8 @@ def ivf_topk_oracle_sql(
 
     ctes = [
         f"""base AS (
-  SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
+  SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec
+  FROM {_valid_sql(table, id_col, vec_col)}
 )""",
         (
             "kq AS (SELECT " + adaptive_k_sql("(SELECT count(*) FROM base)")
@@ -747,7 +782,8 @@ def embedding_neardup_oracle_sql(
 ) -> str:
     return f"""
 WITH base AS (
-  SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec FROM {table}
+  SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec
+  FROM {_valid_sql(table, id_col, vec_col)}
 ),
 {_sigs_cte("base", dims, n_bits, target_occupancy)}
 SELECT a.vid AS id_a, b.vid AS id_b,
@@ -800,6 +836,7 @@ def random_projection(
     """
     if out_dims < 1:
         raise ValueError(f"out_dims must be >= 1, got {out_dims}")
+    emb = _valid(emb, id_col, vec_col)
     dims = _probe_width(emb, vec_col)
 
     import numpy as np
@@ -860,7 +897,7 @@ def random_projection_oracle_sql(
     return f"""
 WITH comps AS (
   SELECT {id_col}, i, CAST(floor({vec_col}[i] * 1e9) AS BIGINT) AS big
-  FROM {table}, LATERAL (
+  FROM {_valid_sql(table, id_col, vec_col)}, LATERAL (
     SELECT unnest(generate_series(1, len({vec_col}))) AS i
   ) g
 ), expanded AS (

@@ -52,7 +52,8 @@ def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
     the first 256 bytes as a 'thumbnail' content hash."""
     feats, thumbs, lens = [], [], []
     for payload in batch["payload"]:
-        b = bytes(payload)
+        # NULL payload = empty media (the quarantine row), never a crash
+        b = bytes(payload) if payload is not None else b""
         digest = hashlib.md5(b).hexdigest()
         feats.append(
             [int(digest[2 * j : 2 * j + 2], 16) / 255.0 for j in range(N_FEATURES)]
@@ -138,7 +139,7 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
 def _real_decode(batch: pd.DataFrame) -> pd.DataFrame:
     fmts, widths, heights, lens = [], [], [], []
     for payload in batch["payload"]:
-        b = bytes(payload)
+        b = bytes(payload) if payload is not None else b""
         meta = parse_image_header(b)
         fmt, w, h = meta if meta else (None, None, None)
         fmts.append(fmt)
@@ -188,13 +189,21 @@ def frame_sample(
     """'Video frame sampling' over the payload: split into fixed ``chunk``
     byte frames, keep every ``every``-th, return per-frame content hashes —
     pure Column algebra (no UDF), demonstrating media chunk manipulation
-    JVM-side."""
-    payload = F.col("payload")
+    JVM-side.
+
+    NULL payloads count as empty (0 frames, empty hash list — identical
+    in the oracle), and the frame-id sequence is guarded: a 0-frame
+    payload previously generated Spark's DESCENDING [0, -1] run instead
+    of an empty list (the fuzz-sweep q36 class)."""
+    payload = F.coalesce(F.col("payload"), F.lit(b""))
     n_frames = F.ceil(F.octet_length(payload) / F.lit(chunk)).cast("int")
-    frame_ids = F.filter(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: i % every == 0,
-    )
+    frame_ids = F.when(
+        n_frames >= 1,
+        F.filter(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: i % every == 0,
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     hashes = F.transform(
         frame_ids,
         lambda i: F.md5(

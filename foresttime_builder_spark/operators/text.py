@@ -128,29 +128,42 @@ def winnow_fingerprint(
 ) -> DataFrame:
     """Winnowing document fingerprints: hash every character ``k``-gram,
     keep the minimum hash of each sliding window of ``w`` consecutive
-    positions, then the distinct mins are the document's fingerprints."""
-    text = F.col(text_col)
+    positions, then the distinct mins are the document's fingerprints.
+
+    NULL text is treated as '' (zero grams, zero fingerprints, NULL
+    min/max — identical in the oracle), and both sequence() calls are
+    guarded: texts shorter than ``k`` (or gram lists shorter than ``w``)
+    previously generated a DESCENDING index run whose 0/negative
+    positions crashed slice() — the fuzz-sweep q34 class."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    empty = F.expr("CAST(array() AS array<bigint>)")
     # materialize each array stage as a column: expressions inside lambdas are
     # NOT common-subexpression-eliminated across elements, so referencing the
     # gram array directly in the window lambda would recompute every k-gram
     # hash per window (O(n^2) md5 calls per document)
     staged = df.withColumn(
         "_wf_grams",
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda p: _hash60(text.substr(p, F.lit(k))),
-        ),
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda p: _hash60(text.substr(p, F.lit(k))),
+            ),
+        ).otherwise(empty),
     )
     grams = F.col("_wf_grams")
     n_windows = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(0))
     staged = staged.withColumn(
         "_wf_fps",
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.array_min(F.slice(grams, i, w)),
-            )
+            F.when(
+                n_windows >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(F.slice(grams, i, w)),
+                ),
+            ).otherwise(empty)
         ),
     )
     fps = F.col("_wf_fps")
@@ -165,14 +178,15 @@ def winnow_fingerprint(
 def winnow_fingerprint_oracle_sql(
     id_col: str, text_col: str, table: str, k: int = 8, w: int = 4
 ) -> str:
+    txt = f"coalesce({text_col}, '')"
     h = (
         "CAST(('0x' || substr(md5(substr({t}, CAST(p AS INT), "
         f"{k})), 1, 15)) AS BIGINT)"
-    ).format(t=text_col)
+    ).format(t=txt)
     return f"""
 WITH grams AS (
   SELECT {id_col},
-    list_transform(generate_series(1, greatest(length({text_col}) - {k - 1}, 0)),
+    list_transform(generate_series(1, greatest(length({txt}) - {k - 1}, 0)),
                    p -> {h}) AS hs
   FROM {table}
 ),

@@ -881,6 +881,7 @@ def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q17 = """
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
 pairs AS (
   SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,
@@ -1276,14 +1277,14 @@ def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q35 = """
-SELECT doc_id, length(text) AS byte_len,
-       md5(substr(text, 1, 256)) AS thumb_hash,
+SELECT doc_id, length(coalesce(text, '')) AS byte_len,
+       md5(substr(coalesce(text, ''), 1, 256)) AS thumb_hash,
        {feats}
 FROM documents
 """.format(
     feats=", ".join(
-        "CAST(floor(CAST(('0x' || substr(md5(text), 1 + 2 * %d, 2)) AS BIGINT)"
-        " / 255.0 * 1000000 + 0.5) AS BIGINT) AS f%d_e6" % (j, j)
+        "CAST(floor(CAST(('0x' || substr(md5(coalesce(text, '')), 1 + 2 * %d, 2))"
+        " AS BIGINT) / 255.0 * 1000000 + 0.5) AS BIGINT) AS f%d_e6" % (j, j)
         for j in range(8)
     )
 )
@@ -1323,7 +1324,7 @@ def q55_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 4 == 0, png)
         .when(F.col("doc_id") % 4 == 1, gif)
         .when(F.col("doc_id") % 4 == 2, jpeg)
-        .otherwise(F.encode(F.col("text"), "UTF-8"))
+        .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
     )
     out = decode_features(
         d.select("doc_id", payload.alias("payload")), impl="real"
@@ -1340,7 +1341,8 @@ def q55_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q55 = """
 SELECT doc_id,
   CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 11
-       ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS byte_len,
+       ELSE octet_length(CAST(coalesce(text, '') AS BLOB)) END AS BIGINT)
+    AS byte_len,
   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
        END AS format,
   CAST(CASE WHEN doc_id % 4 <= 2 THEN 16 + doc_id % 640 END AS BIGINT) AS width,
@@ -1485,29 +1487,32 @@ def q36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_payload(load_table(spark, sf_dir, "documents"))
     out = frame_sample(d, chunk=128, every=2)
+    # try_element_at: a 0-frame payload has an EMPTY hash list, and plain
+    # element_at raises INVALID_ARRAY_INDEX under ANSI instead of NULL
     return out.select(
         "doc_id",
         "n_frames",
         "n_sampled",
-        F.element_at("frame_hashes", 1).alias("first_frame_hash"),
-        F.element_at("frame_hashes", -1).alias("last_frame_hash"),
+        F.try_element_at("frame_hashes", F.lit(1)).alias("first_frame_hash"),
+        F.try_element_at("frame_hashes", F.lit(-1)).alias("last_frame_hash"),
     )
 
 
 ORACLE_Q36 = """
 WITH f AS (
-  SELECT doc_id,
-    CAST(ceil(length(text) / 128.0) AS INT) AS n_frames,
-    list_filter(generate_series(0, CAST(ceil(length(text) / 128.0) AS INT) - 1),
-                i -> i % 2 = 0) AS ids
+  SELECT doc_id, coalesce(text, '') AS t,
+    CAST(ceil(length(coalesce(text, '')) / 128.0) AS INT) AS n_frames,
+    list_filter(
+      generate_series(0, CAST(ceil(length(coalesce(text, '')) / 128.0) AS INT) - 1),
+      i -> i % 2 = 0) AS ids
   FROM documents
 )
-SELECT d.doc_id, f.n_frames, len(f.ids) AS n_sampled,
-       md5(substr(d.text, CAST(f.ids[1] * 128 + 1 AS INT), 128))
+SELECT doc_id, n_frames, len(ids) AS n_sampled,
+       md5(substr(t, CAST(ids[1] * 128 + 1 AS INT), 128))
          AS first_frame_hash,
-       md5(substr(d.text, CAST(f.ids[-1] * 128 + 1 AS INT), 128))
+       md5(substr(t, CAST(ids[-1] * 128 + 1 AS INT), 128))
          AS last_frame_hash
-FROM documents d JOIN f ON d.doc_id = f.doc_id
+FROM f
 """
 
 
@@ -3527,6 +3532,7 @@ WITH ivf AS (
 ),
 base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
 pairs AS (
   SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,
