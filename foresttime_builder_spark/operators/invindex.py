@@ -53,8 +53,12 @@ def inverted_index(
     (stopword bound); ``None`` keeps everything.
     """
     _check(k, max_doc_freq)
+    # a posting without a document id is meaningless (and concat_ws would
+    # silently render it as a bare tf); NULL-id rows are excluded here
+    # and in the oracle twin identically
     tf = (
-        df.select(
+        df.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col).alias("_doc"),
             F.explode(F.split(F.col(text_col), " ")).alias("term"),
         )
@@ -126,6 +130,7 @@ WITH tf AS (
   FROM (
     SELECT {id_col} AS doc, unnest(string_split({text_col}, ' ')) AS term
     FROM {table}
+    WHERE {id_col} IS NOT NULL
   )
   GROUP BY term, doc
   {df_filter}

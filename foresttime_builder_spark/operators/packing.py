@@ -42,6 +42,10 @@ def pack_sequences(
     Returns the input id/group/shard columns plus ``n_tokens`` (the length)
     and ``bin_id`` (1-based within the stream).
     """
+    # id-keyed deterministic op: NULL ids have no shard/sort position
+    # (and NULL-order differs between engines) — excluded identically in
+    # the oracle twins, same contract as the samplers
+    df = df.filter(F.col(id_col).isNotNull())
     shard = (F.col(id_col) % n_shards).alias("shard")
     items = df.select(*group_cols, shard, F.struct(F.col(id_col).alias("id"), F.col(length_col).cast("long").alias("n")).alias("it"))
     streams = items.groupBy(*group_cols, "shard").agg(
@@ -124,6 +128,7 @@ def length_bucket_batches(
     """
     from pyspark.sql import Window as W
 
+    df = df.filter(F.col(id_col).isNotNull())  # see pack_sequences
     n = F.col(length_col).cast("long")
     bucket = (F.length(F.bin(n)) - 1).alias("bucket")
     base = df.select(F.col(id_col), n.alias("n_tokens"), bucket).filter(
@@ -150,7 +155,7 @@ WITH base AS (
   SELECT {id_col}, CAST({length_expr} AS BIGINT) AS n_tokens,
          length(bin(CAST({length_expr} AS BIGINT))) - 1 AS bucket
   FROM {table}
-  WHERE CAST({length_expr} AS BIGINT) > 0
+  WHERE CAST({length_expr} AS BIGINT) > 0 AND {id_col} IS NOT NULL
 ),
 numbered AS (
   SELECT *,

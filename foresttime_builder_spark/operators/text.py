@@ -308,7 +308,13 @@ def repetition_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     # narrow-scan spread: the per-doc sort+scan does orders of magnitude
     # more work per row than the scan reads bytes (operators/spread.py)
-    base = _spread(df.select(F.col(id_col), toks.alias("_toks")))
+    # per-document op keyed by id: the oracle's per-id join cannot track
+    # NULL-id docs (they'd lump into one group) — excluded identically
+    base = _spread(
+        df.filter(F.col(id_col).isNotNull()).select(
+            F.col(id_col), toks.alias("_toks")
+        )
+    )
     T = F.col("_toks")
     n_tok = F.size(T)
 
@@ -406,6 +412,7 @@ WITH base AS (
   SELECT {id_col}, string_split({text_col}, ' ') AS toks,
          len(string_split({text_col}, ' ')) AS n_tok
   FROM {table}
+  WHERE {id_col} IS NOT NULL
 ), g2 AS ({gram_cte(2)}), g3 AS ({gram_cte(3)}),
 m2 AS (
   SELECT {id_col}, max(cnt) AS top FROM (
@@ -877,7 +884,9 @@ WITH tf AS (
 ), dft AS (
   SELECT term, count(*) AS dft FROM tf GROUP BY term
 ), groups AS (
-  SELECT count(DISTINCT g) AS G FROM tf
+  -- count(*) over DISTINCT g: count(DISTINCT g) would EXCLUDE the NULL
+  -- group that Spark's distinct().count() includes
+  SELECT count(*) AS G FROM (SELECT DISTINCT g FROM tf)
 ), scored AS (
   SELECT tf.g, tf.term, tf.tf,
          CAST(floor(tf.tf * ln(1.0 + groups.G / dft.dft) * 1000000)

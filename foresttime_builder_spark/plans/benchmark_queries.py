@@ -1361,7 +1361,13 @@ def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from foresttime_builder_spark.operators.packing import pack_sequences
 
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+        "doc_id",
+        "source",
+        # NULL text -> '' (one empty token): a NULL length would poison
+        # the running fill/bin fold state for the whole stream
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_tok"
+        ),
     )
     return pack_sequences(
         d, "n_tok", capacity=256, group_cols=["source"], n_shards=4
@@ -1371,9 +1377,11 @@ def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q56 = """
 WITH RECURSIVE ordered AS (
   SELECT doc_id, source, doc_id % 4 AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+           AS n_tokens,
          row_number() OVER (PARTITION BY source, doc_id % 4 ORDER BY doc_id) AS rn
   FROM documents
+  WHERE doc_id IS NOT NULL
 ), packed AS (
   SELECT doc_id, source, shard, n_tokens, rn,
          CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
@@ -1384,7 +1392,11 @@ WITH RECURSIVE ordered AS (
          CASE WHEN p.fill + o.n_tokens > 256 THEN o.n_tokens
               ELSE p.fill + o.n_tokens END
   FROM packed p
-  JOIN ordered o ON o.source = p.source AND o.shard = p.shard AND o.rn = p.rn + 1
+  -- IS NOT DISTINCT FROM: a NULL source is a packing stream too (Spark
+  -- groupBy treats NULL as a group), and a plain equi-join would break
+  -- the recursive chain after its first row
+  JOIN ordered o ON o.source IS NOT DISTINCT FROM p.source
+                AND o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT doc_id, source, shard, n_tokens, bin_id FROM packed
 """
@@ -3365,7 +3377,10 @@ def q97_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q97 = """
-SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10)
+-- json_valid guard: DuckDB's json_extract_string ERRORS on malformed
+-- JSON ('' or junk), while Spark's get_json_object returns NULL
+SELECT CAST(floor(CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS INTEGER) / 10)
             * 10 AS BIGINT) AS k_bucket,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)

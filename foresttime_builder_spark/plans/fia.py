@@ -77,14 +77,20 @@ def add_composite_ids(df: DataFrame) -> DataFrame:
 
 
 def split_composite_ids(df: DataFrame, id_col: str = "tree_ID") -> DataFrame:
-    """Inverse of :func:`add_composite_ids` (reference ``R/fia_ids.R:59-77``)."""
+    """Inverse of :func:`add_composite_ids` (reference ``R/fia_ids.R:59-77``).
+
+    ``F.get`` (NULL past the end), not ``getItem`` (ANSI
+    INVALID_ARRAY_INDEX): a malformed id with missing segments — e.g.
+    built from a NULL key, which concat_ws silently skips — must parse
+    to NULL fields like DuckDB's out-of-range list index, not kill the
+    stage."""
     parts = ["STATECD", "UNITCD", "COUNTYCD", "PLOT"]
     if id_col == "tree_ID":
         parts += ["SUBP", "TREE"]
     split = F.split(F.col(id_col), "_")
     out = df
     for i, name in enumerate(parts):
-        out = out.withColumn(name, split.getItem(i))
+        out = out.withColumn(name, F.get(split, i))
     return out
 
 
