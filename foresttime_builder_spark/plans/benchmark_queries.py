@@ -223,7 +223,12 @@ GROUP BY band
 def q06_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event picks the most recent prior click's
     value (SURVEY §2.3 J13, the interval/as-of join, as a window as-of)."""
-    ev = load_table(spark, sf_dir, "events")
+    # an event without a timestamp has no as-of position, and a NULL
+    # event_id cannot break ts ties (Spark orders NULLS FIRST, DuckDB
+    # NULLS LAST) — excluded identically in the oracle
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -260,6 +265,7 @@ FROM (
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS last_click_value
   FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ) t
 WHERE event_type = 'purchase'
 """
@@ -373,7 +379,11 @@ FROM per_cust_year GROUP BY year
 
 def q21_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag/lead transition windows (SURVEY §2.5 W9)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # a NULL ship date has no (year, month) lag position, and Spark/DuckDB
+    # disagree on where NULL order keys sort — excluded identically
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
     monthly = li.groupBy(
         F.col("l_suppkey").alias("suppkey"),
         F.year("l_shipdate").alias("year"),
@@ -398,7 +408,7 @@ ORACLE_Q21 = """
 WITH monthly AS (
   SELECT l_suppkey AS suppkey, year(l_shipdate) AS year,
          month(l_shipdate) AS month, round(sum(l_quantity), 2) AS qty
-  FROM lineitem GROUP BY 1, 2, 3
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2, 3
 )
 SELECT suppkey, year, month,
        CAST(floor(qty * 100 + 0.5) AS BIGINT) AS qty_e2,
@@ -487,30 +497,40 @@ def q08_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q08 = f"""
 WITH {_GRID_SQL},
-w AS (
-  SELECT custkey, year, val, interpolated,
-    last_value(val IGNORE NULLS) OVER
-      (PARTITION BY custkey ORDER BY year
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
-    last_value(CASE WHEN val IS NOT NULL THEN year END IGNORE NULLS) OVER
-      (PARTITION BY custkey ORDER BY year
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_x,
-    first_value(val IGNORE NULLS) OVER
-      (PARTITION BY custkey ORDER BY year
-       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
-    first_value(CASE WHEN val IS NOT NULL THEN year END IGNORE NULLS) OVER
-      (PARTITION BY custkey ORDER BY year
-       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
-  FROM joined
+kn AS (
+  -- per-group sorted known-point array: the same formulation the Spark
+  -- operator uses (collect_list of (x, y) structs), so every branch —
+  -- including the EXTRAPOLATION arms the old window-only twin lacked
+  -- (caught by the fuzz sweep: trailing NULL measurements never occur in
+  -- the clean panel, so the gate had never exercised them) — is the
+  -- identical array arithmetic
+  SELECT custkey,
+         list(struct_pack(x := CAST(year AS DOUBLE), y := val)
+              ORDER BY year) AS k
+  FROM joined WHERE val IS NOT NULL GROUP BY custkey
 )
-SELECT custkey, year,
+SELECT j.custkey, j.year,
   CAST(floor((CASE
-    WHEN val IS NOT NULL THEN val
-    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
-      THEN prev_v + (next_v - prev_v) / (next_x - prev_x) * (year - prev_x)
-    ELSE NULL END) * 10000 + 0.5) AS BIGINT) AS val_e4,
-  interpolated
-FROM w
+    WHEN j.val IS NOT NULL THEN j.val
+    WHEN k IS NULL OR len(k) = 0 THEN NULL
+    WHEN len(k) = 1
+      THEN (list_filter(k, e -> e.x <= j.year)[-1]).y
+    WHEN len(list_filter(k, e -> e.x <= j.year)) > 0
+     AND len(list_filter(k, e -> e.x >= j.year)) > 0
+      THEN (list_filter(k, e -> e.x <= j.year)[-1]).y
+           + ((list_filter(k, e -> e.x >= j.year)[1]).y
+              - (list_filter(k, e -> e.x <= j.year)[-1]).y)
+             / ((list_filter(k, e -> e.x >= j.year)[1]).x
+                - (list_filter(k, e -> e.x <= j.year)[-1]).x)
+             * (j.year - (list_filter(k, e -> e.x <= j.year)[-1]).x)
+    WHEN j.year > k[-1].x
+      THEN k[-1].y + (k[-1].y - k[-2].y) / (k[-1].x - k[-2].x)
+           * (j.year - k[-1].x)
+    ELSE k[1].y + (k[1].y - k[2].y) / (k[1].x - k[2].x)
+         * (j.year - k[1].x)
+    END) * 10000 + 0.5) AS BIGINT) AS val_e4,
+  j.interpolated
+FROM joined j LEFT JOIN kn USING (custkey)
 """
 
 
@@ -1768,7 +1788,9 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-then-window formulation (one shuffle, no range explosion)."""
     from foresttime_builder_spark.operators.asof import asof_join
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )  # same no-time/no-identity exclusion as q06, mirrored in the oracle
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -1797,14 +1819,21 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q47 = """
-WITH clicks AS (SELECT * FROM events WHERE event_type = 'click')
+WITH ev AS (
+  SELECT * FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+),
+clicks AS (SELECT * FROM ev WHERE event_type = 'click')
 SELECT p.event_id, p.user_id,
        CAST(floor(p.value * 10000 + 0.5) AS BIGINT) AS purchase_value_e4,
        CAST(floor((SELECT c.value FROM clicks c
-                   WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                   -- IS NOT DISTINCT FROM: the Spark operator's window
+                   -- PARTITION BY groups NULL user_ids together; a plain
+                   -- equality would orphan every NULL-user purchase
+                   WHERE c.user_id IS NOT DISTINCT FROM p.user_id
+                     AND c.ts <= p.ts
                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) * 10000 + 0.5)
             AS BIGINT) AS asof_click_value_e4
-FROM events p WHERE p.event_type = 'purchase'
+FROM ev p WHERE p.event_type = 'purchase'
 """
 
 
@@ -2270,7 +2299,12 @@ def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics query a downstream team runs on the engine (window min +
     calendar arithmetic kept to integer year*12+month so both engines
     compute identically)."""
-    o = load_table(spark, sf_dir, "orders")
+    # NULL custkey / NULL order date carry no cohort identity or month
+    # position — excluded identically in the oracle (whose USING join
+    # would silently drop the NULL-key rows Spark's window groups)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     w = W.partitionBy("o_custkey")
     monthnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
     base = o.withColumn("first_dt", F.min("o_orderdate").over(w))
@@ -2288,14 +2322,17 @@ def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q67 = """
-WITH f AS (
-  SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey
+WITH o AS (
+  SELECT * FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), f AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt FROM o GROUP BY o_custkey
 )
 SELECT strftime(f.first_dt, '%Y-%m') AS cohort_month,
        (year(o.o_orderdate) - year(f.first_dt)) * 12
          + month(o.o_orderdate) - month(f.first_dt) AS months_since,
        count(DISTINCT o.o_custkey) AS n_active
-FROM orders o JOIN f USING (o_custkey)
+FROM o JOIN f USING (o_custkey)
 GROUP BY 1, 2
 """
 
@@ -2305,7 +2342,13 @@ def q68_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch mirror of the streaming session windows (q30), via the
     lag + cumulative-sum islands idiom: one shuffle on user_id serves the
     lag, the session numbering, and the final per-session aggregate."""
-    ev = load_table(spark, sf_dir, "events")
+    # no-identity/no-time exclusion (same class as q06/q104): NULL order
+    # keys take different window positions per engine
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
         F.col("ts").cast("timestamp").cast("long")
@@ -2339,6 +2382,7 @@ WITH secs AS (
   SELECT user_id, event_id, ts, value,
          CAST(floor(epoch(ts)) AS BIGINT) AS es
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
 ), lagged AS (
   SELECT *, es - lag(es) OVER
     (PARTITION BY user_id ORDER BY ts, event_id) AS gap
@@ -2364,7 +2408,10 @@ def q69_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs.  Expressed as three stacked conditional window minima
     over ONE user_id partition (each stage's column feeds the next
     stage's condition), so the whole funnel costs a single shuffle."""
-    ev = load_table(spark, sf_dir, "events")
+    # the oracle's USING joins drop NULL-user rows; exclude identically
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     es = F.col("ts").cast("timestamp").cast("long")
     w = W.partitionBy("user_id")
     staged = (
@@ -2408,7 +2455,7 @@ def q69_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q69 = """
 WITH es AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), v AS (
   SELECT user_id, min(CASE WHEN event_type = 'view' THEN es END) AS view_es
   FROM es GROUP BY user_id
@@ -3604,8 +3651,12 @@ def q103_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     on their first day, so ``cum_distinct(d) = sum over days <= d of
     new_users``.  Per-day grain: the final cumsum window runs over a
     BOUNDED day table (one row per day), never over events."""
-    e = load_table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("day"), "user_id"
+    e = (
+        load_table(spark, sf_dir, "events")
+        # a NULL ts has no day, and a NULL day row would sort to a
+        # different end of the cumulative window in each engine
+        .filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
     )
     daily = e.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("daily_active")
@@ -3626,7 +3677,8 @@ def q103_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q103 = """
-WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+           WHERE ts IS NOT NULL),
 daily AS (
   SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS daily_active
   FROM e GROUP BY day
@@ -3656,7 +3708,10 @@ def q104_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB widens to HUGEINT).  NULL where the window has <2 rows or
     zero variance."""
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
+    # a NULL timestamp has no day — and a NULL day would take a different
+    # window POSITION in each engine (Spark sorts NULLS FIRST, DuckDB
+    # NULLS LAST), shifting every trailing window by one row
+    daily = e.filter(F.col("ts").isNotNull()).groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     w = (
@@ -3689,7 +3744,7 @@ ORACLE_Q104 = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), win AS (
   SELECT event_type, day, n_events,
          CAST(sum(n_events) OVER w AS DOUBLE) AS s1,

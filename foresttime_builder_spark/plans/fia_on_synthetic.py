@@ -23,7 +23,16 @@ _PANEL_SQL = """
   SELECT * FROM (
     WITH per AS (
       SELECT o_custkey AS ck, year(o_orderdate) AS yr,
-             floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS base
+             -- least(): bound the synthetic panel's physical domain.
+             -- Clean-data base maxes at ~2.8e6 at every SF (measured), so
+             -- 1e7 never touches real values; junk magnitudes (the fuzz
+             -- corpus injects 1e8 prices) would otherwise drive DIA into
+             -- the thousands of inches and the NSVB power laws to 1e100+,
+             -- where Spark's floor->long SATURATES silently but DuckDB's
+             -- CAST raises — a real cross-engine divergence this clamp
+             -- keeps out of the equations' domain
+             least(floor(sum(o_totalprice) * 10000 + 0.5) / 10000,
+                   10000000.0) AS base
       FROM orders GROUP BY 1, 2
       HAVING ((o_custkey + year(o_orderdate)) % 3) != 0
     ),
