@@ -48,6 +48,10 @@ def scd2_build(
     key, ordered runs closed by the next run's start.
     """
     _check(attr_cols)
+    # a change row without a version timestamp cannot be placed in the
+    # validity order (and NULL order keys sort to OPPOSITE ends in Spark
+    # vs SQL engines) — excluded identically in the oracle twin
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     changed = F.lit(False)
     cur = df
@@ -99,7 +103,11 @@ WITH lagged AS (
          row_number() OVER w AS rn,
          {lags}
   FROM {table}
-  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})
+  WHERE {ts_col} IS NOT NULL
+  -- NULLS FIRST: Spark sorts ASC null keys first, DuckDB defaults to
+  -- last — a NULL tiebreak at an equal-timestamp pair flipped two runs
+  WINDOW w AS (PARTITION BY {key_col}
+               ORDER BY {ts_col}, {tiebreak_col} NULLS FIRST)
 ), versions AS (
   SELECT {key_col}, {attrs}, {ts_col} AS effective_from,
          {tiebreak_col} AS tb
@@ -107,10 +115,10 @@ WITH lagged AS (
 )
 SELECT {key_col}, {attrs}, effective_from,
        lead(effective_from) OVER (
-         PARTITION BY {key_col} ORDER BY effective_from, tb
+         PARTITION BY {key_col} ORDER BY effective_from, tb NULLS FIRST
        ) AS effective_to,
        lead(effective_from) OVER (
-         PARTITION BY {key_col} ORDER BY effective_from, tb
+         PARTITION BY {key_col} ORDER BY effective_from, tb NULLS FIRST
        ) IS NULL AS is_current
 FROM versions
 """

@@ -49,7 +49,10 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     fewer than k distinct hashes exist); ``n_exact`` is the true distinct
     count, kept so the sketch's accuracy is visible in the gated output."""
     poly = hex13_poly_sql(f"md5(CAST({col} AS STRING))")
-    hv = df.select(
+    # NULLs are excluded like count(DISTINCT col) would: md5(NULL) is a
+    # NULL hash, which Spark's ASC sort would otherwise place INSIDE the
+    # bottom-k (NULLS FIRST) while DuckDB leaves it out (NULLS LAST)
+    hv = df.filter(F.col(col).isNotNull()).select(
         (F.expr(poly) / F.lit(_BASE)).alias("v")
     ).distinct()
     topk = hv.orderBy("v").limit(k)
@@ -68,7 +71,8 @@ def kmv_oracle_sql(table: str, col: str, k: int = 64) -> str:
     """The DuckDB twin, generated from the same polynomial text."""
     poly = hex13_poly_sql(f"md5(CAST({col} AS VARCHAR))")
     return f"""
-WITH hv AS (SELECT DISTINCT {poly} / {_BASE!r} AS v FROM {table}),
+WITH hv AS (SELECT DISTINCT {poly} / {_BASE!r} AS v FROM {table}
+            WHERE {col} IS NOT NULL),
 topk AS (SELECT v FROM hv ORDER BY v LIMIT {k}),
 agg AS (
   SELECT (SELECT count(*) FROM topk) AS k_n,

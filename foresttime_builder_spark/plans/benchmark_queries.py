@@ -103,9 +103,14 @@ def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.year("o_orderdate").alias("year"))
         .agg(
-            F.floor(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
-                + F.lit(0.5)
+            # per-row e2 quantize -> exact BIGINT sum (order-free; the
+            # double-sum form diverged in its last ulp under fuzz
+            # magnitudes — same fix as q43/q62)
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
             ).cast("long").alias("revenue_e2"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -114,7 +119,8 @@ def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q02 = """
 SELECT r_name AS region, year(o_orderdate) AS year,
-       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT)
          AS revenue_e2,
        count(*) AS n_items
 FROM lineitem
@@ -1656,9 +1662,14 @@ def q43_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("year"),
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.floor(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
-            + F.lit(0.5)
+        # per-row e2 quantize -> exact BIGINT sum: a double sum of
+        # 1e8-magnitude products is summation-order-dependent in its last
+        # ulp, which e2 flooring then exposes as off-by-one cross-engine
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("long")
         ).cast("long").alias("revenue_e2"),
     )
 
@@ -1666,7 +1677,8 @@ def q43_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q43 = """
 SELECT o_orderpriority AS priority, year(o_orderdate) AS year,
        count(*) AS n_rows,
-       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT)
          AS revenue_e2
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1, 2
@@ -1898,7 +1910,10 @@ SELECT user_id, event_type, event_id,
 FROM (
   SELECT *, row_number() OVER (
     PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  -- ts IS NOT NULL: the Spark side's base/updates cutoff split excludes
+  -- NULL-version rows by construction (NULL <= cutoff and NULL > cutoff
+  -- are both false) — a row with no version cannot win a merge anyway
+  FROM events WHERE ts IS NOT NULL
 ) t
 WHERE rn = 1
 """
@@ -2196,17 +2211,22 @@ def q62_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = semi_reduced_join(li, sel, "l_orderkey", "o_orderkey")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.floor(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
-            + F.lit(0.5)
+        # per-row e2 quantize -> exact BIGINT sum: a double sum of
+        # 1e8-magnitude products is summation-order-dependent in its last
+        # ulp, which e2 flooring then exposes as off-by-one cross-engine
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("long")
         ).cast("long").alias("revenue_e2"),
     )
 
 
 ORACLE_Q62 = """
 SELECT o_orderpriority, count(*) AS n_items,
-       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
-            AS BIGINT) AS revenue_e2
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_e2
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-06-01'
 GROUP BY o_orderpriority
@@ -3530,7 +3550,9 @@ ranked AS (
   SELECT doc_id, source, n_tokens,
          row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id)
            AS sample_rank
-  FROM pool
+  -- source IS NOT NULL mirrors the Spark side's quotas equi-join, which
+  -- can never match a NULL mix key
+  FROM pool WHERE source IS NOT NULL
 )
 SELECT doc_id, source, n_tokens, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= 10

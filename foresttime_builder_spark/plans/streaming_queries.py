@@ -54,7 +54,7 @@ SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
          AS window_start,
        event_type, count(*) AS n_events,
        {_sql_e4('sum(value)')} AS total_value_e4
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -76,10 +76,14 @@ def q30_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gaps-and-islands twin of session_window: a new session starts when the gap
 # to the previous event is >= the session gap (Spark merges on strict overlap)
 ORACLE_STREAM_SESSIONS = f"""
-WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+           WHERE ts IS NOT NULL),
 m AS (
+  -- STRICT >: Spark's session_window still merges an event arriving
+  -- EXACTLY gap after the previous one (fuzz's hour-truncated
+  -- timestamps produced a real 36h-exact gap that pinned this down)
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL 36 HOURS
+                   OR ts - lag(ts) OVER w > INTERVAL 36 HOURS
                  THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
@@ -152,9 +156,27 @@ def q96_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of the events table."""
     from foresttime_builder_spark.streaming import dedup_stream
 
-    s = read_event_stream(spark, sf_dir)
+    # a NULL event_id has no dedup identity — the state store would
+    # collapse every such row to ONE key (475 rows became 1 on the fuzz
+    # corpus); excluded identically in the oracle
+    s = read_event_stream(spark, sf_dir).filter(
+        F.col("event_id").isNotNull()
+    )
     out = run_to_memory(
-        dedup_stream(s.union(read_event_stream(spark, sf_dir))),
+        # watermark sized to the SOURCE's disorder: the union-of-two-
+        # streams replay can deliver a copy several micro-batches after
+        # the watermark advanced past its event time, and
+        # dropDuplicatesWithinWatermark drops LATE rows outright (the
+        # bounded-state property is pinned by its unit test; here the
+        # horizon must cover the replay's full span to be lossless)
+        dedup_stream(
+            s.union(
+                read_event_stream(spark, sf_dir).filter(
+                    F.col("event_id").isNotNull()
+                )
+            ),
+            watermark="45 days",
+        ),
         output_mode="append",
     )
     return out.select(
@@ -167,7 +189,7 @@ def q96_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_DEDUP = f"""
 SELECT event_id, user_id, event_type, {_sql_e4('value')} AS value_e4
-FROM events
+FROM events WHERE event_id IS NOT NULL
 """
 
 
