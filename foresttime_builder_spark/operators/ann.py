@@ -141,14 +141,10 @@ def brute_topk_np(
     import numpy as np
     import pandas as pd
 
-    # junk guard (identical posture to _valid): a NULL vector crashes
-    # np.stack mid-task, a NULL id cannot be reported
-    base = base.filter(
-        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    )
-    probes = probes.filter(
-        F.col("probe_id").isNotNull() & F.col("probe_vec").isNotNull()
-    )
+    # junk guard: a NULL vector crashes np.stack mid-task, a NULL id
+    # cannot be reported (shared contract — see _valid)
+    base = _valid(base, id_col, vec_col)
+    probes = _valid(probes, "probe_id", "probe_vec")
 
     # bounded collect: fetch at most cap+1 rows so even a huge probe side
     # never materializes past the cap before the error fires
@@ -742,6 +738,7 @@ def embedding_neardup_pairs(
     the candidate stream stays linear in corpus size; the dedup default
     targets 2x the top-k occupancy because recall matters more than
     bucket size here.  Pass an int to pin the width."""
+    emb = _valid(emb, id_col, vec_col)
     vdims = _probe_width(emb, vec_col)
     if n_bits == "auto":
         n_bits = adaptive_bits(emb.count(), target_occupancy)

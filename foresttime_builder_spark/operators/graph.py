@@ -87,9 +87,13 @@ def _cc_minlabel(
 ) -> DataFrame:
     # persist the edge list: it feeds every propagation round, and its
     # upstream (e.g. the whole jaccard pair join) must execute once
+    # NULL-endpoint edges dropped — the same contract as the star
+    # backend, so switching algorithm= can never change the node set
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .persist()
     )
     nodes = sym.select(F.col("a").alias("id")).distinct()
@@ -117,6 +121,7 @@ def _cc_minlabel(
             .localCheckpoint()
         )
         changed = new_labels.filter(F.col("comp") != F.col("_old")).count()
+        _free_local_checkpoint(labels)  # superseded round's blocks
         labels = new_labels.drop("_old")
         if changed == 0:
             break
@@ -131,6 +136,22 @@ def _cc_minlabel(
             f"max_iter — raise it (and keep any fixed-depth oracle in sync)"
         )
     return labels
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint()'s cached blocks.
+
+    ``Dataset.unpersist`` only evicts plans registered through
+    ``Dataset.persist`` — a localCheckpoint's blocks live on the
+    underlying RDD and are otherwise freed only by nondeterministic GC.
+    The checkpointed plan root is a ``LogicalRDD``; unpersisting its RDD
+    drops the blocks immediately (verified against the Spark 4.1 runtime;
+    guarded so an internals change degrades to the old GC behavior, never
+    an error).  ONLY call on frames that will never be read again."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _cc_star(
@@ -199,6 +220,7 @@ def _cc_star(
         if converged:
             break
         rounds += 1
+        prev_ckpt = e
         # LARGE-STAR: for edge (u,v), v > u, connect v to
         # m(u) = min(neighborhood(u) ∪ {u}).  Processing each canonical
         # edge from its smaller endpoint's perspective covers every
@@ -221,7 +243,6 @@ def _cc_star(
         # SMALL-STAR: group by the larger endpoint; connect it and all its
         # smaller neighbors to their minimum.
         gmin = e.groupBy("hi").agg(F.min("lo").alias("m"))
-        prev = e
         e = (
             e.join(gmin, "hi")
             .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
@@ -230,7 +251,10 @@ def _cc_star(
             .distinct()
             .localCheckpoint()
         )
-        prev.unpersist()
+        # the round ENTERED with prev_ckpt (checkpointed); the new e is
+        # materialized, so prev_ckpt's edge-count-sized blocks can go —
+        # without this, a 64-round run holds 64 edge sets simultaneously
+        _free_local_checkpoint(prev_ckpt)
         new_sig = _sig(e)
         converged = new_sig == sig
         sig = new_sig
@@ -274,7 +298,7 @@ def _cc_star(
         .count()
     )
     raw.unpersist()
-    e.unpersist()
+    _free_local_checkpoint(e)
     if bad:
         raise RuntimeError(
             f"connected_components(star) certificate failed on {bad} "

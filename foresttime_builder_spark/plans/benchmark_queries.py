@@ -3870,9 +3870,13 @@ def q106_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would leak one orphan temp dir per sweep/gate invocation (cleanup
     # after return is impossible: the result DataFrame reads these files
     # lazily, after this function exits)
+    # per-process scratch: overwritten across runs within a process (no
+    # per-run mkdtemp leak) but distinct across processes (a concurrent
+    # gate + bench pair must not clobber each other's lazily-read files)
     base = os.path.join(
         tempfile.gettempdir(),
-        f"q106_evo_scratch_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"q106_evo_scratch_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
     )
     v1.write.mode("overwrite").parquet(f"{base}/v1")
     v2.write.mode("overwrite").parquet(f"{base}/v2")

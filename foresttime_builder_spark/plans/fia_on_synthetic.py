@@ -31,8 +31,13 @@ _PANEL_SQL = """
              -- where Spark's floor->long SATURATES silently but DuckDB's
              -- CAST raises — a real cross-engine divergence this clamp
              -- keeps out of the equations' domain
-             least(floor(sum(o_totalprice) * 10000 + 0.5) / 10000,
-                   10000000.0) AS base
+             -- NULL-guarded: least() SKIPS NULL args in BOTH engines,
+             -- so an all-NULL-price group's base would silently become
+             -- the clamp maximum (a fake max-magnitude tree) instead of
+             -- staying missing
+             CASE WHEN sum(o_totalprice) IS NULL THEN NULL
+                  ELSE least(floor(sum(o_totalprice) * 10000 + 0.5) / 10000,
+                             10000000.0) END AS base
       FROM orders GROUP BY 1, 2
       HAVING ((o_custkey + year(o_orderdate)) % 3) != 0
     ),

@@ -88,6 +88,10 @@ def run_states(
     )
     root = os.path.join(out_dir, "annualized")
     both.write.mode("overwrite").partitionBy(*part_cols).parquet(root)
+    # the write consumed the cache; returned paths read the PARQUET, so
+    # nothing lazy still needs it — release, or a long-lived session
+    # (bench loop, test suite) accumulates one panel cache per call
+    interp.unpersist()
     return {
         name: os.path.join(root, f"variant={name}")
         for name in ("annualized_midpt", "annualized_mortyr")

@@ -15,8 +15,9 @@ column name) so re-runs are bit-identical and equal rows mutate equally):
 - every column: ~5% NULL (including join/group keys — both engines must
   agree on NULL-key join/group semantics);
 - VARCHAR: +2% empty string, +1% multi-space whitespace soup;
-- DOUBLE: +2% tie value (1.5), +1% large magnitude 1e8 (an e4-scaled
-  product of two of these overflows int64 — the q104 class);
+- DOUBLE: +2% tie value (1.5), +1% large magnitude 1e6 (e2/e4-scaled
+  sums/products cross the float-sum-order threshold; see the inline
+  note for why not 1e8);
 - BIGINT/INTEGER non-key: +2% tie (42 / 7), +1% large (1e12 / 2e9);
 - TIMESTAMP: +15% truncated to the hour (duplicate-timestamp ties for
   windows/SCD2/as-of tie-breaks);
@@ -60,7 +61,14 @@ def mutated_expr(col: str, typ: str, allcols: list[str]) -> str:
     elif t == "DOUBLE":
         arms += [f"WHEN {b} < 70 THEN 1.5"]
         if not _is_keyish(col):
-            arms += [f"WHEN {b} < 80 THEN 1e8"]
+            # 1e6, not 1e8: large enough to stress e2/e4-scaled arithmetic
+            # past the float-sum-order threshold, small enough that the
+            # FIA panel's interpolation/EXTRAPOLATION of missing years
+            # stays inside the NSVB power laws' int64-quantizable range
+            # (1e8 price swings extrapolated to fake 9e18 carbon values —
+            # junk beyond any physical domain; the int64-overflow class
+            # itself stays covered by the BIGINT 1e12 arm below)
+            arms += [f"WHEN {b} < 80 THEN 1e6"]
     elif t == "BIGINT":
         # no tie arm for key-ish columns: id-keyed deterministic ops
         # (sampling/splits/upserts) have a DOCUMENTED unique-non-NULL-id
