@@ -933,7 +933,7 @@ d AS (
 ),
 tree_tot AS (
   SELECT plot_ID, YEAR,
-    sum(coalesce(CARBON_AG, 0.0) * coalesce(TPA_UNADJ, 0.0)
+    sum(CASE WHEN isfinite(CARBON_AG) THEN CARBON_AG ELSE 0.0 END * coalesce(TPA_UNADJ, 0.0)
         * coalesce(ADJ_FACTOR_SUBP, 0.0) * coalesce(EXPNS, 0.0) * tDI / 2000.0)
       AS _plot_tons
   FROM d GROUP BY 1, 2
@@ -957,7 +957,8 @@ yearly AS (
 SELECT YEAR,
   CAST(floor(total_tons * 100 + 0.5) AS BIGINT) AS total_tons_e2,
   CAST(floor(total_area * 100 + 0.5) AS BIGINT) AS total_area_e2,
-  CAST(floor(total_tons / total_area * 1000000 + 0.5) AS BIGINT) AS tons_per_acre_e6
+  CAST(floor(total_tons / nullif(total_area, 0) * 1000000 + 0.5) AS BIGINT)
+    AS tons_per_acre_e6
 FROM yearly
 """
 
@@ -983,7 +984,7 @@ d AS (
 ),
 tree_tot AS (
   SELECT plot_ID, YEAR,
-    sum(coalesce(CARBON_AG, 0.0) * coalesce(TPA_UNADJ, 0.0) * EXPNS * tDI / 2000.0)
+    sum(CASE WHEN isfinite(CARBON_AG) THEN CARBON_AG ELSE 0.0 END * coalesce(TPA_UNADJ, 0.0) * EXPNS * tDI / 2000.0)
       AS _plot_tons
   FROM d GROUP BY 1, 2
 ),
@@ -1003,7 +1004,8 @@ yearly AS (
 SELECT YEAR,
   CAST(floor(total_tons * 100 + 0.5) AS BIGINT) AS total_tons_e2,
   CAST(floor(total_area * 100 + 0.5) AS BIGINT) AS total_area_e2,
-  CAST(floor(total_tons / total_area * 1000000 + 0.5) AS BIGINT) AS tons_per_acre_e6
+  CAST(floor(total_tons / nullif(total_area, 0) * 1000000 + 0.5) AS BIGINT)
+    AS tons_per_acre_e6
 FROM yearly
 """
 
@@ -1044,7 +1046,7 @@ annest AS (
     ON f.plot_ID = c.plot_ID AND f.tree_ID = c.tree_ID AND f.YEAR = c.YEAR
 ),
 d AS (
-  SELECT *, coalesce(CARBON_AG, 0.0) * coalesce(TPA_UNADJ, 0.0) AS _wv
+  SELECT *, CASE WHEN isfinite(CARBON_AG) THEN CARBON_AG ELSE 0.0 END * coalesce(TPA_UNADJ, 0.0) AS _wv
   FROM annest
 )
 SELECT CAST(SPCD AS INT) AS spcd, CAST(YEAR AS INT) AS year,

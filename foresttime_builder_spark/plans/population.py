@@ -28,6 +28,20 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 LB_PER_TON = 2000.0
 
 
+def _finite_or_zero(col: F.Column) -> F.Column:
+    """NULL / NaN / ±Inf contribute ZERO to population totals, identically
+    on both engine sides (oracle: CASE WHEN isfinite(x) THEN x ELSE 0 END).
+    Non-finite per-tree estimates are real at the corpus fringe — a
+    negative extrapolated DIA under a power law yields NaN — and one such
+    row would otherwise poison a whole year's total (where Spark then
+    casts NaN->long as 0 while DuckDB's CAST raises)."""
+    inf = float("inf")
+    return F.when(
+        col.isNotNull() & ~F.isnan(col) & (col != inf) & (col != -inf),
+        col,
+    ).otherwise(F.lit(0.0))
+
+
 def estimate_population(
     df: DataFrame,
     area: float,
@@ -84,7 +98,7 @@ def estimate_population(
         "YEAR", "plot_ID", "CONDID", "CONDPROP_UNADJ", "EXPNS", "aDI"
     ).agg(
         F.sum(
-            F.coalesce(F.col(value_col), F.lit(0.0))
+            _finite_or_zero(F.col(value_col))
             * F.coalesce(F.col("TPA_UNADJ"), F.lit(0.0))
             * F.col("EXPNS")
             * F.col("tDI")
@@ -102,7 +116,11 @@ def estimate_population(
             ).alias("total_area"),
         )
         .withColumn(
-            "tons_per_acre", F.col("total_tons") / F.col("total_area")
+            "tons_per_acre",
+            # nullif: a zero-area year (every condition non-sampled or
+            # NULL-proportioned) must yield NULL, not 0/0 -> NaN — Spark
+            # silently casts NaN->long as 0 while DuckDB's CAST raises
+            F.col("total_tons") / F.nullif(F.col("total_area"), F.lit(0.0))
         )
     )
 
@@ -177,7 +195,7 @@ def estimate_population_stratified(
         "aDI",
     ).agg(
         F.sum(
-            F.coalesce(F.col(value_col), F.lit(0.0))
+            _finite_or_zero(F.col(value_col))
             * F.coalesce(F.col("TPA_UNADJ"), F.lit(0.0))
             * F.coalesce(F.col("ADJ_FACTOR_SUBP"), F.lit(0.0))
             * F.coalesce(F.col("EXPNS"), F.lit(0.0))
@@ -197,7 +215,11 @@ def estimate_population_stratified(
             ).alias("total_area"),
         )
         .withColumn(
-            "tons_per_acre", F.col("total_tons") / F.col("total_area")
+            "tons_per_acre",
+            # nullif: a zero-area year (every condition non-sampled or
+            # NULL-proportioned) must yield NULL, not 0/0 -> NaN — Spark
+            # silently casts NaN->long as 0 while DuckDB's CAST raises
+            F.col("total_tons") / F.nullif(F.col("total_area"), F.lit(0.0))
         )
     )
 
@@ -220,7 +242,7 @@ def multi_grain_sweep(
         "(" + ", ".join(g) + ")" if g else "()" for g in grains
     )
     w = F.coalesce(F.col(weight_col), F.lit(0.0))
-    v = F.coalesce(F.col(value_col), F.lit(0.0))
+    v = _finite_or_zero(F.col(value_col))
     d = df.withColumn("_wv", v * w)
     d.createOrReplaceTempView("_sweep_in")
     cols = ", ".join(all_cols)

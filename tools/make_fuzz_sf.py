@@ -47,9 +47,11 @@ def _is_keyish(col: str) -> bool:
     return col.endswith("key") or col.endswith("_id")
 
 
-def mutated_expr(col: str, typ: str, allcols: list[str]) -> str:
+def mutated_expr(
+    col: str, typ: str, allcols: list[str], salt: str = ""
+) -> str:
     """CASE expression applying this column's mutation ladder."""
-    h = f"hash({', '.join(allcols)}, '{col}')"
+    h = f"hash({', '.join(allcols)}, '{col}{salt}')"
     b = f"({h} % 1000)"
     t = typ.upper()
     arms = [f"WHEN {b} < 50 THEN NULL"]
@@ -106,6 +108,13 @@ def main() -> None:
             "sf0.01_fuzz",
         ),
     )
+    ap.add_argument(
+        "--salt",
+        default="",
+        help="re-rolls WHICH rows mutate (different mutation pattern, "
+        "same classes) — run the gate on a second salt to catch "
+        "divergences that the default pattern misses by threshold luck",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -117,7 +126,8 @@ def main() -> None:
         ).fetchall()
         names = [c[0] for c in cols]
         sel = ",\n  ".join(
-            mutated_expr(name, typ, names) for name, typ, *_ in cols
+            mutated_expr(name, typ, names, args.salt)
+            for name, typ, *_ in cols
         )
         dst = os.path.join(args.out, f"{t}.parquet")
         con.execute(
