@@ -84,3 +84,85 @@ SELECT floor((CASE WHEN k_n < {k} THEN CAST(k_n AS DOUBLE)
        n_exact
 FROM agg
 """
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-GROUP KMV: ``(group_col, est_distinct, n_exact)`` — the
+    mergeable distinct-cardinality profile a mixing pipeline reads per
+    source/domain ("how big is each crawl's vocabulary") where
+    :func:`kmv_distinct` answers only the global question.  The
+    vocabulary_overlap docstring's "switch to sketches at thousands of
+    groups" path lands here.
+
+    Same determinism contract as the global form (md5 / 2^52 hashes, so
+    the APPROXIMATE estimate itself is engine-exact and hash-gateable);
+    NULL values are excluded per the count(DISTINCT) convention, NULL
+    groups are real groups.  ``n_exact`` (the true per-group distinct
+    count) rides along so accuracy is visible in gated output.
+
+    Scale shape: one (group, hash)-distinct shuffle, then a rank window
+    per group that keeps k rows — the window sorts each group's DISTINCT
+    hash space; for extreme per-group cardinality pre-cut with a hash
+    threshold first (the quota_sample prefilter move) before ranking.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window as W
+
+    poly = hex13_poly_sql(f"md5(CAST({col} AS STRING))")
+    hv = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("_g"), (F.expr(poly) / F.lit(_BASE)).alias("v"))
+        .distinct()
+    )
+    w = W.partitionBy("_g").orderBy("v")
+    ranked = hv.select(
+        "_g",
+        "v",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(W.partitionBy("_g")).alias("_n_exact"),
+    ).filter(F.col("_rk") <= k)
+    agg = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_k_n"),
+        F.max("v").alias("_kth"),
+        F.max("_n_exact").alias("n_exact"),
+    )
+    est = F.when(
+        F.col("_k_n") < k, F.col("_k_n").cast("double")
+    ).otherwise((k - 1) / F.col("_kth"))
+    return agg.select(
+        F.col("_g").alias(group_col),
+        (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("est_distinct"),
+        "n_exact",
+    )
+
+
+def kmv_by_oracle_sql(
+    table: str, group_col: str, col: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct_by` — identical hash polynomial,
+    rank order, and estimate arithmetic."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    poly = hex13_poly_sql(f"md5(CAST({col} AS VARCHAR))")
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT {group_col} AS g, {poly} / {_BASE!r} AS v
+  FROM {table} WHERE {col} IS NOT NULL
+), ranked AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY g) AS n_exact
+  FROM hv
+), agg AS (
+  SELECT g, count(*) AS k_n, max(v) AS kth, max(n_exact) AS n_exact
+  FROM ranked WHERE rk <= {k} GROUP BY g
+)
+SELECT g AS {group_col},
+       floor((CASE WHEN k_n < {k} THEN CAST(k_n AS DOUBLE)
+              ELSE {k - 1} / kth END) * 10000 + 0.5) / 10000 AS est_distinct,
+       n_exact
+FROM agg
+"""

@@ -4247,6 +4247,47 @@ WHERE levenshtein(a.title, b.title) <= 2
 """
 
 
+def q117_group_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-size KMV sketch
+    (`operators/sketch.kmv_distinct_by`): estimate each source's distinct
+    whitespace-token count from its 64 minimum md5 hashes — the mergeable
+    per-group cardinality profile `vocabulary_overlap` recommends past a
+    few thousand groups, with the exact count alongside so the sketch's
+    error is part of the gated output."""
+    from foresttime_builder_spark.operators.sketch import kmv_distinct_by
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok"),
+    )
+    out = kmv_distinct_by(toks, "source", "tok", k=64)
+    return out.select(
+        "source",
+        F.floor(F.col("est_distinct") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("est_distinct_e4"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+
+
+def _group_kmv_oracle() -> str:
+    from foresttime_builder_spark.operators.sketch import kmv_by_oracle_sql
+
+    inner = (
+        "(SELECT source, unnest(string_split(coalesce(text, ''), ' ')) "
+        "AS tok FROM documents)"
+    )
+    return (
+        "SELECT source, CAST(floor(est_distinct * 10000 + 0.5) AS BIGINT)"
+        " AS est_distinct_e4, CAST(n_exact AS BIGINT) AS n_exact FROM ("
+        + kmv_by_oracle_sql(inner, "source", "tok", k=64)
+        + ") z"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -4421,4 +4462,5 @@ QUERIES: dict[str, QuerySpec] = {
         q115_equidepth_sampled, _equidepth_sampled_oracle()
     ),
     "q116_fuzzy_join_d2": QuerySpec(q116_fuzzy_join_d2, ORACLE_Q116),
+    "q117_group_kmv": QuerySpec(q117_group_kmv, _group_kmv_oracle()),
 }

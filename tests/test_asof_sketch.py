@@ -126,3 +126,22 @@ def test_interval_overlap_drops_degenerate_intervals(spark):
         ).collect()
     )
     assert got2 == [(10, 3)]
+
+
+def test_kmv_by_group_exact_below_k_and_estimate(spark):
+    """Groups with < k distinct values report the exact count; a big group
+    estimates within the standard KMV error (~1/sqrt(k))."""
+    from foresttime_builder_spark.operators.sketch import kmv_distinct_by
+
+    rows = [("small", f"v{i}") for i in range(10)]
+    rows += [("big", f"w{i}") for i in range(5000)] * 2   # dup rows collapse
+    rows += [(None, "x1"), (None, "x2"), ("nulls", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: (r["est_distinct"], r["n_exact"])
+           for r in kmv_distinct_by(df, "g", "v", k=64).collect()}
+    assert got["small"] == (10.0, 10)
+    est, n = got["big"]
+    assert n == 5000 and abs(est - 5000) / 5000 < 0.5
+    # NULL group is a real group; NULL values are excluded entirely
+    assert got[None] == (2.0, 2)
+    assert "nulls" not in got
