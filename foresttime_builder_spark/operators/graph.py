@@ -103,6 +103,7 @@ def _cc_minlabel(
     # classic iterative-lineage blowup. Checkpointing truncates the lineage
     # to the materialized partitions.
     labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    labels_root = labels  # the LogicalRDD root _free_local_checkpoint needs
 
     changed = -1
     for _ in range(max_iter):
@@ -121,7 +122,13 @@ def _cc_minlabel(
             .localCheckpoint()
         )
         changed = new_labels.filter(F.col("comp") != F.col("_old")).count()
-        _free_local_checkpoint(labels)  # superseded round's blocks
+        # free the RAW checkpoint root that is being superseded —
+        # labels_root, not labels: after round 1 `labels` is a Project
+        # (.drop) over the LogicalRDD, and analyzed().rdd() on a Project
+        # throws into _free_local_checkpoint's guard, silently leaking
+        # every superseded round's blocks (the _cc_star convention)
+        _free_local_checkpoint(labels_root)
+        labels_root = new_labels
         labels = new_labels.drop("_old")
         if changed == 0:
             break

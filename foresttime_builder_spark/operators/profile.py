@@ -169,6 +169,21 @@ GROUP BY bucket
 """
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Plan-time row estimate for the sample-size guard: Catalyst's
+    optimized-plan statistics when the plan carries a row count (parquet
+    scans with size stats do), else one count() job — which executes the
+    upstream plan, so the stats path is tried first."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = opt.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return df.count()
+
+
 def equidepth_histogram_sampled(
     df: DataFrame,
     value_col: str,
@@ -177,6 +192,7 @@ def equidepth_histogram_sampled(
     scale: int = 100,
     fraction: float = 0.1,
     salt: str = "edh",
+    max_sample_rows: int = 50_000_000,
 ) -> DataFrame:
     """Equi-depth histogram over a DETERMINISTIC hash sample — the 100 TB
     variant :func:`equidepth_histogram`'s docstring promises: the exact
@@ -195,10 +211,31 @@ def equidepth_histogram_sampled(
     ``m >= (n_buckets / eps)^2`` for eps relative error.  NULL ids hash
     like the string 'NULL'-less empty digest (md5 of NULL is NULL →
     excluded) — NULL-id rows are dropped on BOTH engine sides.
+
+    The ntile is a single-task global sort OF THE SAMPLE — bounded by
+    design when ``fraction`` follows the error formula, but nothing used
+    to enforce it (``fraction=0.1`` over 100 TB is a 10 TB single task).
+    The guard (the dedup candidate-budget pattern): a plan-time row
+    estimate × ``fraction`` above ``max_sample_rows`` raises, naming the
+    largest safe fraction.  50M sampled rows ≈ 800 MB of (long, id, hash)
+    in one task — generous for any executor this engine targets; lower it
+    for small-memory clusters, raise it knowingly.
     """
     _check(n_buckets, scale)
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    n_rows = _estimate_rows(df)
+    if n_rows * fraction > max_sample_rows:
+        safe = max_sample_rows / n_rows
+        raise ValueError(
+            f"equidepth_histogram_sampled: fraction={fraction} over "
+            f"~{n_rows} input rows projects ~{int(n_rows * fraction)} "
+            f"sampled rows through the single-task ntile sort, above "
+            f"max_sample_rows={max_sample_rows}.  Use fraction <= "
+            f"{safe:.2e} (error/bucket ~ n_buckets/sqrt(m) still holds "
+            f"down to m={max_sample_rows}), or raise max_sample_rows if "
+            f"your executors can sort that in one task."
+        )
     from pyspark.sql import Window as _W
 
     from foresttime_builder_spark.operators.dedup import hash60
@@ -241,8 +278,11 @@ def equidepth_histogram_sampled_oracle_sql(
     salt: str = "edh",
 ) -> str:
     """DuckDB twin of :func:`equidepth_histogram_sampled` — identical md5
-    hash threshold, ntile order, and estimate arithmetic (fraction
-    embedded via ``repr`` so the divisor double is bit-identical)."""
+    hash threshold, ntile order, and estimate arithmetic.  The divisor is
+    CAST to DOUBLE explicitly: a bare ``0.1`` literal parses as DECIMAL in
+    DuckDB (exact division) while Spark divides IEEE doubles, and a
+    quotient landing exactly on a ``.5`` boundary would then round apart
+    cross-engine."""
     _check(n_buckets, scale)
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
@@ -260,7 +300,8 @@ WITH base AS (
 SELECT CAST(bucket AS INTEGER) AS bucket,
        min(v) AS lo, max(v) AS hi,
        CAST(count(*) AS BIGINT) AS n_sample,
-       CAST(floor(count(*) / {fraction!r} + 0.5) AS BIGINT) AS n_est
+       CAST(floor(count(*) / CAST({fraction!r} AS DOUBLE) + 0.5) AS BIGINT)
+         AS n_est
 FROM (SELECT v, ntile({n_buckets}) OVER (ORDER BY v, id) AS bucket FROM base)
 GROUP BY bucket
 """

@@ -87,9 +87,14 @@ FROM agg
 
 
 def kmv_distinct_by(
-    df: DataFrame, group_col: str, col: str, k: int = 64
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = 64,
+    with_exact: bool = False,
+    oversample: float = 4.0,
 ) -> DataFrame:
-    """Per-GROUP KMV: ``(group_col, est_distinct, n_exact)`` — the
+    """Per-GROUP KMV: ``(group_col, est_distinct[, n_exact])`` — the
     mergeable distinct-cardinality profile a mixing pipeline reads per
     source/domain ("how big is each crawl's vocabulary") where
     :func:`kmv_distinct` answers only the global question.  The
@@ -99,16 +104,35 @@ def kmv_distinct_by(
     Same determinism contract as the global form (md5 / 2^52 hashes, so
     the APPROXIMATE estimate itself is engine-exact and hash-gateable);
     NULL values are excluded per the count(DISTINCT) convention, NULL
-    groups are real groups.  ``n_exact`` (the true per-group distinct
-    count) rides along so accuracy is visible in gated output.
+    groups are real groups.  ``with_exact=True`` adds ``n_exact`` (the
+    true per-group distinct count) so accuracy is visible in gated output.
 
-    Scale shape: one (group, hash)-distinct shuffle, then a rank window
-    per group that keeps k rows — the window sorts each group's DISTINCT
-    hash space; for extreme per-group cardinality pre-cut with a hash
-    threshold first (the quota_sample prefilter move) before ranking.
-    """
+    Scale shape — this is where the sketch earns its keep.  The rank
+    window must NOT sort each group's full distinct hash space (that
+    would cost as much as the exact answer).  Instead:
+
+    1. one ``(group, hash)``-distinct shuffle (unavoidable input);
+    2. a LINEAR per-group count of that distinct space (map-side combine,
+       no sort) — one row per group, broadcast-sized for any realistic
+       grouping, doubling as ``n_exact`` when requested;
+    3. a per-group hash threshold ``t_g = min(1, oversample*k / n_g)``
+       applied map-side after the (typically broadcast) count join, so
+       only ~``oversample*k`` hashes per group reach the rank window;
+    4. an exactness fallback: a group whose survivor count lands below
+       ``k`` despite ``n_g >= k`` (Chernoff tail, ~e^-(oversample*k))
+       is re-ranked over its FULL hash space via a semi-join — so the
+       pre-cut can never change the answer, only the cost.  In the
+       common case that branch shuffles zero rows.
+
+    The estimate is bit-identical to the uncut form: groups with
+    ``n_g < k`` report ``n_g`` exactly (no hashes needed at all), and the
+    bottom-``k`` of a group with ``>= k`` survivors under ``t_g`` is by
+    construction the group's true bottom-``k`` (survivors are ALL hashes
+    ``<= t_g``)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if oversample < 1.0:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
     from pyspark.sql import Window as W
 
     poly = hex13_poly_sql(f"md5(CAST({col} AS STRING))")
@@ -117,36 +141,82 @@ def kmv_distinct_by(
         .select(F.col(group_col).alias("_g"), (F.expr(poly) / F.lit(_BASE)).alias("v"))
         .distinct()
     )
-    w = W.partitionBy("_g").orderBy("v")
-    ranked = hv.select(
-        "_g",
-        "v",
-        F.row_number().over(w).alias("_rk"),
-        F.count(F.lit(1)).over(W.partitionBy("_g")).alias("_n_exact"),
-    ).filter(F.col("_rk") <= k)
-    agg = ranked.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("_k_n"),
-        F.max("v").alias("_kth"),
-        F.max("_n_exact").alias("n_exact"),
+    cnt = hv.groupBy("_g").agg(F.count(F.lit(1)).alias("_n_g"))
+
+    def _bottom_k(frame: DataFrame) -> DataFrame:
+        w = W.partitionBy("_g").orderBy("v")
+        return (
+            frame.select("_g", "v", F.row_number().over(w).alias("_rk"))
+            .filter(F.col("_rk") <= k)
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_k_n"), F.max("v").alias("_kth"))
+        )
+
+    # threshold join is null-safe: NULL groups are real groups, and an
+    # equi-join key would silently drop them
+    t_g = F.least(F.lit(1.0), F.lit(float(oversample * k)) / F.col("_n_g"))
+    surv = (
+        hv.alias("h")
+        .join(cnt.alias("c"), F.col("h._g").eqNullSafe(F.col("c._g")))
+        .select(F.col("h._g").alias("_g"), "v", "_n_g")
+        .filter(F.col("v") <= t_g)
     )
+    # LEFT join from cnt so a group losing every hash to the cut (or to
+    # the tail) still appears and routes to the fallback, never vanishes
+    base = (
+        cnt.alias("c")
+        .join(
+            _bottom_k(surv).alias("r"),
+            F.col("c._g").eqNullSafe(F.col("r._g")),
+            "left",
+        )
+        .select(F.col("c._g").alias("_g"), "_n_g", "_k_n", "_kth")
+    )
+    safe = base.filter(
+        (F.col("_n_g") < k) | (F.coalesce("_k_n", F.lit(0)) >= k)
+    )
+    unsafe = base.filter(
+        (F.col("_n_g") >= k) & (F.coalesce("_k_n", F.lit(0)) < k)
+    ).select("_g", "_n_g")
+    un_hv = hv.alias("h").join(
+        unsafe.alias("u"),
+        F.col("h._g").eqNullSafe(F.col("u._g")),
+        "left_semi",
+    )
+    redone = (
+        unsafe.alias("u")
+        .join(
+            _bottom_k(un_hv).alias("r"),
+            F.col("u._g").eqNullSafe(F.col("r._g")),
+        )
+        .select(F.col("u._g").alias("_g"), "_n_g", "_k_n", "_kth")
+    )
+    agg = safe.unionByName(redone)
     est = F.when(
-        F.col("_k_n") < k, F.col("_k_n").cast("double")
+        F.col("_n_g") < k, F.col("_n_g").cast("double")
     ).otherwise((k - 1) / F.col("_kth"))
-    return agg.select(
+    out_cols = [
         F.col("_g").alias(group_col),
         (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("est_distinct"),
-        "n_exact",
-    )
+    ]
+    if with_exact:
+        out_cols.append(F.col("_n_g").alias("n_exact"))
+    return agg.select(*out_cols)
 
 
 def kmv_by_oracle_sql(
-    table: str, group_col: str, col: str, k: int = 64
+    table: str, group_col: str, col: str, k: int = 64,
+    with_exact: bool = True,
 ) -> str:
     """DuckDB twin of :func:`kmv_distinct_by` — identical hash polynomial,
-    rank order, and estimate arithmetic."""
+    rank order, and estimate arithmetic.  The twin ranks each group's FULL
+    hash space (the un-cut form); the Spark side's threshold pre-cut is
+    provably lossless, so the outputs hash-match — which is exactly what
+    the gate verifies.  ``with_exact`` mirrors the Spark flag."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     poly = hex13_poly_sql(f"md5(CAST({col} AS VARCHAR))")
+    exact_col = ",\n       n_exact" if with_exact else ""
     return f"""
 WITH hv AS (
   SELECT DISTINCT {group_col} AS g, {poly} / {_BASE!r} AS v
@@ -162,7 +232,6 @@ WITH hv AS (
 )
 SELECT g AS {group_col},
        floor((CASE WHEN k_n < {k} THEN CAST(k_n AS DOUBLE)
-              ELSE {k - 1} / kth END) * 10000 + 0.5) / 10000 AS est_distinct,
-       n_exact
+              ELSE {k - 1} / kth END) * 10000 + 0.5) / 10000 AS est_distinct{exact_col}
 FROM agg
 """

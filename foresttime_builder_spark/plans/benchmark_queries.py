@@ -4263,7 +4263,7 @@ def q117_group_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.coalesce(F.col("text"), F.lit("")), " ")
         ).alias("tok"),
     )
-    out = kmv_distinct_by(toks, "source", "tok", k=64)
+    out = kmv_distinct_by(toks, "source", "tok", k=64, with_exact=True)
     return out.select(
         "source",
         F.floor(F.col("est_distinct") * 10000 + F.lit(0.5))
@@ -4284,6 +4284,46 @@ def _group_kmv_oracle() -> str:
         "SELECT source, CAST(floor(est_distinct * 10000 + 0.5) AS BIGINT)"
         " AS est_distinct_e4, CAST(n_exact AS BIGINT) AS n_exact FROM ("
         + kmv_by_oracle_sql(inner, "source", "tok", k=64)
+        + ") z"
+    )
+
+
+def q118_group_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-ONLY per-group KMV (`operators/sketch.kmv_distinct_by`
+    with ``with_exact=False``) — the 100 TB form the operator's docstring
+    promises: per-language distinct-token cardinality where the rank
+    window sees only ~``oversample*k`` pre-cut hashes per group instead
+    of each group's full distinct hash space.  The DuckDB twin ranks the
+    FULL space, so the hash gate proves the pre-cut is lossless."""
+    from foresttime_builder_spark.operators.sketch import kmv_distinct_by
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok"),
+    )
+    out = kmv_distinct_by(toks, "lang", "tok", k=64, with_exact=False)
+    return out.select(
+        "lang",
+        F.floor(F.col("est_distinct") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("est_distinct_e4"),
+    )
+
+
+def _group_kmv_estimate_oracle() -> str:
+    from foresttime_builder_spark.operators.sketch import kmv_by_oracle_sql
+
+    inner = (
+        "(SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) "
+        "AS tok FROM documents)"
+    )
+    return (
+        "SELECT lang, CAST(floor(est_distinct * 10000 + 0.5) AS BIGINT)"
+        " AS est_distinct_e4 FROM ("
+        + kmv_by_oracle_sql(inner, "lang", "tok", k=64, with_exact=False)
         + ") z"
     )
 
@@ -4463,4 +4503,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q116_fuzzy_join_d2": QuerySpec(q116_fuzzy_join_d2, ORACLE_Q116),
     "q117_group_kmv": QuerySpec(q117_group_kmv, _group_kmv_oracle()),
+    "q118_group_kmv_estimate": QuerySpec(
+        q118_group_kmv_estimate, _group_kmv_estimate_oracle()
+    ),
 }

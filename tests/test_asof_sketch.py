@@ -138,10 +138,36 @@ def test_kmv_by_group_exact_below_k_and_estimate(spark):
     rows += [(None, "x1"), (None, "x2"), ("nulls", None)]
     df = spark.createDataFrame(rows, "g string, v string")
     got = {r["g"]: (r["est_distinct"], r["n_exact"])
-           for r in kmv_distinct_by(df, "g", "v", k=64).collect()}
+           for r in kmv_distinct_by(df, "g", "v", k=64,
+                                    with_exact=True).collect()}
     assert got["small"] == (10.0, 10)
     est, n = got["big"]
     assert n == 5000 and abs(est - 5000) / 5000 < 0.5
     # NULL group is a real group; NULL values are excluded entirely
     assert got[None] == (2.0, 2)
     assert "nulls" not in got
+
+
+def test_kmv_by_precut_is_lossless_and_exact_optin(spark):
+    """The per-group hash threshold pre-cut (sketch economics) never
+    changes the answer: the tightest allowed oversample (1.0 — mean
+    survivor count exactly k, so the Chernoff-tail fallback genuinely
+    fires for some groups) must produce bit-identical estimates to an
+    effectively-uncut run; and with_exact=False (the default) omits the
+    n_exact column."""
+    from foresttime_builder_spark.operators.sketch import kmv_distinct_by
+
+    rows = [(f"g{i % 7}", f"v{i}") for i in range(20_000)]
+    rows += [(None, f"n{i}") for i in range(300)] + [("tiny", "only")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    cut = {r["g"]: r["est_distinct"]
+           for r in kmv_distinct_by(df, "g", "v", k=64,
+                                    oversample=1.0).collect()}
+    # oversample so large every per-group threshold saturates at 1.0 —
+    # the original full-space ranking
+    uncut = {r["g"]: r["est_distinct"]
+             for r in kmv_distinct_by(df, "g", "v", k=64,
+                                      oversample=1e9).collect()}
+    assert cut == uncut and len(cut) == 9 and cut["tiny"] == 1.0
+    out = kmv_distinct_by(df, "g", "v", k=64)
+    assert out.columns == ["g", "est_distinct"]

@@ -111,3 +111,26 @@ def test_equidepth_sampled_validates_fraction(spark):
     for bad in (0.0, -0.1, 1.5):
         with _pytest.raises(ValueError, match="fraction"):
             equidepth_histogram_sampled(df, "v", "k", fraction=bad)
+
+
+def test_equidepth_sampled_guards_single_task_sample(spark):
+    """An oversized fraction × input must raise at plan time, naming the
+    corrective fraction, BEFORE the single-task ntile sort runs — nothing
+    else enforces the docstring's error-formula sizing."""
+    import pytest as _pytest
+
+    from foresttime_builder_spark.operators.profile import (
+        equidepth_histogram_sampled,
+    )
+
+    df = spark.range(10_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    with _pytest.raises(ValueError, match="max_sample_rows"):
+        equidepth_histogram_sampled(
+            df, "v", "k", fraction=0.5, max_sample_rows=1_000
+        )
+    # at exactly the bound it runs
+    out = equidepth_histogram_sampled(
+        df, "v", "k", n_buckets=2, scale=1, fraction=0.1,
+        max_sample_rows=1_000,
+    )
+    assert out.count() == 2

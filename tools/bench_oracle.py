@@ -59,7 +59,11 @@ def _run_oracle(con, name: str, sql: str) -> int:
             _variant_sql,
         )
 
-        out = os.path.join(tempfile.gettempdir(), "ftb_q51_oracle_sink")
+        # pid-suffixed like q106's scratch dir: a fixed path lets two
+        # concurrent bench/gate processes COPY over each other mid-run
+        out = os.path.join(
+            tempfile.gettempdir(), f"ftb_q51_oracle_sink_{os.getpid()}"
+        )
         os.makedirs(out, exist_ok=True)
         files = []
         for variant, use_mortyr in (("midpt", False), ("mortyr", True)):

@@ -23,12 +23,26 @@ column name) so re-runs are bit-identical and equal rows mutate equally):
   windows/SCD2/as-of tie-breaks);
 - FLOAT[]: ~3% NULL vector.
 
-Key-ish columns (``*key``, ``*_id``) get NULL + tie but NOT the large
-magnitudes (overflowing a join key only makes a new distinct value —
-noise, not signal).
+Key-ish columns (``*key``, ``*_id``): BIGINT/INTEGER keys get NULL ONLY —
+no tie arm (deterministic id-keyed ops document a unique-non-NULL-id
+precondition; duplicate primary ids test outside every contract) and no
+large arm (overflowing a join key only makes a new distinct value — noise,
+not signal).  DOUBLE keys keep the tie arm; VARCHAR/TIMESTAMP keys keep
+their full type arms.
+
+``--skew`` adds a HEAVY-HITTER dimension the value-mutation corpora lack
+(their key cardinalities stay uniform): on each table's foreign-key /
+group columns (never primary ids, never text payloads) ~30% of rows are
+remapped to one deterministic heavy value — the column's minimum — so one
+customer owns ~30% of orders, one supplier ~30% of lineitems, one source
+~30% of documents.  That drives the salted-agg/join paths and AQE skew
+splitting through the identical-bytes hash gate, on top of the standard
+NULL/tie/overflow ladder (the skew arm uses its own selection hash, so
+the remaining 70% of rows keep the full mutation coverage).
 
 Usage: python tools/make_fuzz_sf.py [--src /root/testdata/sf0.01]
                                     [--out .localdata/sf0.01_fuzz]
+                                    [--skew]
 """
 
 from __future__ import annotations
@@ -47,10 +61,32 @@ def _is_keyish(col: str) -> bool:
     return col.endswith("key") or col.endswith("_id")
 
 
+#: --skew targets: foreign-key and group/dimension columns only — primary
+#: ids stay unique (deterministic id-keyed ops document a unique-id
+#: precondition) and text payloads stay content-realistic
+SKEW_COLS: dict[str, tuple[str, ...]] = {
+    "nation": ("n_regionkey",),
+    "customer": ("c_nationkey", "c_mktsegment"),
+    "supplier": ("s_nationkey",),
+    "part": ("p_brand", "p_type"),
+    "orders": ("o_custkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem": ("l_partkey", "l_suppkey", "l_returnflag"),
+    "events": ("user_id", "event_type"),
+    "documents": ("source", "lang"),
+    "embeddings": ("label",),
+}
+
+
 def mutated_expr(
-    col: str, typ: str, allcols: list[str], salt: str = ""
+    col: str, typ: str, allcols: list[str], salt: str = "",
+    skew_src: str | None = None,
 ) -> str:
-    """CASE expression applying this column's mutation ladder."""
+    """CASE expression applying this column's mutation ladder.
+
+    ``skew_src`` (the source parquet path) wraps the ladder in an OUTER
+    heavy-hitter arm: ~30% of rows (independent selection hash) remap to
+    the column's minimum original value, so the ladder's NULL/tie classes
+    still cover the non-heavy 70%."""
     h = f"hash({', '.join(allcols)}, '{col}{salt}')"
     b = f"({h} % 1000)"
     t = typ.upper()
@@ -92,9 +128,15 @@ def mutated_expr(
         arms += [f"WHEN {b} < 200 THEN date_trunc('hour', {col})"]
     elif t.endswith("[]"):
         pass  # arrays: NULL only
-    return (
-        f"CAST(CASE {' '.join(arms)} ELSE {col} END AS {typ}) AS {col}"
-    )
+    body = f"CASE {' '.join(arms)} ELSE {col} END"
+    if skew_src is not None:
+        hs = f"hash({', '.join(allcols)}, '{col}{salt}SKEW')"
+        body = (
+            f"CASE WHEN ({hs} % 1000) < 300 "
+            f"THEN (SELECT min({col}) FROM '{skew_src}') "
+            f"ELSE {body} END"
+        )
+    return f"CAST({body} AS {typ}) AS {col}"
 
 
 def main() -> None:
@@ -115,6 +157,12 @@ def main() -> None:
         "same classes) — run the gate on a second salt to catch "
         "divergences that the default pattern misses by threshold luck",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="add the heavy-hitter arm: ~30%% of rows on each table's "
+        "FK/group columns remap to that column's minimum value",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -125,8 +173,12 @@ def main() -> None:
             f"DESCRIBE SELECT * FROM '{src}'"
         ).fetchall()
         names = [c[0] for c in cols]
+        skew_cols = SKEW_COLS.get(t, ()) if args.skew else ()
         sel = ",\n  ".join(
-            mutated_expr(name, typ, names, args.salt)
+            mutated_expr(
+                name, typ, names, args.salt,
+                skew_src=src if name in skew_cols else None,
+            )
             for name, typ, *_ in cols
         )
         dst = os.path.join(args.out, f"{t}.parquet")
