@@ -271,14 +271,9 @@ def token_jaccard_pairs(
                     f"exact verification, same schema), or use "
                     f"minhash_lsh_pairs / dup_clusters directly."
                 )
-            if tokenizer is not None:
-                raise ValueError(
-                    "on_budget='degrade' supports the default whitespace "
-                    "tokenizer only (minhash_lsh_pairs tokenizes internally)"
-                )
             return minhash_lsh_pairs(
                 df, id_col, text_col, n_hashes=16, band_size=4,
-                threshold=threshold,
+                threshold=threshold, tokenizer=tokenizer,
             )
 
     if strategy == "bitmask":
@@ -625,12 +620,19 @@ def _jaccard_bitmask(docsets: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    tokenizer: Column | None = None,
 ) -> DataFrame:
     """MinHash signature per document: n_hashes min-of-seeded-hash columns
-    (mh_00 .. mh_NN), engine-portable via md5."""
+    (mh_00 .. mh_NN), engine-portable via md5.  ``tokenizer`` overrides the
+    whitespace token set (e.g. ``char_ngrams(text_col)`` for shingle
+    MinHash — the original MinHash use-case)."""
+    tok_col = tokens(text_col) if tokenizer is None else tokenizer
     tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+        F.col(id_col).alias("doc_id"), F.explode(tok_col).alias("token")
     )
     aggs = [
         F.min(hash60(F.concat(F.lit(f"{i}|"), F.col("token")))).alias(f"mh_{i:02d}")
@@ -646,12 +648,13 @@ def _stacked_bands(
     n_hashes: int,
     band_size: int,
     out_id: str = "doc_id",
+    tokenizer: Column | None = None,
 ) -> DataFrame:
     """(out_id, band_key) rows: MinHash signatures banded and exploded —
     the shared LSH blocking stage of :func:`minhash_lsh_pairs` and
     :func:`incremental_dedup` (one definition, so the banding scheme
     cannot silently diverge between the two paths)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, tokenizer)
     n_bands = n_hashes // band_size
     band_cols = [
         F.md5(
@@ -679,6 +682,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     threshold: float = 0.5,
     verify: str = "auto",
+    tokenizer: Column | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified with exact Jaccard.
 
@@ -688,8 +692,12 @@ def minhash_lsh_pairs(
     depends on banding parameters, as usual for LSH). ``verify`` picks the
     verification representation: 'bitmask' (vocab <= 64, popcount
     arithmetic), 'arrays' (general, ``array_intersect``), or 'auto'.
+    ``tokenizer`` switches both the signatures and the verification to a
+    custom token set (e.g. ``char_ngrams`` shingles).
     """
-    stacked = _stacked_bands(df, id_col, text_col, n_hashes, band_size)
+    stacked = _stacked_bands(
+        df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
+    )
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(
@@ -701,7 +709,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     docsets = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+        F.col(id_col).alias("doc_id"),
+        (tokens(text_col) if tokenizer is None else tokenizer).alias("toks"),
     ).withColumn("sz", F.size("toks"))
     if verify == "auto":
         verify = "bitmask" if _vocab_fits_mask(docsets) else "arrays"

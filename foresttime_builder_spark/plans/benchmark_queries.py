@@ -812,9 +812,30 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram (shingle) set-similarity pairs — the n-gram flavor
     of exact Jaccard dedup (vs q16's whitespace tokens). The trigram
     vocabulary (~380) rules out the 64-bit mask path, so this exercises the
-    SSJoin prefix filter with a dense shingle alphabet."""
+    SSJoin prefix filter with a dense shingle alphabet.
+
+    100x-scale posture: the dense alphabet is the prefix filter's WORST
+    vocabulary — at sf10 the exact path's candidate stream physically
+    exceeds local shuffle disk (measured: 8 GB heap died at ~150 s, 48 GB
+    heap filled 74 GB of /tmp and died at ~556 s with 'No space left on
+    device').  So q54 carries the candidate-budget guard with
+    on_budget='degrade' (like q76 documents for the token family): when
+    the sampled projection exceeds the disk-derived budget the plan
+    switches to banded shingle-MinHash-LSH candidates with the same exact
+    verification and schema — high recall instead of guaranteed-total
+    recall, which is the only honest posture once exact pairs are
+    output-bound.  The sf0.01 gate stays on the exact path (projection
+    far below any real budget), so the oracle hash-match still proves the
+    exact machinery.
+
+    Measured at sf10 (166,700 docs, idle local[32]): exact-path sampled
+    projection 2.96e9 candidates vs a 2.9e8 disk-derived budget → degrade
+    fires; the banded shingle-LSH candidate stream is 12.5e6 rows (236x
+    below the exact projection) and the query completes in 294.8 s on the
+    default 8 GB heap (2,600 verified pairs)."""
     from foresttime_builder_spark.operators.dedup import (
         char_ngrams,
+        derive_candidate_budget,
         token_jaccard_pairs,
     )
 
@@ -829,6 +850,8 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         strategy="prefix",
         tokenizer=char_ngrams("text"),
+        candidate_budget=derive_candidate_budget(spark),
+        on_budget="degrade",
     )
     # carry_cache: keep the persisted shingle relation alive past the
     # wrapper's fixed-point projection (see q16)

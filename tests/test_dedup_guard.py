@@ -108,6 +108,32 @@ def test_candidate_budget_degrade_is_verified_subset_of_exact(spark):
         assert (r.n_common, r.jaccard) == exact[(r.doc_a, r.doc_b)]
 
 
+def test_candidate_budget_degrade_with_shingle_tokenizer(spark):
+    """Degrade must also work for a CUSTOM tokenizer (char n-grams — the
+    q54 regime where the exact path is disk-bound at scale): banded
+    shingle-MinHash candidates, exact shingle-Jaccard verification, every
+    returned pair present in the exact shingle answer."""
+    from foresttime_builder_spark.operators.dedup import char_ngrams
+
+    wide = _corpus(spark, vocab=120)
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in token_jaccard_pairs(
+            wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+            tokenizer=char_ngrams("text"),
+        ).collect()
+    }
+    degraded = token_jaccard_pairs(
+        wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+        tokenizer=char_ngrams("text"),
+        candidate_budget=1, on_budget="degrade",
+    ).collect()
+    assert degraded, "shingle banded mode found no pairs"
+    for r in degraded:
+        assert (r.doc_a, r.doc_b) in exact
+        assert (r.n_common, r.jaccard) == exact[(r.doc_a, r.doc_b)]
+
+
 def test_candidate_budget_not_exceeded_runs_exact(spark):
     """A generous budget must leave the exact path untouched."""
     wide = _corpus(spark, vocab=120)
