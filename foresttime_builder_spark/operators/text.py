@@ -216,45 +216,40 @@ def top_token_ngrams(
     which Catalyst executes as TakeOrdered (per-partition heaps + a k-row
     driver merge, never a full sort).  The ``(count desc, gram asc)``
     tie-break makes the result a deterministic set, so the gate can
-    hash-compare it.  The token split is hoisted to its own projection so
-    the gram assembly slices a materialized array.
+    hash-compare it.
 
-    Grams travel as STRUCTS of the n tokens until after the count; the
-    display string is concatenated only for the distinct grams that
-    survive aggregation, and the final (count desc, gram asc) ordering is
-    on that string — identical semantics to concatenating up front, minus
-    a per-corpus-gram string allocation (measured −30% at sf10: 5.97 s vs
-    8.50 s median-of-3, equal outputs; same lesson as
-    :func:`repetition_quality`).
-
-    Gram assembly is ``arrays_zip`` over ``n`` shifted ``slice``\\ s — the
-    unrolled, whole-stage-codegen form — NOT ``transform(sequence(...))``
-    with a per-element struct lambda: higher-order lambdas run
-    interpreted, and the unroll measured equal outputs at −30% sf0.1
-    (0.461→0.326 s median-of-5), −10% sf1 (1.19→1.07 median-of-3), −14%
-    sf10 (5.42→4.61 mean-of-2) on idle local[32] (the standing
-    HOF-in-hot-path lesson)."""
-    fields = "abcdefghij"[:n]
-    T = F.col("_toks")
-    typ = "array<struct<" + ",".join(f"{f}:string" for f in fields) + ">>"
-    # documents shorter than n contribute no grams (matches the twin's
-    # WHERE len >= n); the guard also keeps every slice length positive
-    m = F.size(T) - F.lit(n - 1)
-    grams = F.when(
-        F.size(T) >= n,
-        F.arrays_zip(
-            *[F.slice(T, i + 1, m).alias(fields[i]) for i in range(n)]
-        ),
-    ).otherwise(F.lit(None).cast(typ))
+    Gram assembly is ONE lookahead regex over the text with a SENTINEL
+    space prepended — `` (?=([^ ]* [^ ]* [^ ]*))`` for n=3: every token
+    start (including the first) now sits right after a real space, each
+    match consumes exactly that boundary space, and the lookahead group
+    captures the n-token window as the finished gram STRING — no split
+    array, no per-gram struct, no post-aggregation concat.  The sentinel
+    matters: an ``(?:^| )`` alternation is ZERO-width at ``^``, and after
+    a zero-width match the engine resumes one char later — so a text
+    with a LEADING space (fuzz whitespace soup) lost the gram starting
+    at token 1 (caught by the fuzz gate, invisible on clean data).
+    ``[^ ]*`` (not ``\\S+``) reproduces ``split(text, ' ')`` exactly —
+    consecutive spaces yield empty tokens that participate in grams.
+    Two predecessors, for the record (all three verified
+    output-identical at sf0.1/sf1/sf10): ``transform(sequence(...))``
+    struct grams (interpreted HOF — the standing hot-path trap; sf0.1
+    0.56 s); the codegen'd ``arrays_zip`` over n shifted slices unroll
+    (sf0.1 0.53-0.56 s in-session, 4.24-4.45 s sf10).  The regex form
+    measured 0.44 s sf0.1 median-of-5, 0.77 s sf1, 2.89-3.28 s sf10 —
+    the JVM regex scan beats materializing 2.4M-row token arrays and
+    gram structs through the exchange."""
+    pat = r" (?=(" + " ".join(["[^ ]*"] * n) + r"))"
     return (
-        _spread(df.select(F.split(F.col(text_col), " ").alias("_toks")))
-        .select(F.explode(grams).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.concat_ws(" ", *[F.col(f"g.{f}") for f in fields]).alias("gram"),
-            "cnt",
+        _spread(
+            df.select(F.concat(F.lit(" "), F.col(text_col)).alias("_t"))
         )
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.col("_t"), F.lit(pat), 1)
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
     )

@@ -74,9 +74,11 @@ def get_spark(
         # still bounds how far cached stages coalesce, and exchange reuse
         # lost to output-partitioning changes is irrelevant here (the
         # persisted intermediates feed column-DAG stages, not re-joins).
+        # FTB_AQE_CACHED_REPLAN=false is the A/B lever for the trend-row
+        # study in BASELINE.md ("AQE cached-plan flag" section)
         .config(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
+            os.environ.get("FTB_AQE_CACHED_REPLAN", "true"),
         )
         # AQE coalescing sizes partitions by BYTES; window/expression-dense
         # stages (annualization: ~10 window passes per row) have huge
