@@ -182,6 +182,89 @@ def estimate_candidate_pairs(
     return int(sampled_pairs / (p * p))
 
 
+def estimate_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    band_size: int,
+    tokenizer: Column | None = None,
+    sample_docs: int = 20_000,
+) -> int:
+    """Projected pre-``distinct`` candidate volume of the banded-LSH
+    self-join (:func:`minhash_lsh_pairs`), from a bounded document sample.
+
+    The LSH join's shuffle is ``sum over (band, band_key) buckets of
+    C(n_bucket, 2)`` — on a heavily self-similar corpus near-dup pairs
+    collide in MOST bands, so the stream approaches
+    ``n_bands × true_pairs`` and can exceed local disk even though
+    banding is "sub-quadratic" (measured: the unguarded q23 at sf10 died
+    at 176 s — ~7e9 projected candidates vs 74 GB of shuffle disk).
+    Bucket sizes scale ~``p`` under uniform doc sampling, so the per-
+    bucket pair sums scale by ``1/p^2`` exactly like
+    :func:`estimate_candidate_pairs`."""
+    n_docs = df.count()
+    if n_docs == 0:
+        return 0
+    if n_docs <= sample_docs:
+        sample, p = df, 1.0
+    else:
+        p = sample_docs / n_docs
+        sample = df.sample(fraction=p, seed=7)
+    stacked = _stacked_bands(
+        sample, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
+    )
+    row = (
+        stacked.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+        .collect()[0]
+    )
+    return int(float(row["pairs"] or 0.0) / (p * p))
+
+
+def estimate_containment_candidates(
+    docsets: DataFrame, threshold: float, sample_docs: int = 20_000
+) -> int:
+    """Projected pre-``distinct`` candidate volume of the containment
+    prefix⋈index join (:func:`containment_pairs`): ``sum over tokens of
+    prefix_df(token) × (df(token) - 1)`` — each prefix posting joins every
+    OTHER posting of that token in the full inverted index.  Replays the
+    containment prefix formula on a uniform doc sample; both factors
+    scale ~``p``, so the sum scales by ``1/p^2``."""
+    n_docs = docsets.count()
+    if n_docs == 0:
+        return 0
+    if n_docs <= sample_docs:
+        sample, p = docsets, 1.0
+    else:
+        p = sample_docs / n_docs
+        sample = docsets.sample(fraction=p, seed=7)
+    tok = sample.select("doc_id", "sz", F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    pref = (
+        tok.join(F.broadcast(dfreq), "token")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("pdf"))
+    )
+    row = (
+        pref.join(dfreq, "token")
+        .agg(F.sum(F.col("pdf") * (F.col("df") - 1)).alias("pairs"))
+        .collect()[0]
+    )
+    return int(float(row["pairs"] or 0.0) / (p * p))
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -683,6 +766,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify: str = "auto",
     tokenizer: Column | None = None,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified with exact Jaccard.
 
@@ -694,7 +778,34 @@ def minhash_lsh_pairs(
     arithmetic), 'arrays' (general, ``array_intersect``), or 'auto'.
     ``tokenizer`` switches both the signatures and the verification to a
     custom token set (e.g. ``char_ngrams`` shingles).
+
+    ``candidate_budget`` is the feasibility guard: banding is only
+    sub-quadratic when true similarity is SPARSE — on a corpus where a
+    large fraction of pairs really are near-dups, near-dup pairs collide
+    in most bands and the candidate stream approaches
+    ``n_bands × true_pairs`` (the r11 sf10 sweep measured ~7e9 projected
+    candidates for q23 — past local shuffle disk).  When the sampled
+    projection (:func:`estimate_lsh_candidates`) exceeds the budget the
+    operator RAISES with the projection and the levers — there is no
+    lossless degrade below pair enumeration: if the pair list itself is
+    the bottleneck, the answer is a coarser artifact (``dup_clusters``/
+    ``dedup_finalize`` keep one row per doc), a higher threshold with
+    tighter banding, or corpus sharding.
     """
+    if candidate_budget is not None:
+        projected = estimate_lsh_candidates(
+            df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
+        )
+        if projected > candidate_budget:
+            raise ValueError(
+                f"minhash_lsh_pairs: projected candidate stream "
+                f"~{projected:,} pairs exceeds candidate_budget="
+                f"{candidate_budget:,}; at this similarity density the "
+                f"enumerated pair list is itself the bottleneck. Use "
+                f"dup_clusters/dedup_finalize (one row per doc), raise "
+                f"threshold with tighter banding (larger band_size), or "
+                f"shard the corpus."
+            )
     stacked = _stacked_bands(
         df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
     )
@@ -994,6 +1105,7 @@ def containment_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-superset detection: pairs where containment
     ``C(A, B) = |A ∩ B| / |A|`` >= threshold — document A is (almost)
@@ -1016,6 +1128,15 @@ def containment_pairs(
     Returns ``(contained_id, container_id, n_common, containment)`` with
     containment rounded to 4 decimals (the q16 convention); both
     directions of a mutual pair emit independently.
+
+    ``candidate_budget``: the prefix filter keeps the stream small on
+    REAL text (rare tokens are rare); on a synthetic heavily-duplicated
+    corpus the output itself is near-quadratic (sf1 measured 141M pairs)
+    and the prefix⋈index stream with it.  When the sampled projection
+    (:func:`estimate_containment_candidates`) exceeds the budget the
+    operator RAISES — containment has no lossless sub-enumeration form;
+    the levers are a higher threshold, dedup-then-contain (cluster
+    representatives first), or corpus sharding.
     """
     if threshold <= 0 or threshold > 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1029,6 +1150,18 @@ def containment_pairs(
     docsets = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
     ).withColumn("sz", F.size("toks")).persist()
+    if candidate_budget is not None:
+        projected = estimate_containment_candidates(docsets, threshold)
+        if projected > candidate_budget:
+            docsets.unpersist()
+            raise ValueError(
+                f"containment_pairs: projected candidate stream "
+                f"~{projected:,} pairs exceeds candidate_budget="
+                f"{candidate_budget:,}; the containment pair list is "
+                f"output-bound on this corpus. Raise threshold, run "
+                f"dedup_finalize first and contain representatives, or "
+                f"shard the corpus."
+            )
     tok = docsets.select(
         "doc_id", "sz", F.explode("toks").alias("token")
     ).persist()

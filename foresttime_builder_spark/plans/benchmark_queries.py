@@ -26,6 +26,7 @@ from foresttime_builder_spark.operators import (
 )
 from foresttime_builder_spark.operators.cache import carry_cache
 from foresttime_builder_spark.operators.dedup import (
+    derive_candidate_budget,
     minhash_lsh_pairs,
     simhash,
     token_jaccard_pairs,
@@ -768,8 +769,15 @@ def q16_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe flips to the SSJoin prefix filter.  The probe job IS the scale
     # path — pinning 'bitmask' here overflowed the mask sum the first time
     # the query ran on a >64-token corpus (caught by run_at_scale at sf1).
+    # Budget guard (q54's adjudicated pattern): sf0.01 (gate) and sf1 stay
+    # exact under any real budget; at sf10 the exact projection (~1.25e9
+    # candidates) exceeds local shuffle disk — measured: unguarded q16
+    # killed its JVM at 132 s in the r11 sweep — so it degrades to banded
+    # LSH with identical verification and schema.
     pairs = token_jaccard_pairs(
-        d, "doc_id", "text", threshold=0.8, strategy="auto"
+        d, "doc_id", "text", threshold=0.8, strategy="auto",
+        candidate_budget=derive_candidate_budget(spark),
+        on_budget="degrade",
     )
     # carry_cache: the fixed-point projection is the frame we return; without
     # re-attaching, the operator's persisted docsets would be unpersisted the
@@ -966,6 +974,13 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_MH_BAND,
         threshold=0.5,
         verify="auto",
+        # feasibility guard, 16 B per (long, long) candidate row: on this
+        # deliberately self-similar corpus the banded stream approaches
+        # n_bands x true_pairs (~7e9 projected at sf10 — the unguarded
+        # query died there at 176 s); sf0.01/sf1 run under budget
+        candidate_budget=derive_candidate_budget(
+            spark, bytes_per_candidate=16
+        ),
     )
     # fixed-point gate emission of the (already 4-rounded) jaccard;
     # carry_cache keeps the operator's persisted mask relation alive until
@@ -1952,11 +1967,16 @@ def q50_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     # strategy='auto' (see q16 note): probes the vocabulary and only takes
-    # the 64-bit mask path when it is provably applicable.  At gate SFs the
-    # exact path is the right one, so no candidate_budget here; scale runs
-    # pass the guard through cluster_near_dups directly (tools/run_at_scale
-    # uses on_budget='degrade').
-    return cluster_near_dups(d, "doc_id", "text", threshold=0.8, strategy="auto")
+    # the 64-bit mask path when it is provably applicable.  Budget guard
+    # wired HERE (the earlier comment claimed run_at_scale passed it —
+    # it never did, and the unguarded exact pair stream OOM'd the r11
+    # sf10 sweep at 130 s): gate SFs stay exact, scale degrades to banded
+    # LSH edges feeding the same components/clustering.
+    return cluster_near_dups(
+        d, "doc_id", "text", threshold=0.8, strategy="auto",
+        candidate_budget=derive_candidate_budget(spark),
+        on_budget="degrade",
+    )
 
 
 def q51_state_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2800,7 +2820,13 @@ def q77_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from foresttime_builder_spark.operators.graph import dedup_finalize
 
     d = load_table(spark, sf_dir, "documents")
-    return dedup_finalize(d, "doc_id", "text", threshold=0.8, strategy="auto")
+    # budget guard wired like q50 (the unguarded chain OOM'd the r11 sf10
+    # sweep); gate SFs stay exact
+    return dedup_finalize(
+        d, "doc_id", "text", threshold=0.8, strategy="auto",
+        candidate_budget=derive_candidate_budget(spark),
+        on_budget="degrade",
+    )
 
 
 def _dedup_keep_best_oracle() -> str:
@@ -4029,7 +4055,15 @@ def q111_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from foresttime_builder_spark.operators.dedup import containment_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return containment_pairs(d, "doc_id", "text", threshold=0.8)
+    # feasibility guard (16 B per candidate row — see q23): the
+    # containment pair list is output-bound on this corpus (sf1 measured
+    # 141M pairs; the unguarded sf10 run died at 138 s)
+    return containment_pairs(
+        d, "doc_id", "text", threshold=0.8,
+        candidate_budget=derive_candidate_budget(
+            spark, bytes_per_candidate=16
+        ),
+    )
 
 
 def _containment_oracle(threshold: float = 0.8) -> str:

@@ -159,10 +159,16 @@ def q96_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a NULL event_id has no dedup identity — the state store would
     # collapse every such row to ONE key (475 rows became 1 on the fuzz
     # corpus); excluded identically in the oracle
+    from foresttime_builder_spark.streaming.events import run_to_parquet
+
     s = read_event_stream(spark, sf_dir).filter(
         F.col("event_id").isNotNull()
     )
-    out = run_to_memory(
+    # parquet sink, NOT the memory sink: q96's output is row-scale (every
+    # deduped event — 10M rows at sf10), and the memory sink accumulates
+    # it all in the driver: measured GC-spiral + SparkContext death at
+    # sf10 in rounds 10 AND 11.  run_to_parquet keeps output executor-side
+    out = run_to_parquet(
         # watermark sized to the SOURCE's disorder: the union-of-two-
         # streams replay can deliver a copy several micro-batches after
         # the watermark advanced past its event time, and
@@ -177,7 +183,6 @@ def q96_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             watermark="45 days",
         ),
-        output_mode="append",
     )
     return out.select(
         "event_id",

@@ -357,3 +357,38 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_to_parquet(
+    streaming_df: DataFrame,
+    name: str | None = None,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Execute a streaming plan to completion (``availableNow``) into a
+    PARQUET sink and return the read-back frame.
+
+    The memory-sink twin (:func:`run_to_memory`) materializes every
+    output row in the DRIVER — a collect in disguise that scales with
+    output volume: q96's 10M deduped rows GC-spiraled an 8 GB single-JVM
+    session for 77 minutes before killing the SparkContext at sf10
+    (measured in rounds 10 and 11).  The parquet sink keeps every output
+    row executor-side; the returned frame is a lazy scan, so downstream
+    consumers (gate collect at sf0.01, noop sink at sf10) pay only what
+    they ask for.  Append-mode only — which is the only mode a
+    row-scale-output stream should use anyway (complete mode re-emits
+    the whole result per batch)."""
+    spark = streaming_df.sparkSession
+    name = name or f"stream_{uuid.uuid4().hex[:10]}"
+    out = out_dir or tempfile.mkdtemp(prefix=f"sink_{name}_")
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        streaming_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # explicit schema: an all-late/empty stream leaves no footer to infer
+    return spark.read.schema(streaming_df.schema).parquet(out)

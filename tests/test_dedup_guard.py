@@ -153,6 +153,52 @@ def test_candidate_budget_not_exceeded_runs_exact(spark):
     assert guarded == base
 
 
+def test_lsh_and_containment_budget_guards(spark):
+    """The r11 additions: banded LSH and containment pair enumeration are
+    OUTPUT-bound on dense-similarity corpora (both OOM'd the unguarded
+    sf10 sweep), so both carry a candidate-budget guard that RAISES with
+    the projection — and a generous budget must leave results untouched."""
+    from foresttime_builder_spark.operators.dedup import (
+        containment_pairs,
+        minhash_lsh_pairs,
+    )
+
+    wide = _corpus(spark, vocab=120)
+    with pytest.raises(ValueError, match="candidate_budget"):
+        minhash_lsh_pairs(
+            wide, "doc_id", "text", threshold=0.5, candidate_budget=1
+        )
+    with pytest.raises(ValueError, match="candidate_budget"):
+        containment_pairs(
+            wide, "doc_id", "text", threshold=0.8, candidate_budget=1
+        )
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            wide, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            wide, "doc_id", "text", threshold=0.5,
+            candidate_budget=10_000_000,
+        ).collect()
+    }
+    assert guarded == base
+    cbase = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(wide, "doc_id", "text").collect()
+    }
+    cguard = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(
+            wide, "doc_id", "text", candidate_budget=10_000_000
+        ).collect()
+    }
+    assert cguard == cbase and cbase
+
+
 def test_estimator_order_of_magnitude(spark):
     """The sample-based projection must land within a small factor of the
     true pre-distinct candidate stream on a corpus big enough to sample

@@ -68,10 +68,16 @@ def _isolate_main(args) -> None:
                 "err": f"subprocess rc={proc.returncode}: "
                        f"{proc.stderr.strip()[-300:]}",
             }
-        status = report[name]["err"] or f"{report[name]['rows']} rows"
+        status = (
+            report[name]["err"]
+            or ("GUARDED: " + report[name]["guarded"][:80]
+                if report[name].get("guarded")
+                else f"{report[name]['rows']} rows")
+        )
         print(f"{name}: {report[name]['sec']}s  {status}", file=sys.stderr)
 
     errs = [n for n in report if report[n]["err"]]
+    guarded = [n for n in report if report[n].get("guarded")]
     line = json.dumps(
         {
             "sf_dir": args.sf_dir,
@@ -79,6 +85,7 @@ def _isolate_main(args) -> None:
             "queries": report,
             "n": len(report),
             "errors": errs,
+            "guarded": guarded,
         }
     )
     print(line)
@@ -149,18 +156,43 @@ def main() -> None:
             }
             if args.runs > 1:
                 report[name]["spread"] = [min(samples), max(samples)]
+        except ValueError as exc:
+            # a candidate-budget guard RAISING at scale is the operator's
+            # DESIGNED behavior (the feasibility answer, not a crash) —
+            # recorded as 'guarded', distinct from infrastructure errors
+            msg = str(exc)
+            kind = "guarded" if "candidate_budget" in msg else "err"
+            report[name] = {
+                "sec": round(time.time() - t0, 2),
+                "rows": None,
+                "err": None if kind == "guarded" else f"ValueError: {msg[:300]}",
+            }
+            if kind == "guarded":
+                report[name]["guarded"] = msg[:300]
         except Exception as exc:  # noqa: BLE001 — sweep must not abort
             report[name] = {
                 "sec": round(time.time() - t0, 2),
                 "rows": None,
                 "err": f"{type(exc).__name__}: {str(exc)[:300]}",
             }
-        status = report[name]["err"] or f"{report[name]['rows']} rows"
+        status = (
+            report[name]["err"]
+            or ("GUARDED: " + report[name]["guarded"][:80]
+                if report[name].get("guarded")
+                else f"{report[name]['rows']} rows")
+        )
         print(f"{name}: {report[name]['sec']}s  {status}", file=sys.stderr)
 
     errs = [n for n in report if report[n]["err"]]
+    guarded = [n for n in report if report[n].get("guarded")]
     line = json.dumps(
-        {"sf_dir": args.sf_dir, "queries": report, "n": len(report), "errors": errs}
+        {
+            "sf_dir": args.sf_dir,
+            "queries": report,
+            "n": len(report),
+            "errors": errs,
+            "guarded": guarded,
+        }
     )
     print(line)
     if args.out:
