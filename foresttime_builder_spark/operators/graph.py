@@ -202,13 +202,23 @@ def _cc_star(
     # round's blocks are edge-count-sized, so the PREVIOUS round's are
     # explicitly dropped once the new round is materialized (safe: a
     # localCheckpointed frame is never re-read after being superseded).
+    # edge-count-sized checkpoints are stored SERIALIZED: localCheckpoint's
+    # default (MEMORY_AND_DISK_DESER) holds one JVM object per row, and at
+    # the degraded-q50 scale (72.8M edges) the transient prev+new
+    # coexistence during a round OOM'd an 8 GB heap (r11 sf10, measured
+    # twice at ~430 s in); serialized blocks (PySpark's MEMORY_AND_DISK —
+    # the _SER spelling was dropped when serialized became the named
+    # default) shed the per-object overhead and spill to disk cleanly
+    from pyspark import StorageLevel as _SL
+
+    _ckpt_level = _SL.MEMORY_AND_DISK
     e = (
         raw.filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=_ckpt_level)
     )
 
     def _sig(df: DataFrame) -> tuple:
@@ -256,7 +266,7 @@ def _cc_star(
             .union(gmin.select(F.col("m").alias("lo"), F.col("hi")))
             .filter(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=True, storageLevel=_ckpt_level)
         )
         # the round ENTERED with prev_ckpt (checkpointed); the new e is
         # materialized, so prev_ckpt's edge-count-sized blocks can go —

@@ -135,11 +135,20 @@ def kmv_distinct_by(
         raise ValueError(f"oversample must be >= 1, got {oversample}")
     from pyspark.sql import Window as W
 
+    from foresttime_builder_spark.operators.cache import release_on_gc
+
     poly = hex13_poly_sql(f"md5(CAST({col} AS STRING))")
+    # persisted: hv feeds the count, the threshold join, and the fallback
+    # semi-join — three plan branches; without the cache the expensive
+    # explode+distinct recomputes per branch (measured at sf10: 75-80 s
+    # unpersisted vs ~13 s persisted for the q117 shape, i.e. the
+    # "economics" were NEGATIVE until this line).  release_on_gc ties the
+    # cache to the returned frame's lifetime (the dedup discipline).
     hv = (
         df.filter(F.col(col).isNotNull())
         .select(F.col(group_col).alias("_g"), (F.expr(poly) / F.lit(_BASE)).alias("v"))
         .distinct()
+        .persist()
     )
     cnt = hv.groupBy("_g").agg(F.count(F.lit(1)).alias("_n_g"))
 
@@ -201,7 +210,7 @@ def kmv_distinct_by(
     ]
     if with_exact:
         out_cols.append(F.col("_n_g").alias("n_exact"))
-    return agg.select(*out_cols)
+    return release_on_gc(agg.select(*out_cols), hv)
 
 
 def kmv_by_oracle_sql(

@@ -4321,12 +4321,17 @@ def q117_group_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     out = kmv_distinct_by(toks, "source", "tok", k=64, with_exact=True)
-    return out.select(
-        "source",
-        F.floor(F.col("est_distinct") * 10000 + F.lit(0.5))
-        .cast("long")
-        .alias("est_distinct_e4"),
-        F.col("n_exact").cast("long").alias("n_exact"),
+    # carry_cache: the operator persists its distinct hash relation across
+    # three plan branches; ownership must follow the frame we return
+    return carry_cache(
+        out.select(
+            "source",
+            F.floor(F.col("est_distinct") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("est_distinct_e4"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        ),
+        out,
     )
 
 
@@ -4362,11 +4367,14 @@ def q118_group_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     out = kmv_distinct_by(toks, "lang", "tok", k=64, with_exact=False)
-    return out.select(
-        "lang",
-        F.floor(F.col("est_distinct") * 10000 + F.lit(0.5))
-        .cast("long")
-        .alias("est_distinct_e4"),
+    return carry_cache(
+        out.select(
+            "lang",
+            F.floor(F.col("est_distinct") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("est_distinct_e4"),
+        ),
+        out,
     )
 
 
