@@ -354,9 +354,15 @@ def token_jaccard_pairs(
                     f"exact verification, same schema), or use "
                     f"minhash_lsh_pairs / dup_clusters directly."
                 )
+            # forward the budget: on a corpus dense enough that the BANDED
+            # stream is itself output-bound (the q23 sf10 regime, ~2.3e9
+            # banded candidates), an unguarded degrade re-enters the exact
+            # failure the guard exists to prevent — the fallback must raise
+            # the designed feasibility error, not exhaust shuffle disk
             return minhash_lsh_pairs(
                 df, id_col, text_col, n_hashes=16, band_size=4,
                 threshold=threshold, tokenizer=tokenizer,
+                candidate_budget=candidate_budget,
             )
 
     if strategy == "bitmask":

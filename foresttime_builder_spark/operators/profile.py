@@ -279,10 +279,12 @@ def equidepth_histogram_sampled_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`equidepth_histogram_sampled` — identical md5
     hash threshold, ntile order, and estimate arithmetic.  The divisor is
-    CAST to DOUBLE explicitly: a bare ``0.1`` literal parses as DECIMAL in
-    DuckDB (exact division) while Spark divides IEEE doubles, and a
-    quotient landing exactly on a ``.5`` boundary would then round apart
-    cross-engine."""
+    CAST to DOUBLE explicitly: a bare ``0.1`` literal parses as DECIMAL,
+    and an engine dividing decimals EXACTLY would round a quotient landing
+    on a ``.5`` boundary apart from Spark's IEEE division (e.g. 7/0.56:
+    exact 12.5 → 13, IEEE 12.4999… → 12).  Measured DuckDB 1.0 happens to
+    promote DECIMAL ``/`` to DOUBLE anyway; the CAST pins that behavior
+    instead of relying on it (boundary test in ``tests/test_profile.py``)."""
     _check(n_buckets, scale)
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")

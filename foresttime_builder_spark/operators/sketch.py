@@ -215,13 +215,16 @@ def kmv_distinct_by(
 
 def kmv_by_oracle_sql(
     table: str, group_col: str, col: str, k: int = 64,
-    with_exact: bool = True,
+    with_exact: bool = False,
 ) -> str:
     """DuckDB twin of :func:`kmv_distinct_by` — identical hash polynomial,
     rank order, and estimate arithmetic.  The twin ranks each group's FULL
     hash space (the un-cut form); the Spark side's threshold pre-cut is
     provably lossless, so the outputs hash-match — which is exactly what
-    the gate verifies.  ``with_exact`` mirrors the Spark flag."""
+    the gate verifies.  ``with_exact`` mirrors the Spark flag — including
+    its DEFAULT (False): a twin whose default diverged from the Spark
+    side's would hand any future both-defaults query a silent schema
+    mismatch (an extra ``n_exact`` column) at the gate."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     poly = hex13_poly_sql(f"md5(CAST({col} AS VARCHAR))")

@@ -4345,7 +4345,7 @@ def _group_kmv_oracle() -> str:
     return (
         "SELECT source, CAST(floor(est_distinct * 10000 + 0.5) AS BIGINT)"
         " AS est_distinct_e4, CAST(n_exact AS BIGINT) AS n_exact FROM ("
-        + kmv_by_oracle_sql(inner, "source", "tok", k=64)
+        + kmv_by_oracle_sql(inner, "source", "tok", k=64, with_exact=True)
         + ") z"
     )
 

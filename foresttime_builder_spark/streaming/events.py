@@ -26,7 +26,9 @@ with identical downstream plans.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -379,8 +381,19 @@ def run_to_parquet(
     the whole result per batch)."""
     spark = streaming_df.sparkSession
     name = name or f"stream_{uuid.uuid4().hex[:10]}"
-    out = out_dir or tempfile.mkdtemp(prefix=f"sink_{name}_")
+    # default-created dirs are registered for process-exit cleanup: at q96's
+    # output scale (10M rows at sf10) leaked sinks accumulate in /tmp — the
+    # same filesystem derive_candidate_budget sizes budgets from, so leaks
+    # would silently shrink later runs' budgets.  A caller-passed out_dir is
+    # the caller's to manage (the returned frame lazily re-reads it, so it
+    # must outlive this call); the checkpoint dir is always ours to reap.
+    if out_dir is None:
+        out = tempfile.mkdtemp(prefix=f"sink_{name}_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    else:
+        out = out_dir
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     q = (
         streaming_df.writeStream.format("parquet")
         .option("path", out)

@@ -98,9 +98,11 @@ def test_candidate_budget_degrade_is_verified_subset_of_exact(spark):
             wide, "doc_id", "text", threshold=0.5, strategy="prefix"
         ).collect()
     }
+    # budget 500: above the banded-LSH stream (384), below the exact
+    # prefix projection (1920) — forwarded into the fallback (ADVICE r11)
     degraded = token_jaccard_pairs(
         wide, "doc_id", "text", threshold=0.5, strategy="prefix",
-        candidate_budget=1, on_budget="degrade",
+        candidate_budget=500, on_budget="degrade",
     ).collect()
     assert degraded, "banded mode found no pairs on an overlap-dense corpus"
     for r in degraded:
@@ -123,10 +125,14 @@ def test_candidate_budget_degrade_with_shingle_tokenizer(spark):
             tokenizer=char_ngrams("text"),
         ).collect()
     }
+    # budget 1000 sits between the exact shingle projection (7988) and the
+    # banded shingle stream (484): the exact path degrades, the fallback
+    # fits.  The budget is forwarded into the fallback (ADVICE r11), so a
+    # budget below the banded stream raises the designed feasibility error.
     degraded = token_jaccard_pairs(
         wide, "doc_id", "text", threshold=0.5, strategy="prefix",
         tokenizer=char_ngrams("text"),
-        candidate_budget=1, on_budget="degrade",
+        candidate_budget=1000, on_budget="degrade",
     ).collect()
     assert degraded, "shingle banded mode found no pairs"
     for r in degraded:

@@ -120,9 +120,14 @@ def test_cluster_guard_degrade_refines_exact_clusters(spark):
     # the degraded pair graph is SPARSER than the exact one, so the
     # chain corpus's component diameter grows past MAX_ITER_DEFAULT —
     # raise the bound (the operator correctly refuses to silently stop)
+    # budget 500 sits between the exact prefix projection (1920) and the
+    # banded-LSH stream (384): the exact path degrades, the fallback fits.
+    # The budget is forwarded into the fallback (ADVICE r11), so a budget
+    # below the BANDED stream now correctly raises instead of degrading —
+    # which test_cluster_degrade_budget_forwarded asserts.
     degraded = cluster_near_dups(
         wide, "doc_id", "text", threshold=0.5, strategy="prefix",
-        candidate_budget=1, on_budget="degrade", max_iter=64,
+        candidate_budget=500, on_budget="degrade", max_iter=64,
     ).collect()
     assert any(r.cluster_size > 1 for r in degraded)
     by_cluster: dict[int, set[int]] = {}
@@ -142,7 +147,7 @@ def test_dedup_finalize_guard_passthrough(spark):
     wide = _corpus(spark, vocab=120)
     kept = dedup_finalize(
         wide, "doc_id", "text", threshold=0.5, strategy="prefix",
-        candidate_budget=1, on_budget="degrade", max_iter=64,
+        candidate_budget=500, on_budget="degrade", max_iter=64,
     ).collect()
     # one row per cluster, clusters partition the doc space
     assert len({r.cluster_id for r in kept}) == len(kept)
@@ -197,3 +202,53 @@ def test_semantic_dedup_composition_semantics(spark):
     )
     got = {r.vec_id: r.cluster_id for r in assigned.collect()}
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_components_release_superseded_checkpoint_blocks(spark):
+    """Both iterative backends localCheckpoint() every round; the
+    superseded round's blocks must be EXPLICITLY evicted (GC is
+    nondeterministic and the deserialized blocks OOM'd 8 GB heaps at
+    72.8M edges before the r11 fix).  After a multi-round run, the only
+    storage delta allowed is the returned labels checkpoint — a leak of
+    per-round blocks shows up as delta ~= rounds.  Guards the
+    _free_local_checkpoint(labels_root) convention: freeing the post-drop
+    Project handle instead of the LogicalRDD root is a silent no-op."""
+
+    def n_cached_rdds():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(1 for i in infos if i.numCachedPartitions() > 0)
+
+    # chain of 13 nodes: min-label needs ~12 rounds (one hop per round),
+    # so a leak would leave ~12 extra checkpoints cached
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src INT, dst INT"
+    )
+    before = n_cached_rdds()
+    out = connected_components(chain, algorithm="minlabel")
+    assert out.count() == 13
+    assert n_cached_rdds() - before <= 1
+
+    # 101-node path drives the star backend through ~7 contraction rounds
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src INT, dst INT"
+    )
+    before = n_cached_rdds()
+    out = connected_components(path, algorithm="star")
+    assert out.count() == 101
+    assert n_cached_rdds() - before <= 1
+
+
+def test_cluster_degrade_budget_forwarded(spark):
+    """on_budget='degrade' forwards candidate_budget into the banded-LSH
+    fallback: on a corpus dense enough that the BANDED stream itself
+    exceeds the budget, the degrade path must raise the designed
+    feasibility error (naming the levers) instead of re-entering an
+    unguarded self-join — the q23-at-sf10 regime, where the banded stream
+    was itself ~2.3e9 candidates."""
+    wide = _corpus(spark, vocab=120)
+    # budget 1 is below even the banded stream (384 on this corpus)
+    with pytest.raises(ValueError, match="band_size|shard"):
+        cluster_near_dups(
+            wide, "doc_id", "text", threshold=0.5, strategy="prefix",
+            candidate_budget=1, on_budget="degrade", max_iter=64,
+        )

@@ -134,3 +134,52 @@ def test_equidepth_sampled_guards_single_task_sample(spark):
         max_sample_rows=1_000,
     )
     assert out.count() == 2
+
+
+def test_equidepth_sampled_oracle_half_boundary_fraction(spark):
+    """Cross-engine .5-boundary regression: fraction=0.56 with n_sample=7
+    puts the exact-decimal estimate quotient on 12.5 (round-half-up -> 13)
+    while IEEE double division lands just below (12.4999... -> 12).  Any
+    engine doing EXACT decimal division here would round apart from
+    Spark; the oracle pins the divisor with CAST(... AS DOUBLE) and this
+    test proves both engines agree at the boundary (DuckDB's `/` happens
+    to promote DECIMAL to DOUBLE already — the CAST makes that
+    version-independent instead of relied-upon).  N=16 is pinned so the
+    md5 hash filter keeps exactly 7 rows."""
+    import duckdb
+
+    from foresttime_builder_spark.operators.profile import (
+        equidepth_histogram_sampled,
+        equidepth_histogram_sampled_oracle_sql,
+    )
+
+    # the divergence class this guards against: exact decimal division
+    # says 13, IEEE says 12 — the engines must BOTH say 12
+    from decimal import Decimal
+    import math
+
+    assert math.floor(Decimal(7) / Decimal("0.56") + Decimal("0.5")) == 13
+    assert duckdb.sql(
+        "SELECT floor(7 / CAST(0.56 AS DOUBLE) + 0.5)"
+    ).fetchone()[0] == 12
+
+    df = spark.range(16).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    got = sorted(
+        tuple(r)
+        for r in equidepth_histogram_sampled(
+            df, "v", "k", n_buckets=1, scale=1, fraction=0.56
+        ).collect()
+    )
+    assert got and got[0][3] == 7, "precondition: hash filter keeps 7 rows"
+    assert got[0][4] == 12, "Spark side must divide IEEE doubles"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT CAST(range AS BIGINT) AS k, "
+        "CAST(range AS DOUBLE) AS v FROM range(16)"
+    )
+    sql = equidepth_histogram_sampled_oracle_sql(
+        "v", "k", "t", n_buckets=1, scale=1, fraction=0.56
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want

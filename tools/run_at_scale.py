@@ -161,7 +161,13 @@ def main() -> None:
             # DESIGNED behavior (the feasibility answer, not a crash) —
             # recorded as 'guarded', distinct from infrastructure errors
             msg = str(exc)
-            kind = "guarded" if "candidate_budget" in msg else "err"
+            # every designed feasibility guard names the lever the caller
+            # can pull: candidate_budget (pair/LSH/containment families) or
+            # max_sample_rows (single-task sampled histogram) — match both
+            # so a guard firing at scale is never misreported as an
+            # infrastructure error
+            _guard_markers = ("candidate_budget", "max_sample_rows")
+            kind = "guarded" if any(m in msg for m in _guard_markers) else "err"
             report[name] = {
                 "sec": round(time.time() - t0, 2),
                 "rows": None,
