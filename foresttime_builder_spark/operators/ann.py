@@ -422,6 +422,29 @@ def adaptive_k_clusters(n: int, lo: int = IVF_MIN_K, hi: int = IVF_MAX_K) -> int
     return kk
 
 
+def adaptive_nprobe(k_clusters: int) -> int:
+    """Default probe width ``max(2, ceil(0.4 * k_clusters))`` in PURE
+    integer arithmetic (``(2k + 4) // 5``) so the DuckDB twin can replay
+    it bit-exactly — a float ``0.4 * k`` would round differently between
+    IEEE doubles and DuckDB's DECIMAL literals on boundary products.
+
+    Why 0.4: measured recall@3 on the synthetic embeddings (near-isotropic
+    — the ANN-hostile worst case; real embedding spaces cluster far
+    better and reach the same recall at much smaller fractions):
+    sf0.01 (N=500, k=32): nprobe 2→0.33, 8→0.72, 13→~0.8, 16→0.87;
+    sf1 (N=50k, k=256): nprobe 64 (25%)→0.75, 96 (37.5%)→0.87.
+    ceil(0.4k) lands ≥0.8 at both scales.  The old default (nprobe=2,
+    recall 1/3 — the q101 harness's round-9 finding) is still available
+    by passing an int."""
+    return max(2, (2 * k_clusters + 4) // 5)
+
+
+def adaptive_nprobe_sql(kk_expr: str) -> str:
+    """SQL twin of :func:`adaptive_nprobe` — DuckDB ``//`` is integer
+    division, so the derivation is engine-exact."""
+    return f"greatest(2, (2 * {kk_expr} + 4) // 5)"
+
+
 def adaptive_k_sql(n_expr: str, lo: int = IVF_MIN_K, hi: int = IVF_MAX_K) -> str:
     arms = []
     kk = lo
@@ -490,9 +513,11 @@ def ivf_topk(
     dims: int | None = None,
     k_clusters: int | str = "auto",
     iters: int = 2,
-    nprobe: int = 2,
+    nprobe: int | str = "auto",
     k: int = 3,
     probe_mod: int = 25,
+    candidate_budget: int | None = None,
+    on_budget: str = "error",
 ) -> DataFrame:
     """IVF approximate top-``k``: deterministic mini k-means (md5-seeded
     init, ``iters`` fixed Lloyd iterations, centroids rounded at 6 dp for
@@ -522,7 +547,25 @@ def ivf_topk(
     fully — self-dots, centroid distances, Lloyd means and the final
     cosine all run over every component, matching the oracle's full-width
     ``list_dot_product``.  A pinned ``dims`` that disagrees with the data
-    raises rather than silently truncating the arithmetic."""
+    raises rather than silently truncating the arithmetic.
+
+    ``nprobe='auto'`` (default) derives ``max(2, ceil(0.4 k_clusters))``
+    — the fraction measured to land recall@3 ≥ 0.8 on the isotropic
+    synthetic corpus at sf0.01 AND sf1 (:func:`adaptive_nprobe`; the
+    oracle replays the same integer chain).  Probing a fixed FRACTION of
+    the lists means the candidate volume per probe is ~0.4·N regardless
+    of scale, so the guard matters: pass ``candidate_budget`` and the
+    projected candidate stream (``n_probes · nprobe · N/k``) is checked
+    at plan time from the same counts the auto-k derivation already
+    pays.  Over budget, ``on_budget='error'`` raises the designed
+    feasibility answer naming the levers; ``on_budget='degrade'`` lowers
+    nprobe to the largest value that fits (the recall/cost dial turned
+    toward cost — logged in the raise text's arithmetic, recorded by the
+    effective plan).  At gate SFs the projection is thousands of rows,
+    so a physical budget never binds there and the oracle twin stays
+    bit-exact."""
+    if on_budget not in ("error", "degrade"):
+        raise ValueError(f"bad on_budget {on_budget!r}")
     emb = _valid(emb, id_col, vec_col)
     vdims = _probe_width(emb, vec_col)
     if dims is None:
@@ -532,8 +575,32 @@ def ivf_topk(
             f"ivf_topk: dims={dims} but {vec_col!r} carries {vdims} "
             f"components; pass dims=None to use the probed width"
         )
+    n_rows: int | None = None
     if k_clusters == "auto":
-        k_clusters = adaptive_k_clusters(emb.count())
+        n_rows = emb.count()
+        k_clusters = adaptive_k_clusters(n_rows)
+    if nprobe == "auto":
+        nprobe = adaptive_nprobe(k_clusters)
+    nprobe = min(nprobe, k_clusters)
+    if candidate_budget is not None:
+        if n_rows is None:
+            n_rows = emb.count()
+        n_probes = max(1, n_rows // probe_mod)
+        per_probe = max(1, n_rows // k_clusters)
+        projected = n_probes * nprobe * per_probe
+        if projected > candidate_budget:
+            fit = max(1, candidate_budget // (n_probes * per_probe))
+            if on_budget == "error":
+                raise ValueError(
+                    f"ivf_topk: projected candidate stream ~{projected:,} "
+                    f"rows ({n_probes:,} probes x nprobe={nprobe} x "
+                    f"~{per_probe:,} vectors/list) exceeds candidate_budget="
+                    f"{candidate_budget:,}.  Lower nprobe (<= {fit} fits), "
+                    f"thin the probe set (raise probe_mod), or re-run with "
+                    f"on_budget='degrade' to take the largest nprobe that "
+                    f"fits (recall traded for scan volume)."
+                )
+            nprobe = min(nprobe, fit)
     base = _with_self_dot(
         _spread(
             emb.select(
@@ -624,14 +691,15 @@ def ivf_topk_oracle_sql(
     vec_col: str = "embedding",
     k_clusters: int | str = "auto",
     iters: int = 2,
-    nprobe: int = 2,
+    nprobe: int | str = "auto",
     k: int = 3,
     probe_mod: int = 25,
 ) -> str:
     """DuckDB twin of :func:`ivf_topk` — identical init ordering, Lloyd
     iteration count, centroid/distance rounding, and tie-breaks; in auto
     mode k is derived from count(*) by the same integer chain
-    (:func:`adaptive_k_sql`)."""
+    (:func:`adaptive_k_sql`) and nprobe by :func:`adaptive_nprobe_sql`
+    (mirroring the Spark default — both sides pure integer)."""
     dist = (
         "floor((list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
         " + list_dot_product({c}, {c})) * 1000000.0 + 0.5) / 1000000.0"
@@ -691,13 +759,18 @@ def ivf_topk_oracle_sql(
   SELECT vid AS probe_id, vec AS pvec FROM base WHERE vid % {probe_mod} = 0
 )"""
     )
+    nprobe_sql = (
+        adaptive_nprobe_sql("(SELECT kk FROM kq)")
+        if nprobe == "auto"
+        else str(nprobe)
+    )
     ctes.append(
         f"""pc AS (
   SELECT probe_id, pvec, cid FROM (
     SELECT p.probe_id, p.pvec, c.cid,
       row_number() OVER (PARTITION BY p.probe_id ORDER BY {pd}, c.cid) AS rnn
     FROM probes p CROSS JOIN cent{iters} c)
-  WHERE rnn <= {nprobe}
+  WHERE rnn <= least({nprobe_sql}, (SELECT kk FROM kq))
 )"""
     )
     ctes.append(

@@ -274,6 +274,7 @@ def token_jaccard_pairs(
     tokenizer: Column | None = None,
     candidate_budget: int | None = None,
     on_budget: str = "error",
+    degrade_budget: int | None = None,
 ) -> DataFrame:
     """All pairs of documents with token-set Jaccard >= threshold (exact).
 
@@ -316,6 +317,15 @@ def token_jaccard_pairs(
     collision s-curve near ``(1/4)^(1/4) ~ 0.71``, matched to the default
     0.8 threshold).  The guard never fires for ``bitmask`` (candidates are
     bounded by distinct token-SETS squared, not documents).
+
+    The fallback is guarded too: the banded stream can itself be
+    output-bound on a self-similar corpus (q23 at sf10 projected ~2.3e9
+    banded candidates), so the degrade call inherits ``candidate_budget``
+    and raises the designed feasibility error rather than re-entering an
+    unguarded self-join.  When the caller's budget is a deliberate
+    forcing lever rather than a physical limit (demos, tests), pass
+    ``degrade_budget`` — the fallback is then guarded by THAT figure
+    (e.g. ``derive_candidate_budget(spark)``) instead.
     """
     if on_budget not in ("error", "degrade"):
         raise ValueError(f"bad on_budget {on_budget!r}")
@@ -354,15 +364,20 @@ def token_jaccard_pairs(
                     f"exact verification, same schema), or use "
                     f"minhash_lsh_pairs / dup_clusters directly."
                 )
-            # forward the budget: on a corpus dense enough that the BANDED
+            # forward a budget: on a corpus dense enough that the BANDED
             # stream is itself output-bound (the q23 sf10 regime, ~2.3e9
             # banded candidates), an unguarded degrade re-enters the exact
             # failure the guard exists to prevent — the fallback must raise
-            # the designed feasibility error, not exhaust shuffle disk
+            # the designed feasibility error, not exhaust shuffle disk.
+            # degrade_budget overrides when candidate_budget is a forcing
+            # lever rather than a physical limit.
             return minhash_lsh_pairs(
                 df, id_col, text_col, n_hashes=16, band_size=4,
                 threshold=threshold, tokenizer=tokenizer,
-                candidate_budget=candidate_budget,
+                candidate_budget=(
+                    candidate_budget if degrade_budget is None
+                    else degrade_budget
+                ),
             )
 
     if strategy == "bitmask":

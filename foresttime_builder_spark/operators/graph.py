@@ -334,6 +334,7 @@ def cluster_near_dups(
     on_budget: str = "error",
     max_iter: int | None = None,
     algorithm: str = "star",
+    degrade_budget: int | None = None,
 ) -> DataFrame:
     """Near-duplicate clustering end-to-end: token-Jaccard pair detection →
     connected components → ``(doc_id-named id_col, cluster_id,
@@ -362,6 +363,7 @@ def cluster_near_dups(
         strategy=strategy,
         candidate_budget=candidate_budget,
         on_budget=on_budget,
+        degrade_budget=degrade_budget,
     )
     comp = connected_components(
         pairs, src="doc_a", dst="doc_b", max_iter=max_iter,
@@ -386,6 +388,7 @@ def dedup_finalize(
     max_iter: int | None = None,
     algorithm: str = "star",
     clusters: DataFrame | None = None,
+    degrade_budget: int | None = None,
 ) -> DataFrame:
     """Dedup FINALIZE — keep exactly one representative per near-dup
     cluster (longest document in whitespace tokens, doc id tie-break) and
@@ -415,6 +418,7 @@ def dedup_finalize(
             on_budget=on_budget,
             max_iter=max_iter,
             algorithm=algorithm,
+            degrade_budget=degrade_budget,
         )
     toks = df.select(
         id_col, F.size(F.split(F.col(text_col), " ")).alias("n_tokens")

@@ -130,11 +130,91 @@ def winnow_fingerprint(
     keep the minimum hash of each sliding window of ``w`` consecutive
     positions, then the distinct mins are the document's fingerprints.
 
+    Spark-first shape (r12 rewrite): explode gram POSITIONS to rows, hash
+    each gram with codegen'd scalar md5/conv, take the sliding-window min
+    with a row-frame window over ``(id, pos)``, and fold the distinct
+    mins with one hash aggregate.  The previous form computed both stages
+    as nested ``transform()`` lambdas — array HOFs are CodegenFallback
+    (interpreted, per-element InterpretedSafeProjection), the cost class
+    q59/q64 were rewritten out of, and the slice-based window min was
+    O(n·w) per document besides.  This plan is all whole-stage-codegen
+    scalar work plus ONE hash exchange on the doc id; the window sort and
+    the final aggregate reuse that same partitioning, and documents too
+    short to have any window (< k+w-1 chars) never enter the exchange —
+    they rejoin as zero-fingerprint rows through the left join.
+
     NULL text is treated as '' (zero grams, zero fingerprints, NULL
-    min/max — identical in the oracle), and both sequence() calls are
-    guarded: texts shorter than ``k`` (or gram lists shorter than ``w``)
-    previously generated a DESCENDING index run whose 0/negative
-    positions crashed slice() — the fuzz-sweep q34 class."""
+    min/max — identical in the oracle, and the same contract the HOF
+    form honored, including the fuzz-sweep descending-sequence class:
+    position generation is gated on ``n_windows >= 1`` so no descending
+    ``sequence()`` can arise)."""
+    from pyspark.sql import Window as _W
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    # per-ROW semantics, like the HOF form: the fuzz corpora carry NULL
+    # and duplicate doc ids, and each input row must fingerprint its own
+    # text (grouping by id would merge every NULL-id document into one).
+    # The surrogate row id lives inside ONE linear pipeline (scan →
+    # explode → window → agg), so it is evaluated exactly once — the
+    # short-document rows rejoin through a union, never a self-join whose
+    # two branches would each re-evaluate monotonically_increasing_id.
+    base = df.select(
+        F.col(id_col), text.alias("_t"), n_grams.alias("_ng")
+    ).withColumn("_rid", F.monotonically_increasing_id())
+    short = base.filter(F.col("_ng") < w).select(
+        F.col(id_col),
+        F.lit(0).cast("int").alias("n_fingerprints"),
+        F.lit(None).cast("long").alias("min_fp"),
+        F.lit(None).cast("long").alias("max_fp"),
+    )
+    grams = (
+        base.filter(F.col("_ng") >= w)
+        .select(
+            id_col,
+            "_rid",
+            "_t",
+            (F.col("_ng") - F.lit(w - 1)).alias("_nw"),
+            F.explode(F.sequence(F.lit(1), F.col("_ng"))).alias("_p"),
+        )
+        .select(
+            id_col,
+            "_rid",
+            "_p",
+            "_nw",
+            _hash60(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h"),
+        )
+    )
+    win = (
+        _W.partitionBy("_rid")
+        .orderBy("_p")
+        .rowsBetween(_W.currentRow, w - 1)
+    )
+    mins = (
+        grams.select(
+            id_col, "_rid", "_p", "_nw", F.min("_h").over(win).alias("_m")
+        )
+        .filter(F.col("_p") <= F.col("_nw"))
+        .groupBy("_rid", id_col)
+        .agg(
+            F.countDistinct("_m").cast("int").alias("n_fingerprints"),
+            F.min("_m").alias("min_fp"),
+            F.max("_m").alias("max_fp"),
+        )
+        .select(id_col, "n_fingerprints", "min_fp", "max_fp")
+    )
+    return mins.unionByName(short)
+
+
+def _winnow_fingerprint_hof(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """The pre-r12 array-HOF form of :func:`winnow_fingerprint`, kept as
+    the differential twin (same role the unguarded forms play for the
+    dedup family): both transform() lambdas run interpreted
+    (CodegenFallback) and the slice window-min is O(n·w) per document —
+    measured 144.8 s at sf10 vs the exploded form's window plan.  Tests
+    assert output identity; do not use in the hot path."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
     empty = F.expr("CAST(array() AS array<bigint>)")

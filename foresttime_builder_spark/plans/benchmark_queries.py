@@ -1635,10 +1635,22 @@ def q40_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic mini k-means inverted lists + nprobe-limited
     exact re-ranking — the centroid-based scale path for similarity search
-    (complements the LSH path, q37)."""
+    (complements the LSH path, q37).
+
+    nprobe defaults to 'auto' (ceil(0.4·k), the measured ≥0.8-recall
+    fraction — r12; was nprobe=2 at recall 1/3).  The 0.4 fraction means
+    candidate volume ~0.4·N per probe, so the physical budget guard rides
+    along: at gate SFs it never binds (projection ~ thousands of rows,
+    oracle stays bit-exact); at sf10 it lowers nprobe to the largest
+    value local shuffle disk affords instead of materializing the ~4e9
+    -row candidate join the full fraction would project."""
     from foresttime_builder_spark.operators.ann import ivf_topk
 
-    out = ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    out = ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        candidate_budget=derive_candidate_budget(spark),
+        on_budget="degrade",
+    )
     return carry_cache(
         out.select(
             "probe_id",
@@ -2766,11 +2778,19 @@ def q76_jaccard_budget_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact verification and output schema as q16, centered for the
     0.8 threshold (n_hashes=16, band_size=4).  This is the in-engine
     escape hatch for the regime where q16's exact answer is physically
-    output-bound (sf10: ~1.25e9-candidate shuffle > local disk)."""
+    output-bound (sf10: ~1.25e9-candidate shuffle > local disk).
+
+    ``candidate_budget=1`` is the FORCING lever (any projection exceeds
+    it), so the fallback is guarded by ``degrade_budget`` — the physical
+    disk-derived figure — instead of inheriting the demo budget: the
+    banded stream completes wherever it physically fits (349 s / 72.8M
+    pairs at sf10) and raises the designed feasibility error where even
+    it would not."""
     d = load_table(spark, sf_dir, "documents")
     pairs = token_jaccard_pairs(
         d, "doc_id", "text", threshold=0.8, strategy="prefix",
         candidate_budget=1, on_budget="degrade",
+        degrade_budget=derive_candidate_budget(spark),
     )
     return pairs.select(
         "doc_a",
@@ -3614,16 +3634,22 @@ def q101_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded probe set — the eval harness that tells a pipeline whether
     its nprobe/k_clusters are good enough before committing to the
     approximate path.  Both sides are deterministic (6-dp rounding +
-    neighbor-id tie-break), so recall itself is engine-exact.  Measured
-    baseline at sf0.01: mean recall@3 = 1/3 with the q42 defaults
-    (nprobe=2 of ~22 lists over near-isotropic synthetic vectors) — the
-    harness exposing a weak default is the point; raise nprobe to trade
-    scan fraction for recall."""
+    neighbor-id tie-break), so recall itself is engine-exact.  History:
+    the old nprobe=2 default measured mean recall@3 = 1/3 at sf0.01
+    (round 9); the r12 'auto' default (ceil(0.4·k), adaptive_nprobe)
+    measures ~0.87 at sf0.01 and ~0.87 at sf1 on these near-isotropic
+    synthetic vectors — the harness drove the fix, and now guards it.
+    Budget-degrade rides along exactly as in q42 (never binds at gate
+    SFs)."""
     from foresttime_builder_spark.operators.ann import brute_topk_np, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     cap = 25 * 512  # bounded probe subset, q17's convention
-    ivf = ivf_topk(e).filter(F.col("probe_id") < cap)
+    ivf = ivf_topk(
+        e,
+        candidate_budget=derive_candidate_budget(spark),
+        on_budget="degrade",
+    ).filter(F.col("probe_id") < cap)
     base = e.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("vec"),

@@ -115,3 +115,51 @@ def test_random_projection_validation():
 
     with _pytest.raises(ValueError, match="out_dims"):
         random_projection(None, out_dims=0)
+
+
+def test_adaptive_nprobe_integer_chain():
+    """The auto nprobe (ceil(0.4k) as (2k+4)//5, floor 2) and its SQL twin
+    must agree value-for-value — the derivation is deliberately pure
+    integer so no DECIMAL-vs-IEEE rounding can split the engines."""
+    import duckdb
+
+    from foresttime_builder_spark.operators.ann import (
+        adaptive_nprobe,
+        adaptive_nprobe_sql,
+    )
+
+    assert adaptive_nprobe(2) == 2          # floor
+    assert adaptive_nprobe(8) == 4          # ceil(3.2)
+    assert adaptive_nprobe(32) == 13        # ceil(12.8) — the sf0.01 point
+    assert adaptive_nprobe(256) == 103      # ceil(102.4) — the sf1 point
+    for kk in (2, 4, 8, 10, 16, 32, 64, 256, 1024, 4096):
+        got = duckdb.sql(f"SELECT {adaptive_nprobe_sql(str(kk))}").fetchone()[0]
+        assert got == adaptive_nprobe(kk), kk
+
+
+def test_ivf_candidate_budget_guard(spark):
+    """The IVF scan guard: a budget below the projected candidate stream
+    raises with the arithmetic (on_budget='error') or lowers nprobe to
+    the largest value that fits (on_budget='degrade' — query still runs,
+    output rows still rank-valid)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from foresttime_builder_spark.operators.ann import ivf_topk
+
+    vecs = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="candidate_budget"):
+        ivf_topk(emb, candidate_budget=1, on_budget="error")
+    out = ivf_topk(emb, candidate_budget=200, on_budget="degrade")
+    rows = out.collect()
+    assert rows and all(1 <= r["rank"] <= 3 for r in rows)
+    # a generous budget leaves the auto plan untouched: identical output
+    a = sorted(tuple(r) for r in ivf_topk(emb).collect())
+    b = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb, candidate_budget=10_000_000, on_budget="degrade"
+        ).collect()
+    )
+    assert a == b

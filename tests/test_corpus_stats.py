@@ -410,3 +410,49 @@ def test_tfidf_signature_terms_ranks_distinctive_terms(spark):
     assert out[("s1", 2)][0] == "shared"
     assert out[("s2", 1)][0] == "python"
     assert out[("s3", 1)][0] == "go"
+
+
+def test_winnow_fingerprint_matches_hof_twin_on_edge_cases(spark):
+    """The r12 exploded-window winnowing must equal the pre-r12 array-HOF
+    form row-for-row on the adversarial corners the fuzz corpora carry:
+    NULL text, NULL ids, DUPLICATE ids (per-ROW semantics — each input
+    row fingerprints its own text; grouping by id would merge the NULL-id
+    documents), and the k/w boundary lengths (len < k: zero grams;
+    k <= len < k+w-1: grams but zero windows)."""
+    from foresttime_builder_spark.operators.text import (
+        _winnow_fingerprint_hof,
+        winnow_fingerprint,
+    )
+
+    rows = [
+        (1, None),                      # NULL text -> 0 fps, NULL min/max
+        (2, "abc"),                     # len < k
+        (3, "abcdefgh"),                # len == k: 1 gram, 0 windows
+        (4, "abcdefghij"),              # k <= len < k+w-1: 3 grams, 0 windows
+        (5, "abcdefghijk"),             # len == k+w-1: exactly 1 window
+        (6, "the quick brown fox jumps over the lazy dog"),
+        (6, "a different text under a DUPLICATE id"),
+        (None, "null id keeps its own fingerprints"),
+        (None, "second null id row, distinct text"),
+        (7, ""),                        # empty string
+        (8, "aaaaaaaaaaaaaaaaaaaaaa"),  # all-equal grams -> 1 distinct fp
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (tuple(r) for r in winnow_fingerprint(df, "doc_id", "text").collect()),
+        key=str,
+    )
+    b = sorted(
+        (
+            tuple(r)
+            for r in _winnow_fingerprint_hof(df, "doc_id", "text").collect()
+        ),
+        key=str,
+    )
+    assert a == b
+    assert len(a) == len(rows)
+    by_id = {t[0]: t for t in a if t[0] in (1, 2, 3, 4, 5, 8)}
+    for short_id in (1, 2, 3, 4):
+        assert by_id[short_id][1:] == (0, None, None)
+    assert by_id[5][1] == 1
+    assert by_id[8][1] == 1 and by_id[8][2] == by_id[8][3]
