@@ -788,6 +788,7 @@ def minhash_lsh_pairs(
     verify: str = "auto",
     tokenizer: Column | None = None,
     candidate_budget: int | None = None,
+    on_budget: str = "error",
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified with exact Jaccard.
 
@@ -807,23 +808,42 @@ def minhash_lsh_pairs(
     ``n_bands × true_pairs`` (the r11 sf10 sweep measured ~7e9 projected
     candidates for q23 — past local shuffle disk).  When the sampled
     projection (:func:`estimate_lsh_candidates`) exceeds the budget the
-    operator RAISES with the projection and the levers — there is no
-    lossless degrade below pair enumeration: if the pair list itself is
-    the bottleneck, the answer is a coarser artifact (``dup_clusters``/
-    ``dedup_finalize`` keep one row per doc), a higher threshold with
-    tighter banding, or corpus sharding.
+    operator's default posture (``on_budget='error'``) RAISES with the
+    projection and the levers — there is no lossless degrade below pair
+    enumeration: if the pair list itself is the bottleneck, the answer is
+    a coarser artifact (``dup_clusters``/``dedup_finalize`` keep one row
+    per doc), a higher threshold with tighter banding, or corpus sharding.
+    ``on_budget='representatives'`` takes the first lever automatically:
+    it returns :func:`lsh_representatives` — the linear-stream cluster
+    assignment ``(doc_id, rep_id, cluster_size)``, a DIFFERENT schema from
+    the pair list (one row per doc, not per pair) — so a caller at
+    pair-infeasible scale gets a usable dedup artifact instead of advice.
     """
+    if on_budget not in ("error", "representatives"):
+        raise ValueError(f"bad on_budget {on_budget!r}")
     if candidate_budget is not None:
         projected = estimate_lsh_candidates(
             df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
         )
         if projected > candidate_budget:
+            if on_budget == "representatives":
+                return lsh_representatives(
+                    df,
+                    id_col,
+                    text_col,
+                    n_hashes=n_hashes,
+                    band_size=band_size,
+                    threshold=threshold,
+                    verify=verify,
+                    tokenizer=tokenizer,
+                )
             raise ValueError(
                 f"minhash_lsh_pairs: projected candidate stream "
                 f"~{projected:,} pairs exceeds candidate_budget="
                 f"{candidate_budget:,}; at this similarity density the "
                 f"enumerated pair list is itself the bottleneck. Use "
-                f"dup_clusters/dedup_finalize (one row per doc), raise "
+                f"on_budget='representatives' (lsh_representatives: one "
+                f"row per doc), dup_clusters/dedup_finalize, raise "
                 f"threshold with tighter banding (larger band_size), or "
                 f"shard the corpus."
             )
@@ -844,6 +864,18 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         (tokens(text_col) if tokenizer is None else tokenizer).alias("toks"),
     ).withColumn("sz", F.size("toks"))
+    return _verify_candidates(cand, docsets, verify, threshold)
+
+
+def _verify_candidates(
+    cand: DataFrame, docsets: DataFrame, verify: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of a ``(doc_a, doc_b)`` candidate frame
+    against a ``(doc_id, toks, sz)`` docsets frame — the shared final stage
+    of :func:`minhash_lsh_pairs` and :func:`lsh_representatives` (one
+    definition, so the two paths cannot silently diverge on the jaccard
+    fixed-point/rounding contract).  Returns ``(doc_a, doc_b, n_common,
+    jaccard)`` with ``jaccard`` already 4-rounded and thresholded."""
     if verify == "auto":
         verify = "bitmask" if _vocab_fits_mask(docsets) else "arrays"
     if verify == "bitmask":
@@ -880,6 +912,106 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def lsh_representatives(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    verify: str = "auto",
+    tokenizer: Column | None = None,
+    algorithm: str = "star",
+    max_iter: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """One row per document — ``(doc_id, rep_id, cluster_size)`` — via a
+    LINEAR-candidate-stream LSH clustering: the measured escape hatch for
+    the regime where :func:`minhash_lsh_pairs` raises its feasibility guard
+    (``on_budget='representatives'`` routes here).
+
+    On a self-similar corpus the banded pair join's shuffle approaches
+    ``n_bands × true_pairs`` (the r11 sf10 sweep projected ~2.3e9 candidates
+    for q23) because a bucket of m near-identical documents enumerates
+    C(m, 2) candidates.  This operator never enumerates within-bucket
+    pairs: each (band, bucket) contributes STAR EDGES from the bucket's
+    minimum doc id to its other members — at most ``n_docs × n_bands``
+    rows REGARDLESS of similarity density; every star edge is verified
+    with the exact token Jaccard (also linear in edges), and clusters +
+    representatives come from the O(log n)-round large-star/small-star
+    connected components.  Every shuffle in the chain is linear in the
+    corpus, so the plan survives the density that kills pair enumeration.
+
+    Semantics vs enumerating all pairs then clustering: connectivity flows
+    through verified hub edges only, so two documents that collide in a
+    bucket but are each below-threshold-similar to the bucket hub do not
+    merge through that bucket (every retained EDGE is exactly verified —
+    no false merges via transitive false positives; recall is bounded by
+    the banding as usual for LSH, minus hub-path misses).  That trade is
+    what buys the linear stream — at pair-list-infeasible scale the
+    alternative is no answer at all.
+
+    Output contract: exactly one row per non-NULL-id input document
+    (NULL ids violate the id-keyed precondition shared with
+    ``exact_dedup``); cluster members share ``rep_id`` (the component's
+    minimum doc id), everything else — including NULL/empty-text documents,
+    which produce no signature — is a singleton (``rep_id = doc_id``,
+    ``cluster_size = 1``).
+
+    Pass a dict as ``stats`` to receive ``{"edges_raw": n,
+    "edges_verified": n, "clusters": n}`` telemetry (each is a triggered
+    count — scale-harness use, not the hot path)."""
+    from foresttime_builder_spark.operators.graph import connected_components
+
+    stacked = _stacked_bands(
+        df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
+    )
+    # hub = bucket minimum via one window over the band shuffle (min
+    # ignores NULL ids; a NULL doc_id also fails the <> filter, so
+    # NULL-id rows can never mint an edge on either engine)
+    hub = F.min("doc_id").over(Window.partitionBy("band_key"))
+    edges = (
+        stacked.withColumn("hub", hub)
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docsets = df.select(
+        F.col(id_col).alias("doc_id"),
+        (tokens(text_col) if tokenizer is None else tokenizer).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    verified = _verify_candidates(edges, docsets, verify, threshold).select(
+        "doc_a", "doc_b"
+    )
+    if stats is not None:
+        stats["edges_raw"] = edges.count()
+        verified = verified.persist()
+        stats["edges_verified"] = verified.count()
+    comp = connected_components(
+        verified, src="doc_a", dst="doc_b", algorithm=algorithm,
+        max_iter=max_iter,
+    )
+    ids = df.select(F.col(id_col).alias("doc_id")).filter(
+        F.col("doc_id").isNotNull()
+    )
+    assigned = ids.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("rep_id")
+    )
+    if stats is not None:
+        stats["clusters"] = (
+            assigned.agg(F.countDistinct("rep_id")).collect()[0][0]
+        )
+    # cluster_size over one rep_id window — a single linear exchange,
+    # no self-join (the CC output is checkpointed, so re-evaluating
+    # `assigned` would be cheap, but one pass is cheaper still)
+    return assigned.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("rep_id")),
     )
 
 

@@ -4419,6 +4419,125 @@ def _group_kmv_estimate_oracle() -> str:
     )
 
 
+def q119_lsh_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-stream LSH clustering (`operators/dedup.lsh_representatives`)
+    — the measured escape hatch the q23 feasibility raise points at: one
+    ``(doc_id, rep_id, cluster_size)`` row per document via bucket-star
+    edges (≤ n_docs × n_bands, REGARDLESS of similarity density), exact
+    verification of each star edge, and O(log n) star CC.  Same banding
+    parameters as q23, so this is exactly q23's workload answered with a
+    linear plan — it must complete at the sf10 density where q23's pair
+    enumeration correctly raises."""
+    from foresttime_builder_spark.operators.dedup import lsh_representatives
+
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_representatives(
+        d, "doc_id", "text", n_hashes=_MH_N, band_size=_MH_BAND,
+        threshold=0.5, verify="auto",
+    )
+
+
+def _lsh_representatives_oracle(
+    n_hashes: int = _MH_N,
+    band_size: int = _MH_BAND,
+    threshold: float = 0.5,
+    rounds: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`q119_lsh_representatives`: identical minhash/
+    banding construction as the q23 oracle, bucket-min star edges via a
+    window (min ignores NULL ids; ``<>`` drops NULL-id rows — matching the
+    Spark operator's NULL contract), exact-jaccard edge verification, then
+    the q50-style fixed-depth min-label unroll (same
+    ``MAX_ITER_DEFAULT`` bound the Spark operator enforces)."""
+    if rounds is None:
+        from foresttime_builder_spark.operators.graph import MAX_ITER_DEFAULT
+
+        rounds = MAX_ITER_DEFAULT
+    mins = ",\n         ".join(
+        f"min({_HASH60_SQL.format(x=repr(str(i) + '|') + ' || token')}) AS mh_{i:02d}"
+        for i in range(n_hashes)
+    )
+    n_bands = n_hashes // band_size
+    bands = ",\n         ".join(
+        "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * band_size + j:02d} AS VARCHAR)"
+                for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    band_list = ", ".join(f"band_{b}" for b in range(n_bands))
+    layers = []
+    for i in range(rounds):
+        layers.append(
+            f"lab{i + 1} AS MATERIALIZED ("
+            f"  SELECT n.id, least(n.lab, coalesce(m.minlab, n.lab)) AS lab"
+            f"  FROM lab{i} n LEFT JOIN ("
+            f"    SELECT s.b AS id, min(l.lab) AS minlab"
+            f"    FROM sym s JOIN lab{i} l ON l.id = s.a GROUP BY s.b"
+            f"  ) m ON n.id = m.id)"
+        )
+    chain = ",\n".join(layers)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM tok GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         {bands}
+  FROM sigs
+),
+stacked AS (
+  SELECT doc_id, unnest([{band_list}]) AS band_key FROM banded
+),
+edges AS (
+  SELECT DISTINCT hub AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY band_key) AS hub
+    FROM stacked
+  ) s WHERE doc_id <> hub
+),
+docsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         len(list_distinct(string_split(text, ' '))) AS sz
+  FROM documents
+),
+ver AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM edges
+  JOIN docsets sa ON sa.doc_id = doc_a
+  JOIN docsets sb ON sb.doc_id = doc_b
+  WHERE round(len(list_intersect(sa.toks, sb.toks))
+              / (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))), 4)
+        >= {threshold}
+),
+sym AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM ver
+  UNION SELECT doc_b, doc_a FROM ver
+),
+lab0 AS MATERIALIZED (
+  SELECT id, id AS lab FROM (SELECT DISTINCT a AS id FROM sym)
+),
+{chain},
+comp AS (SELECT id, lab FROM lab{rounds}),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.lab, d.doc_id) AS rep_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+  LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, rep_id,
+       count(*) OVER (PARTITION BY rep_id) AS cluster_size
+FROM assigned
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -4596,5 +4715,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q117_group_kmv": QuerySpec(q117_group_kmv, _group_kmv_oracle()),
     "q118_group_kmv_estimate": QuerySpec(
         q118_group_kmv_estimate, _group_kmv_estimate_oracle()
+    ),
+    "q119_lsh_representatives": QuerySpec(
+        q119_lsh_representatives, _lsh_representatives_oracle()
     ),
 }

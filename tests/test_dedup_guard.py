@@ -285,3 +285,83 @@ def test_derive_candidate_budget_scales_and_floors(spark):
         df, "doc_id", "text", strategy="prefix", candidate_budget=b1
     )
     out.collect()  # guard does not fire at this scale
+
+
+def test_lsh_representatives_cluster_semantics(spark):
+    """lsh_representatives: one row per non-NULL-id doc; near-identical
+    docs share a rep (component minimum); dissimilar and NULL-text docs
+    stay singletons; cluster_size counts members exactly."""
+    from foresttime_builder_spark.operators.dedup import lsh_representatives
+
+    rows = [
+        # a 3-doc near-dup cluster (9/11, 10/10 overlaps at t=0.5)
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i k"),
+        (3, "a b c d e f g h i j"),
+        # unrelated singleton
+        (4, "p q r s t u v w x y"),
+        # NULL text -> no signature -> singleton
+        (5, None),
+        # NULL id -> excluded by the id-keyed contract
+        (None, "a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats: dict = {}
+    out = lsh_representatives(
+        df, "doc_id", "text", threshold=0.5, stats=stats
+    ).collect()
+    got = {r.doc_id: (r.rep_id, r.cluster_size) for r in out}
+    assert len(out) == 5 and set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (4, 1) and got[5] == (5, 1)
+    # telemetry: star edges are linear (<= n_docs * n_bands pre-distinct),
+    # verification kept at least the two cluster edges, 3 clusters total
+    assert stats["edges_verified"] >= 2
+    assert stats["edges_raw"] >= stats["edges_verified"]
+    assert stats["clusters"] == 3
+
+
+def test_lsh_pairs_on_budget_representatives_routes(spark):
+    """minhash_lsh_pairs(on_budget='representatives') returns the linear
+    cluster-assignment artifact when the projection exceeds budget, and
+    the normal pair list when it does not."""
+    from foresttime_builder_spark.operators.dedup import minhash_lsh_pairs
+
+    wide = _corpus(spark, vocab=120)
+    reps = minhash_lsh_pairs(
+        wide, "doc_id", "text", threshold=0.5,
+        candidate_budget=1, on_budget="representatives",
+    )
+    assert set(reps.columns) == {"doc_id", "rep_id", "cluster_size"}
+    assert reps.count() == 120  # one row per doc
+    pairs = minhash_lsh_pairs(
+        wide, "doc_id", "text", threshold=0.5,
+        candidate_budget=10_000_000, on_budget="representatives",
+    )
+    assert set(pairs.columns) == {"doc_a", "doc_b", "n_common", "jaccard"}
+    with pytest.raises(ValueError, match="bad on_budget"):
+        minhash_lsh_pairs(wide, "doc_id", "text", on_budget="nope")
+
+
+def test_lsh_representatives_edges_exactly_verified(spark):
+    """Every merge must flow through a >= threshold edge: a doc that
+    shares a band bucket with a hub but is below-threshold similar to it
+    must NOT merge (the no-false-merges half of the contract)."""
+    from foresttime_builder_spark.operators.dedup import lsh_representatives
+
+    # docs 1/2 identical (collide in every band, jaccard 1.0); doc 3
+    # disjoint vocabulary: even if a hash fluke ever bucketed it with the
+    # others, jaccard 0 < 0.5 keeps it out.
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),
+        (3, "v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.rep_id, r.cluster_size)
+        for r in lsh_representatives(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got[1] == (1, 2) and got[2] == (1, 2) and got[3] == (3, 1)
