@@ -1311,9 +1311,9 @@ def containment_pairs(
                 f"containment_pairs: projected candidate stream "
                 f"~{projected:,} pairs exceeds candidate_budget="
                 f"{candidate_budget:,}; the containment pair list is "
-                f"output-bound on this corpus. Raise threshold, run "
-                f"dedup_finalize first and contain representatives, or "
-                f"shard the corpus."
+                f"output-bound on this corpus. Raise threshold, collapse "
+                f"to representatives first (lsh_representatives or "
+                f"dedup_finalize) and contain those, or shard the corpus."
             )
     tok = docsets.select(
         "doc_id", "sz", F.explode("toks").alias("token")

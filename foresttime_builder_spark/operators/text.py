@@ -168,8 +168,16 @@ def winnow_fingerprint(
         F.lit(None).cast("long").alias("min_fp"),
         F.lit(None).cast("long").alias("max_fp"),
     )
+    # _spread BEFORE the explode+hash: the md5-per-gram stage is the CPU
+    # cost and it runs in the SCAN stage, upstream of the window's
+    # exchange — at gate SFs the corpus arrives as 1-2 parquet splits, so
+    # without this every gram hash of the corpus lands in one task
+    # (measured 3.16 s single-task vs parallel at sf0.1).  Docs are
+    # spread (bytes ~ corpus), not grams, so the extra exchange is tiny;
+    # at production scale the scan already has >= parallelism splits and
+    # spread is the identity.
     grams = (
-        base.filter(F.col("_ng") >= w)
+        _spread(base.filter(F.col("_ng") >= w))
         .select(
             id_col,
             "_rid",
