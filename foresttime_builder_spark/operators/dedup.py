@@ -952,7 +952,9 @@ def lsh_representatives(
     no false merges via transitive false positives; recall is bounded by
     the banding as usual for LSH, minus hub-path misses).  That trade is
     what buys the linear stream — at pair-list-infeasible scale the
-    alternative is no answer at all.
+    alternative is no answer at all.  One recall guarantee IS absolute:
+    exact-text duplicates always co-cluster (a dedicated md5(text) star
+    tier, immune to bucket-hub hijack by a dissimilar lower-id doc).
 
     Output contract: exactly one row per non-NULL-id input document
     (NULL ids violate the id-keyed precondition shared with
@@ -986,10 +988,31 @@ def lsh_representatives(
     verified = _verify_candidates(edges, docsets, verify, threshold).select(
         "doc_a", "doc_b"
     )
+    # exact-duplicate star tier: hub edges alone cannot GUARANTEE that
+    # two identical documents co-cluster — a dissimilar lower-id doc can
+    # take the bucket-hub role and fail verification against both, a
+    # hub-path miss (found by the property suite's identical-text
+    # invariant).  One md5(text) window (32-byte shuffle keys, linear)
+    # stars each exact-text group to its minimum id; those edges are
+    # jaccard 1.0 by construction, so no verification join is needed.
+    # NULL-text docs are excluded: they carry no signature and must stay
+    # singletons per the output contract.
+    exact_hub = F.min("doc_id").over(Window.partitionBy("_th"))
+    exact_edges = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_th")
+        )
+        .filter(F.col("_th").isNotNull())
+        .withColumn("hub", exact_hub)
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
     if stats is not None:
         stats["edges_raw"] = edges.count()
         verified = verified.persist()
         stats["edges_verified"] = verified.count()
+        stats["edges_exact"] = exact_edges.count()
+    verified = verified.unionByName(exact_edges)
     comp = connected_components(
         verified, src="doc_a", dst="doc_b", algorithm=algorithm,
         max_iter=max_iter,

@@ -4518,9 +4518,20 @@ ver AS MATERIALIZED (
               / (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))), 4)
         >= {threshold}
 ),
+eedges AS (
+  -- exact-duplicate star tier (jaccard 1.0 by construction, no verify):
+  -- identical texts must co-cluster even when a dissimilar lower-id doc
+  -- holds every shared bucket's hub role
+  SELECT hub AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS hub
+    FROM documents WHERE text IS NOT NULL
+  ) e WHERE doc_id <> hub
+),
 sym AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM ver
   UNION SELECT doc_b, doc_a FROM ver
+  UNION SELECT doc_a, doc_b FROM eedges
+  UNION SELECT doc_b, doc_a FROM eedges
 ),
 lab0 AS MATERIALIZED (
   SELECT id, id AS lab FROM (SELECT DISTINCT a AS id FROM sym)
