@@ -589,7 +589,23 @@ def ivf_topk(
         per_probe = max(1, n_rows // k_clusters)
         projected = n_probes * nprobe * per_probe
         if projected > candidate_budget:
-            fit = max(1, candidate_budget // (n_probes * per_probe))
+            fit = candidate_budget // (n_probes * per_probe)
+            if fit < 1:
+                # even nprobe=1 exceeds the budget: there is no degrade
+                # below one list per probe, so BOTH postures raise (the
+                # r12 review caught the old max(1, ...) floor silently
+                # running ~n_probes*per_probe rows past the budget —
+                # the same 'fallback does not fit' regime the dedup
+                # degrade path raises on)
+                raise ValueError(
+                    f"ivf_topk: even nprobe=1 projects "
+                    f"~{n_probes * per_probe:,} candidate rows "
+                    f"({n_probes:,} probes x ~{per_probe:,} vectors/list) "
+                    f"over candidate_budget={candidate_budget:,}; no "
+                    f"nprobe degrade fits.  Thin the probe set (raise "
+                    f"probe_mod), raise k_clusters (smaller lists), or "
+                    f"shard the probe side."
+                )
             if on_budget == "error":
                 raise ValueError(
                     f"ivf_topk: projected candidate stream ~{projected:,} "

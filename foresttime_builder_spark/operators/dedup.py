@@ -842,10 +842,11 @@ def minhash_lsh_pairs(
                 f"~{projected:,} pairs exceeds candidate_budget="
                 f"{candidate_budget:,}; at this similarity density the "
                 f"enumerated pair list is itself the bottleneck. Use "
-                f"on_budget='representatives' (lsh_representatives: one "
-                f"row per doc), dup_clusters/dedup_finalize, raise "
-                f"threshold with tighter banding (larger band_size), or "
-                f"shard the corpus."
+                f"lsh_representatives (one row per doc; reachable as "
+                f"minhash_lsh_pairs(on_budget='representatives') when "
+                f"calling that operator directly), dup_clusters/"
+                f"dedup_finalize, raise threshold with tighter banding "
+                f"(larger band_size), or shard the corpus."
             )
     stacked = _stacked_bands(
         df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
@@ -860,11 +861,23 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    docsets = df.select(
+    return _verify_candidates(
+        cand, _docsets(df, id_col, text_col, tokenizer), verify, threshold
+    )
+
+
+def _docsets(
+    df: DataFrame, id_col: str, text_col: str, tokenizer: Column | None
+) -> DataFrame:
+    """The ``(doc_id, toks, sz)`` verification input shared by
+    :func:`minhash_lsh_pairs` and :func:`lsh_representatives` — one
+    definition so the tokenization half of the verification contract
+    cannot drift between the two paths (the jaccard half lives in
+    :func:`_verify_candidates`)."""
+    return df.select(
         F.col(id_col).alias("doc_id"),
         (tokens(text_col) if tokenizer is None else tokenizer).alias("toks"),
     ).withColumn("sz", F.size("toks"))
-    return _verify_candidates(cand, docsets, verify, threshold)
 
 
 def _verify_candidates(
@@ -959,13 +972,15 @@ def lsh_representatives(
     Output contract: exactly one row per non-NULL-id input document
     (NULL ids violate the id-keyed precondition shared with
     ``exact_dedup``); cluster members share ``rep_id`` (the component's
-    minimum doc id), everything else — including NULL/empty-text documents,
-    which produce no signature — is a singleton (``rep_id = doc_id``,
-    ``cluster_size = 1``).
+    minimum doc id), everything else is a singleton (``rep_id = doc_id``,
+    ``cluster_size = 1``).  NULL-text documents produce no signature and
+    no exact-tier hash, so they always stay singletons; EMPTY-string
+    text is a real value (``tokens('') == ['']``) — empty docs co-cluster
+    with other empties at jaccard 1.0, like any other identical text.
 
     Pass a dict as ``stats`` to receive ``{"edges_raw": n,
-    "edges_verified": n, "clusters": n}`` telemetry (each is a triggered
-    count — scale-harness use, not the hot path)."""
+    "edges_verified": n, "edges_exact": n, "clusters": n}`` telemetry
+    (each is a triggered count — scale-harness use, not the hot path)."""
     from foresttime_builder_spark.operators.graph import connected_components
 
     stacked = _stacked_bands(
@@ -981,13 +996,9 @@ def lsh_representatives(
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    docsets = df.select(
-        F.col(id_col).alias("doc_id"),
-        (tokens(text_col) if tokenizer is None else tokenizer).alias("toks"),
-    ).withColumn("sz", F.size("toks"))
-    verified = _verify_candidates(edges, docsets, verify, threshold).select(
-        "doc_a", "doc_b"
-    )
+    verified = _verify_candidates(
+        edges, _docsets(df, id_col, text_col, tokenizer), verify, threshold
+    ).select("doc_a", "doc_b")
     # exact-duplicate star tier: hub edges alone cannot GUARANTEE that
     # two identical documents co-cluster — a dissimilar lower-id doc can
     # take the bucket-hub role and fail verification against both, a
@@ -1007,9 +1018,11 @@ def lsh_representatives(
         .filter(F.col("doc_id") != F.col("hub"))
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
+    lsh_verified = None
     if stats is not None:
         stats["edges_raw"] = edges.count()
-        verified = verified.persist()
+        lsh_verified = verified.persist()
+        verified = lsh_verified
         stats["edges_verified"] = verified.count()
         stats["edges_exact"] = exact_edges.count()
     verified = verified.unionByName(exact_edges)
@@ -1017,6 +1030,11 @@ def lsh_representatives(
         verified, src="doc_a", dst="doc_b", algorithm=algorithm,
         max_iter=max_iter,
     )
+    if lsh_verified is not None:
+        # the CC rounds materialized comp (checkpointed) — the persisted
+        # edge relation is fully consumed; free it now instead of leaking
+        # a cached DataFrame per stats invocation for the session lifetime
+        lsh_verified.unpersist()
     ids = df.select(F.col(id_col).alias("doc_id")).filter(
         F.col("doc_id").isNotNull()
     )

@@ -4447,8 +4447,16 @@ def _lsh_representatives_oracle(
     banding construction as the q23 oracle, bucket-min star edges via a
     window (min ignores NULL ids; ``<>`` drops NULL-id rows — matching the
     Spark operator's NULL contract), exact-jaccard edge verification, then
-    the q50-style fixed-depth min-label unroll (same
-    ``MAX_ITER_DEFAULT`` bound the Spark operator enforces)."""
+    min-label layers with POINTER JUMPING: each round propagates neighbor
+    minima AND shortcuts ``lab := min(lab, lab[lab])``, so ``rounds``
+    layers cover component diameter ~2^rounds — unconditionally exact for
+    any gate corpus, unlike q50's plain unroll (whose Spark twin raises at
+    the same fixed bound, keeping parity; the q119 Spark side runs the
+    certified star CC with a DIFFERENT bound, so a fixed-depth oracle
+    here could silently desync on a deep hub-chain graph — r12 review
+    finding).  The shortcut join is sound because a label is always the
+    id of a node in the same component (init lab=id; propagate and
+    shortcut both take minima over same-component node ids)."""
     if rounds is None:
         from foresttime_builder_spark.operators.graph import MAX_ITER_DEFAULT
 
@@ -4472,12 +4480,15 @@ def _lsh_representatives_oracle(
     layers = []
     for i in range(rounds):
         layers.append(
-            f"lab{i + 1} AS MATERIALIZED ("
+            f"lab{i + 1}p AS MATERIALIZED ("
             f"  SELECT n.id, least(n.lab, coalesce(m.minlab, n.lab)) AS lab"
             f"  FROM lab{i} n LEFT JOIN ("
             f"    SELECT s.b AS id, min(l.lab) AS minlab"
             f"    FROM sym s JOIN lab{i} l ON l.id = s.a GROUP BY s.b"
-            f"  ) m ON n.id = m.id)"
+            f"  ) m ON n.id = m.id),\n"
+            f"lab{i + 1} AS MATERIALIZED ("
+            f"  SELECT n.id, least(n.lab, l2.lab) AS lab"
+            f"  FROM lab{i + 1}p n JOIN lab{i + 1}p l2 ON n.lab = l2.id)"
         )
     chain = ",\n".join(layers)
     return f"""
