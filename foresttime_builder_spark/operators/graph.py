@@ -352,19 +352,58 @@ def cluster_near_dups(
     surviving pair stream.  Without the guard the pair stage would inherit
     the exact path's disk-exceeding shuffle even though the components
     themselves are cheap.
-    """
-    from foresttime_builder_spark.operators.dedup import token_jaccard_pairs
 
-    pairs = token_jaccard_pairs(
-        df,
-        id_col,
-        text_col,
-        threshold=threshold,
-        strategy=strategy,
-        candidate_budget=candidate_budget,
-        on_budget=on_budget,
-        degrade_budget=degrade_budget,
+    ``on_budget='representatives'`` completes the degrade ladder: it runs
+    the 'degrade' path, and if even the banded pair stream is infeasible
+    (the q23-density regime, where the LSH guard raises because near-dup
+    pairs themselves are the output bottleneck) it falls back to
+    :func:`~foresttime_builder_spark.operators.dedup.lsh_representatives`
+    — the linear bucket-star clustering — adapted to this function's
+    contract (same columns, singletons excluded).  Recall is then bounded
+    by banding + hub-path semantics (see that operator's docstring)
+    instead of the exact pair graph, which is the documented price of an
+    answer in the regime where pair enumeration cannot run at all.
+    """
+    from foresttime_builder_spark.operators.dedup import (
+        lsh_representatives,
+        token_jaccard_pairs,
     )
+
+    if on_budget == "representatives":
+        try:
+            pairs = token_jaccard_pairs(
+                df,
+                id_col,
+                text_col,
+                threshold=threshold,
+                strategy=strategy,
+                candidate_budget=candidate_budget,
+                on_budget="degrade",
+                degrade_budget=degrade_budget,
+            )
+        except ValueError as exc:
+            if "candidate_budget" not in str(exc):
+                raise
+            reps = lsh_representatives(
+                df, id_col, text_col, threshold=threshold,
+                algorithm=algorithm, max_iter=max_iter,
+            )
+            return reps.filter(F.col("cluster_size") > 1).select(
+                F.col("doc_id").alias(id_col),
+                F.col("rep_id").alias("cluster_id"),
+                "cluster_size",
+            )
+    else:
+        pairs = token_jaccard_pairs(
+            df,
+            id_col,
+            text_col,
+            threshold=threshold,
+            strategy=strategy,
+            candidate_budget=candidate_budget,
+            on_budget=on_budget,
+            degrade_budget=degrade_budget,
+        )
     comp = connected_components(
         pairs, src="doc_a", dst="doc_b", max_iter=max_iter,
         algorithm=algorithm,

@@ -252,3 +252,38 @@ def test_cluster_degrade_budget_forwarded(spark):
             wide, "doc_id", "text", threshold=0.5, strategy="prefix",
             candidate_budget=1, on_budget="degrade", max_iter=64,
         )
+
+
+def test_cluster_near_dups_representatives_fallback(spark):
+    """on_budget='representatives' completes the degrade ladder: when the
+    forcing budget makes BOTH the exact prefix stream and the banded LSH
+    degrade infeasible, the call falls back to the linear bucket-star
+    clustering adapted to this function's contract (same columns,
+    singletons excluded) instead of raising."""
+    from foresttime_builder_spark.operators.graph import cluster_near_dups
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),
+        (3, "a b c d e f g h i k"),
+        (4, "p q r s t u v w x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cluster_near_dups(
+        df, "doc_id", "text", threshold=0.5,
+        candidate_budget=1, on_budget="representatives",
+        degrade_budget=1,
+    )
+    assert set(out.columns) == {"doc_id", "cluster_id", "cluster_size"}
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in out.collect()}
+    # 1/2 identical (exact tier guarantees the merge), 3 near-dup at 0.5;
+    # singleton 4 is excluded per the cluster_near_dups contract
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert 4 not in got
+    # a generous budget must keep the normal exact path + contract
+    full = cluster_near_dups(
+        df, "doc_id", "text", threshold=0.5,
+        candidate_budget=10_000_000, on_budget="representatives",
+    )
+    fgot = {r.doc_id: (r.cluster_id, r.cluster_size) for r in full.collect()}
+    assert fgot == got
