@@ -4560,6 +4560,39 @@ FROM assigned
 """
 
 
+def q120_cluster_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering degrade LADDER end-to-end (`operators/graph.
+    cluster_near_dups(on_budget='representatives')`) with a forcing
+    budget, so the gate certifies the final rung: exact prefix-join
+    infeasible → banded LSH degrade infeasible → linear bucket-star
+    representatives, adapted to the cluster_near_dups contract (same
+    columns, singletons excluded).  The DuckDB twin replays the q119
+    construction filtered to non-singletons — the adapter (rename +
+    filter) is exactly what this gate pins."""
+    from foresttime_builder_spark.operators.graph import cluster_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    # candidate_budget=1 forces both upper rungs infeasible at any SF;
+    # degrade_budget=1 keeps the LSH rung's forwarded budget forcing too.
+    # strategy is PINNED to 'prefix' because the candidate-budget guard
+    # applies to the prefix/naive join strategies only — 'auto' resolves
+    # to the mask family at gate vocabularies and runs the exact path,
+    # never reaching the ladder (found while gating this query: the
+    # 'forced' run silently produced the exact clustering instead)
+    return cluster_near_dups(
+        d, "doc_id", "text", threshold=0.5, strategy="prefix",
+        candidate_budget=1, on_budget="representatives", degrade_budget=1,
+    )
+
+
+def _cluster_ladder_oracle() -> str:
+    return (
+        "SELECT doc_id, rep_id AS cluster_id, cluster_size FROM ("
+        + _lsh_representatives_oracle(threshold=0.5)
+        + ") z WHERE cluster_size > 1"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, ORACLE_Q01),
     "q02_region_revenue": QuerySpec(q02_region_revenue, ORACLE_Q02),
@@ -4741,4 +4774,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q119_lsh_representatives": QuerySpec(
         q119_lsh_representatives, _lsh_representatives_oracle()
     ),
+    "q120_cluster_ladder": QuerySpec(q120_cluster_ladder, _cluster_ladder_oracle()),
 }

@@ -269,8 +269,11 @@ def test_cluster_near_dups_representatives_fallback(spark):
         (4, "p q r s t u v w x y"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    # strategy='prefix': the budget guard applies to prefix/naive only —
+    # 'auto' resolves to the mask family on this vocabulary and the exact
+    # path runs without ever reaching the ladder
     out = cluster_near_dups(
-        df, "doc_id", "text", threshold=0.5,
+        df, "doc_id", "text", threshold=0.5, strategy="prefix",
         candidate_budget=1, on_budget="representatives",
         degrade_budget=1,
     )
@@ -282,7 +285,7 @@ def test_cluster_near_dups_representatives_fallback(spark):
     assert 4 not in got
     # a generous budget must keep the normal exact path + contract
     full = cluster_near_dups(
-        df, "doc_id", "text", threshold=0.5,
+        df, "doc_id", "text", threshold=0.5, strategy="prefix",
         candidate_budget=10_000_000, on_budget="representatives",
     )
     fgot = {r.doc_id: (r.cluster_id, r.cluster_size) for r in full.collect()}
