@@ -163,3 +163,18 @@ def test_ivf_candidate_budget_guard(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_ivf_no_fit_raises_in_both_postures(spark):
+    """r12 review fix: when even nprobe=1 exceeds the budget there is no
+    degrade left — BOTH postures must raise the feasibility error instead
+    of the old max(1, fit) floor silently running past the budget."""
+    import pytest as _pytest
+
+    from foresttime_builder_spark.operators.ann import ivf_topk
+
+    vecs = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    for posture in ("error", "degrade"):
+        with _pytest.raises(ValueError, match="even nprobe=1"):
+            ivf_topk(emb, candidate_budget=1, on_budget=posture)
