@@ -290,3 +290,31 @@ def test_cluster_near_dups_representatives_fallback(spark):
     )
     fgot = {r.doc_id: (r.cluster_id, r.cluster_size) for r in full.collect()}
     assert fgot == got
+
+
+def test_ladder_fallback_equals_filtered_representatives(spark):
+    """The q120 adapter contract on real data: the representatives rung
+    of cluster_near_dups must be EXACTLY lsh_representatives filtered to
+    non-singletons and renamed — no drift allowed between the gated
+    query's two formulations."""
+    from foresttime_builder_spark.operators.dedup import lsh_representatives
+    from foresttime_builder_spark.operators.graph import cluster_near_dups
+    from foresttime_builder_spark.sources import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ladder = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in cluster_near_dups(
+            d, "doc_id", "text", threshold=0.5, strategy="prefix",
+            candidate_budget=1, on_budget="representatives",
+            degrade_budget=1,
+        ).collect()
+    }
+    reps = {
+        (r.doc_id, r.rep_id, r.cluster_size)
+        for r in lsh_representatives(
+            d, "doc_id", "text", threshold=0.5
+        ).collect()
+        if r.cluster_size > 1
+    }
+    assert ladder == reps and ladder
