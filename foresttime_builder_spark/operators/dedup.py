@@ -369,13 +369,22 @@ def token_jaccard_pairs(
             # banded candidates), an unguarded degrade re-enters the exact
             # failure the guard exists to prevent — the fallback must raise
             # the designed feasibility error, not exhaust shuffle disk.
+            # The forwarded budget is RESCALED ×4: candidate budgets are
+            # denominated in ~64 B exact-path verification rows
+            # (derive_candidate_budget's default), while banded candidate
+            # rows are two 8-byte ids (~16 B framed) — the same spill disk
+            # affords 4× the candidates.  Without the rescale the
+            # r11-complete sf10 regime (q16/q50/q77: ~4.5e8 banded
+            # candidates ≈ 7 GB) spuriously raises — the r12 sweep caught
+            # exactly that regression; with it, the q23 regime (~2.3e9
+            # banded ≈ past the scaled budget) still raises as designed.
             # degrade_budget overrides when candidate_budget is a forcing
             # lever rather than a physical limit.
             return minhash_lsh_pairs(
                 df, id_col, text_col, n_hashes=16, band_size=4,
                 threshold=threshold, tokenizer=tokenizer,
                 candidate_budget=(
-                    candidate_budget if degrade_budget is None
+                    candidate_budget * 4 if degrade_budget is None
                     else degrade_budget
                 ),
             )
