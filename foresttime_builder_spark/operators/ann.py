@@ -423,26 +423,55 @@ def adaptive_k_clusters(n: int, lo: int = IVF_MIN_K, hi: int = IVF_MAX_K) -> int
 
 
 def adaptive_nprobe(k_clusters: int) -> int:
-    """Default probe width ``max(2, ceil(0.4 * k_clusters))`` in PURE
-    integer arithmetic (``(2k + 4) // 5``) so the DuckDB twin can replay
-    it bit-exactly — a float ``0.4 * k`` would round differently between
-    IEEE doubles and DuckDB's DECIMAL literals on boundary products.
+    """Default probe width ``max(2, min(k, ceil(11k / (4·⌊log2 k⌋))))`` in
+    PURE integer arithmetic so the DuckDB twin can replay it bit-exactly
+    (no float log2 — boundary products would round differently between
+    IEEE doubles and DECIMAL literals).
 
-    Why 0.4: measured recall@3 on the synthetic embeddings (near-isotropic
-    — the ANN-hostile worst case; real embedding spaces cluster far
-    better and reach the same recall at much smaller fractions):
-    sf0.01 (N=500, k=32): nprobe 2→0.33, 8→0.72, 13→~0.8, 16→0.87;
-    sf1 (N=50k, k=256): nprobe 64 (25%)→0.75, 96 (37.5%)→0.87.
-    ceil(0.4k) lands ≥0.8 at both scales.  The old default (nprobe=2,
-    recall 1/3 — the q101 harness's round-9 finding) is still available
-    by passing an int."""
-    return max(2, (2 * k_clusters + 4) // 5)
+    Why this shape: the required probe FRACTION for recall@3 ≥ 0.8 on the
+    synthetic embeddings (near-isotropic — the ANN-hostile worst case;
+    real embedding spaces cluster far better) DECAYS with corpus size but
+    only slowly.  Measured via the offline numpy replica
+    (``tools/measure_ivf_recall.py``, curves in ``RECALL_IVF_r13.json``):
+
+    - sf0.01 (N=500,  k=32):  0.8 at nprobe≈13 (fraction 0.41)
+    - sf1    (N=20k,  k=256): 0.8 at nprobe≈80 (fraction 0.31)
+    - sf10   (N=200k, k=512): 0.8 at nprobe≈96 (fraction 0.19)
+
+    ``ceil(11k/(4·lg k))`` tracks that decay from above — it derives 18
+    (recall 0.90), 88 (0.84) and 157 (0.90) at those three points — while
+    shrinking the probed fraction as k grows (0.34 at k=256, 0.23 at
+    k=4096) instead of the r12 rule's flat ``0.4k``, which probed 40% of
+    the corpus forever.  History: nprobe=2 (round 9) measured recall 1/3;
+    ``ceil(0.4k)`` (round 12) hit the recall bar but its candidate volume
+    saturated the physical budget at sf10 and the budget guard silently
+    became the tuner (degrading to nprobe=16, recall 0.35 — the r12
+    verdict's '0.833 at nprobe=16' premise did not reproduce; see the
+    measured curve).  Pass an int to pin nprobe explicitly."""
+    lg = max(1, int(k_clusters).bit_length() - 1)
+    return max(2, min(k_clusters, (11 * k_clusters + 4 * lg - 1) // (4 * lg)))
+
+
+def _floor_log2_sql(kk_expr: str, hi_bits: int = 20) -> str:
+    """``max(1, floor(log2(k)))`` as an integer CASE ladder — exact on any
+    engine for k < 2^hi_bits (the auto path caps k at 4096; the ladder
+    leaves headroom for pinned values)."""
+    arms = "\n    ".join(
+        f"WHEN {kk_expr} < {1 << (b + 1)} THEN {max(1, b)}"
+        for b in range(1, hi_bits)
+    )
+    return f"CASE {arms} ELSE {hi_bits} END"
 
 
 def adaptive_nprobe_sql(kk_expr: str) -> str:
     """SQL twin of :func:`adaptive_nprobe` — DuckDB ``//`` is integer
-    division, so the derivation is engine-exact."""
-    return f"greatest(2, (2 * {kk_expr} + 4) // 5)"
+    division and the log2 is a CASE ladder, so the derivation is
+    engine-exact (parity asserted over k=1..10000 in tests)."""
+    lg = _floor_log2_sql(kk_expr)
+    return (
+        f"greatest(2, least({kk_expr}, "
+        f"(11 * {kk_expr} + 4 * ({lg}) - 1) // (4 * ({lg}))))"
+    )
 
 
 def adaptive_k_sql(n_expr: str, lo: int = IVF_MIN_K, hi: int = IVF_MAX_K) -> str:
@@ -518,6 +547,7 @@ def ivf_topk(
     probe_mod: int = 25,
     candidate_budget: int | None = None,
     on_budget: str = "error",
+    margin: int = 16,
 ) -> DataFrame:
     """IVF approximate top-``k``: deterministic mini k-means (md5-seeded
     init, ``iters`` fixed Lloyd iterations, centroids rounded at 6 dp for
@@ -549,21 +579,25 @@ def ivf_topk(
     ``list_dot_product``.  A pinned ``dims`` that disagrees with the data
     raises rather than silently truncating the arithmetic.
 
-    ``nprobe='auto'`` (default) derives ``max(2, ceil(0.4 k_clusters))``
-    — the fraction measured to land recall@3 ≥ 0.8 on the isotropic
-    synthetic corpus at sf0.01 AND sf1 (:func:`adaptive_nprobe`; the
-    oracle replays the same integer chain).  Probing a fixed FRACTION of
-    the lists means the candidate volume per probe is ~0.4·N regardless
-    of scale, so the guard matters: pass ``candidate_budget`` and the
-    projected candidate stream (``n_probes · nprobe · N/k``) is checked
-    at plan time from the same counts the auto-k derivation already
-    pays.  Over budget, ``on_budget='error'`` raises the designed
-    feasibility answer naming the levers; ``on_budget='degrade'`` lowers
-    nprobe to the largest value that fits (the recall/cost dial turned
-    toward cost — logged in the raise text's arithmetic, recorded by the
-    effective plan).  At gate SFs the projection is thousands of rows,
-    so a physical budget never binds there and the oracle twin stays
-    bit-exact."""
+    ``nprobe='auto'`` (default) derives ``ceil(11 k / (4 ⌊log2 k⌋))`` —
+    the recall-targeted rule measured to land recall@3 ≥ 0.8 on the
+    isotropic synthetic corpus at sf0.01, sf1 AND sf10
+    (:func:`adaptive_nprobe`, curves in ``RECALL_IVF_r13.json``; the
+    oracle replays the same integer chain).  The probed FRACTION shrinks
+    as the corpus grows (0.41 at k=32, 0.23 at k=4096), tracking the
+    measured decay of the recall requirement instead of the r12 flat
+    0.4·k.  The physical unit the guard bounds is the (probe, list) pair
+    stream — since the r13 cogroup re-rank, candidates are scanned
+    inside a per-list Arrow kernel and never materialize as rows — so
+    pass ``candidate_budget`` (64 B/candidate currency, re-denominated
+    internally to the pair row weight) and the projection
+    ``n_probes · nprobe`` is checked at plan time from the same counts
+    the auto-k derivation already pays.  Over budget,
+    ``on_budget='error'`` raises the designed feasibility answer naming
+    the levers; ``on_budget='degrade'`` lowers nprobe to the largest
+    value that fits (the recall/cost dial turned toward cost).  At gate
+    SFs the projection is tiny, so a physical budget never binds there
+    and the oracle twin stays bit-exact."""
     if on_budget not in ("error", "degrade"):
         raise ValueError(f"bad on_budget {on_budget!r}")
     emb = _valid(emb, id_col, vec_col)
@@ -586,35 +620,44 @@ def ivf_topk(
         if n_rows is None:
             n_rows = emb.count()
         n_probes = max(1, n_rows // probe_mod)
-        per_probe = max(1, n_rows // k_clusters)
-        projected = n_probes * nprobe * per_probe
-        if projected > candidate_budget:
-            fit = candidate_budget // (n_probes * per_probe)
+        # Since the r13 cogroup re-rank, candidates are SCANNED inside a
+        # per-list BLAS kernel and never materialize as rows; what hits
+        # the shuffle is the (probe, list) pair stream — each pair ships
+        # the probe vector in (dims*8 B) and at most k+margin scored rows
+        # out (24 B each).  Re-denominate the 64 B/candidate budget
+        # currency to that byte weight (the r12 budget-rescale convention:
+        # a guard crossing regimes must re-denominate for the target row
+        # size — dedup.py's degrade ladder does the same).
+        bytes_per_pair = dims * 8 + 48 + (k + margin) * 24
+        pair_budget = candidate_budget * 64 // bytes_per_pair
+        projected = n_probes * nprobe
+        if projected > pair_budget:
+            fit = pair_budget // n_probes
             if fit < 1:
                 # even nprobe=1 exceeds the budget: there is no degrade
                 # below one list per probe, so BOTH postures raise (the
                 # r12 review caught the old max(1, ...) floor silently
-                # running ~n_probes*per_probe rows past the budget —
-                # the same 'fallback does not fit' regime the dedup
-                # degrade path raises on)
+                # running past the budget — the same 'fallback does not
+                # fit' regime the dedup degrade path raises on)
                 raise ValueError(
                     f"ivf_topk: even nprobe=1 projects "
-                    f"~{n_probes * per_probe:,} candidate rows "
-                    f"({n_probes:,} probes x ~{per_probe:,} vectors/list) "
-                    f"over candidate_budget={candidate_budget:,}; no "
+                    f"~{n_probes:,} probe-list pairs "
+                    f"(~{bytes_per_pair} B each) over candidate_budget="
+                    f"{candidate_budget:,} (= {pair_budget:,} pairs); no "
                     f"nprobe degrade fits.  Thin the probe set (raise "
-                    f"probe_mod), raise k_clusters (smaller lists), or "
-                    f"shard the probe side."
+                    f"probe_mod) or shard the probe side."
                 )
             if on_budget == "error":
                 raise ValueError(
-                    f"ivf_topk: projected candidate stream ~{projected:,} "
-                    f"rows ({n_probes:,} probes x nprobe={nprobe} x "
-                    f"~{per_probe:,} vectors/list) exceeds candidate_budget="
-                    f"{candidate_budget:,}.  Lower nprobe (<= {fit} fits), "
-                    f"thin the probe set (raise probe_mod), or re-run with "
-                    f"on_budget='degrade' to take the largest nprobe that "
-                    f"fits (recall traded for scan volume)."
+                    f"ivf_topk: projected probe-list pair stream "
+                    f"~{projected:,} rows ({n_probes:,} probes x "
+                    f"nprobe={nprobe}, ~{bytes_per_pair} B each) exceeds "
+                    f"candidate_budget={candidate_budget:,} "
+                    f"(= {pair_budget:,} pairs).  Lower nprobe "
+                    f"(<= {fit} fits), thin the probe set (raise "
+                    f"probe_mod), or re-run with on_budget='degrade' to "
+                    f"take the largest nprobe that fits (recall traded "
+                    f"for scan volume)."
                 )
             nprobe = min(nprobe, fit)
     base = _with_self_dot(
@@ -683,16 +726,88 @@ def ivf_topk(
         probe_assign, on="probe_id"
     )
 
-    cands = probe_lists.join(lists, on="cid").filter(
-        F.col("probe_id") != F.col("vid")
+    # Re-rank: per-list BLAS kernel instead of the relational candidate
+    # join.  The r12 form joined probe_lists x lists on cid and evaluated
+    # a codegen'd 64-term cosine PER CANDIDATE ROW — at sf10 that is a
+    # ~50-500M-row shuffle where every row carries BOTH vectors (~1 KB),
+    # i.e. hundreds of GB of exchange for what is arithmetically a handful
+    # of small matmuls.  The cogroup form shuffles each side ONCE on cid
+    # (corpus ~dims*8 B/row + the probe-pair stream the budget guard
+    # bounds), computes the full probe-x-member cosine block per list in
+    # numpy with the INDEX-ORDER fold (`_assign_arrow`'s convention — the
+    # j-loop of vectorized adds is the same left-associated chain as
+    # DuckDB's list_dot_product and dot_unrolled, so the raw cosine is
+    # bit-identical to the oracle's; a GEMM would re-associate), rounds
+    # JVM-side with F.round exactly as before, and emits only the local
+    # top (k+margin) per (probe, list) — the global window then takes the
+    # exact top-k.  `margin` absorbs rounding-boundary displacement
+    # exactly as in brute_topk_np: a candidate can only pass another
+    # after 6-dp rounding if their raw cosines are within 5e-7, and local
+    # ties keep the smallest neighbor_id (lexsort), matching the global
+    # tie-break.
+    import numpy as np
+    import pandas as pd
+
+    take = k + margin
+    block = 256  # probe rows per block: bounds S at block x |list|
+
+    def _fold_dots(A, B):
+        # (n x d) x (m x d) -> n x m inner products, accumulated in index
+        # order (left fold), NOT a GEMM: bit-parity with the SQL fold.
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for j in range(A.shape[1]):
+            acc += A[:, j : j + 1] * B[:, j][None, :]
+        return acc
+
+    def _fold_self(A):
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc += A[:, j] * A[:, j]
+        return acc
+
+    def _score(probes_pdf, members_pdf):
+        if not len(probes_pdf) or not len(members_pdf):
+            return pd.DataFrame(
+                {"probe_id": [], "neighbor_id": [], "cosine_raw": []}
+            ).astype({"probe_id": "int64", "neighbor_id": "int64",
+                      "cosine_raw": "float64"})
+        M = np.stack(members_pdf["vec"].to_numpy()).astype("float64")
+        ids = members_pdf["vid"].to_numpy()
+        mnorm = np.sqrt(_fold_self(M))
+        out = []
+        for lo in range(0, len(probes_pdf), block):
+            chunk = probes_pdf.iloc[lo : lo + block]
+            P = np.stack(chunk["pvec"].to_numpy()).astype("float64")
+            pids = chunk["probe_id"].to_numpy()
+            pnorm = np.sqrt(_fold_self(P))
+            S = _fold_dots(P, M) / (pnorm[:, None] * mnorm[None, :])
+            S[ids[None, :] == pids[:, None]] = -np.inf  # exclude self
+            m = S.shape[1]
+            if m > 4 * take:
+                part = np.argpartition(-S, 4 * take - 1, axis=1)[:, : 4 * take]
+                Sp = np.take_along_axis(S, part, axis=1)
+                idp = ids[part]
+            else:
+                Sp, idp = S, np.broadcast_to(ids, S.shape)
+            order = np.lexsort((idp, -Sp), axis=1)[:, :take]
+            cos = np.take_along_axis(Sp, order, axis=1)
+            nid = np.take_along_axis(idp, order, axis=1)
+            keep = np.isfinite(cos)
+            out.append(pd.DataFrame({
+                "probe_id": np.repeat(pids, order.shape[1])[keep.ravel()],
+                "neighbor_id": nid.ravel()[keep.ravel()],
+                "cosine_raw": cos.ravel()[keep.ravel()],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    local = (
+        probe_lists.groupBy("cid")
+        .cogroup(lists.select("cid", "vid", "vec").groupBy("cid"))
+        .applyInPandas(
+            _score, "probe_id long, neighbor_id long, cosine_raw double"
+        )
     )
-    scored = cands.select(
-        "probe_id",
-        F.col("vid").alias("neighbor_id"),
-        F.round(cosine_unrolled(F.col("pvec"), F.col("vec"), dims), 6).alias(
-            "cosine"
-        ),
-    )
+    scored = local.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
     wr = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wr))

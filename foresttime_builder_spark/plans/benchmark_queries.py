@@ -1637,13 +1637,15 @@ def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-ranking — the centroid-based scale path for similarity search
     (complements the LSH path, q37).
 
-    nprobe defaults to 'auto' (ceil(0.4·k), the measured ≥0.8-recall
-    fraction — r12; was nprobe=2 at recall 1/3).  The 0.4 fraction means
-    candidate volume ~0.4·N per probe, so the physical budget guard rides
-    along: at gate SFs it never binds (projection ~ thousands of rows,
-    oracle stays bit-exact); at sf10 it lowers nprobe to the largest
-    value local shuffle disk affords instead of materializing the ~4e9
-    -row candidate join the full fraction would project."""
+    nprobe defaults to 'auto' (recall-targeted ceil(11k/(4·lg k)) — r13,
+    measured curves in RECALL_IVF_r13.json; history: nprobe=2 at recall
+    1/3 in r9, flat ceil(0.4k) in r12 whose candidate volume saturated
+    the budget at sf10 and silently degraded recall to 0.35).  Since the
+    r13 cogroup re-rank the candidate scan runs as per-list Arrow
+    kernels — candidates never materialize as rows — so the budget guard
+    bounds the (probe,list) pair stream instead; it never binds at any
+    measured SF (sf10: 633 s budget-saturated → 29.6 s un-degraded,
+    recall 0.896)."""
     from foresttime_builder_spark.operators.ann import ivf_topk
 
     out = ivf_topk(
@@ -3636,11 +3638,12 @@ def q101_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate path.  Both sides are deterministic (6-dp rounding +
     neighbor-id tie-break), so recall itself is engine-exact.  History:
     the old nprobe=2 default measured mean recall@3 = 1/3 at sf0.01
-    (round 9); the r12 'auto' default (ceil(0.4·k), adaptive_nprobe)
-    measures ~0.87 at sf0.01 and ~0.87 at sf1 on these near-isotropic
-    synthetic vectors — the harness drove the fix, and now guards it.
-    Budget-degrade rides along exactly as in q42 (never binds at gate
-    SFs)."""
+    (round 9); the r12 ceil(0.4·k) rule hit the bar at gate SFs but
+    budget-degraded to recall 0.35 at sf10; the r13 recall-targeted
+    ceil(11k/(4·lg k)) (adaptive_nprobe, curves in RECALL_IVF_r13.json)
+    measures 0.90 / 0.854 / 0.896 at sf0.01 / sf1 / sf10 with the budget
+    never binding — the harness drove both fixes, and now guards them.
+    Budget-degrade rides along exactly as in q42."""
     from foresttime_builder_spark.operators.ann import brute_topk_np, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -118,9 +118,10 @@ def test_random_projection_validation():
 
 
 def test_adaptive_nprobe_integer_chain():
-    """The auto nprobe (ceil(0.4k) as (2k+4)//5, floor 2) and its SQL twin
-    must agree value-for-value — the derivation is deliberately pure
-    integer so no DECIMAL-vs-IEEE rounding can split the engines."""
+    """The auto nprobe (recall-targeted ceil(11k/(4·lg k)), floor 2, cap k
+    — r13, curves in RECALL_IVF_r13.json) and its SQL twin must agree
+    value-for-value — the derivation is deliberately pure integer (CASE
+    ladder for lg) so no DECIMAL-vs-IEEE rounding can split the engines."""
     import duckdb
 
     from foresttime_builder_spark.operators.ann import (
@@ -128,13 +129,17 @@ def test_adaptive_nprobe_integer_chain():
         adaptive_nprobe_sql,
     )
 
-    assert adaptive_nprobe(2) == 2          # floor
-    assert adaptive_nprobe(8) == 4          # ceil(3.2)
-    assert adaptive_nprobe(32) == 13        # ceil(12.8) — the sf0.01 point
-    assert adaptive_nprobe(256) == 103      # ceil(102.4) — the sf1 point
-    for kk in (2, 4, 8, 10, 16, 32, 64, 256, 1024, 4096):
-        got = duckdb.sql(f"SELECT {adaptive_nprobe_sql(str(kk))}").fetchone()[0]
-        assert got == adaptive_nprobe(kk), kk
+    assert adaptive_nprobe(2) == 2          # floor / capped at k
+    assert adaptive_nprobe(8) == 8          # ceil(88/12)=8 — full scan, tiny k
+    assert adaptive_nprobe(32) == 18        # recall 0.90 measured at sf0.01
+    assert adaptive_nprobe(256) == 88       # recall ~0.84 measured at sf1
+    assert adaptive_nprobe(512) == 157      # recall ~0.90 measured at sf10
+    got = duckdb.sql(
+        f"SELECT kk, {adaptive_nprobe_sql('kk')} FROM "
+        "(SELECT unnest(range(1, 10001)) AS kk)"
+    ).fetchall()
+    for kk, v in got:
+        assert v == adaptive_nprobe(kk), kk
 
 
 def test_ivf_candidate_budget_guard(spark):

@@ -39,6 +39,44 @@ def test_components_converges_on_cycle(spark):
     assert got == {5: 5, 6: 5, 7: 5}
 
 
+def test_components_small_tier_matches_distributed_star(spark):
+    """r13 small-graph tier (driver union-find below SMALL_CC_EDGES) must
+    be label-for-label identical to the distributed star rounds on random
+    graphs with self-loops, duplicates, reversed edges and isolated
+    self-loop-only nodes — and must report rounds=0 through stats."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n = rng.randint(5, 120)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(3 * n)]
+        edges += [(i, i) for i in range(0, n, 7)]  # self-loop-only chances
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        s_small: dict = {}
+        small = {
+            (r["id"], r["comp"])
+            for r in connected_components(df, stats=s_small).collect()
+        }
+        dist = {
+            (r["id"], r["comp"])
+            for r in connected_components(
+                df, small_graph_edges=0
+            ).collect()
+        }
+        assert small == dist, f"trial {trial}"
+        assert s_small["rounds"] == 0
+
+
+def test_components_small_tier_string_ids(spark):
+    """The tier must preserve non-numeric id types (the mapping frame is
+    built from the edge schema, not inferred)."""
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "src STRING, dst STRING"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_components_star_vs_minlabel_differential(spark):
     """Both backends must agree exactly on a random multi-component graph
     with self-loops, duplicate and reversed edges."""
@@ -70,8 +108,11 @@ def test_components_star_logarithmic_on_adversarial_chain(spark):
     n = 100_000
     edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
     stats: dict = {}
+    # small_graph_edges=0 forces the distributed star rounds — this test
+    # exists to prove the O(log n) round bound, which the driver-side
+    # union-find tier (gated at SMALL_CC_EDGES) would bypass
     labels = connected_components(
-        edges, algorithm="star", stats=stats
+        edges, algorithm="star", stats=stats, small_graph_edges=0
     )
     agg = labels.groupBy("comp").count().collect()
     assert len(agg) == 1 and agg[0]["comp"] == 0 and agg[0]["count"] == n
