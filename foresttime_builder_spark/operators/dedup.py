@@ -28,6 +28,7 @@ import os
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from foresttime_builder_spark.operators.cache import release_on_gc as _release_on_gc
+from foresttime_builder_spark.operators.spread import spread as _sp
 
 
 def hash60(col: Column | str) -> Column:
@@ -744,7 +745,13 @@ def minhash_signatures(
     whitespace token set (e.g. ``char_ngrams(text_col)`` for shingle
     MinHash — the original MinHash use-case)."""
     tok_col = tokens(text_col) if tokenizer is None else tokenizer
-    tok = df.select(
+    # _spread: the n_hashes x md5-per-token work is orders of magnitude
+    # above the scan bytes, so a small parquet arrives as 1 split and the
+    # whole signature stage runs single-threaded (q119 sf0.1 measured
+    # ~3.5 s of md5 on 1 of 32 cores — the q34 r12 finding, same fix).
+    # Values are unaffected: min is order-free.  At production scale the
+    # scan already has >= parallelism splits and spread is identity.
+    tok = _sp(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tok_col).alias("token")
     )
     aggs = [
