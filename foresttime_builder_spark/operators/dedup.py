@@ -423,14 +423,15 @@ def token_jaccard_pairs(
                 F.col("rnk")
                 <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
             )
-            .select("doc_id", "token")
+            .select("doc_id", "token", "sz")
         )
         a, b = ranked.alias("a"), ranked.alias("b")
         cand = (
             a.join(
                 b,
                 (F.col("a.token") == F.col("b.token"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & _size_compatible(F.col("a.sz"), F.col("b.sz"), threshold),
             )
             .select(
                 F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -463,6 +464,10 @@ def token_jaccard_pairs(
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        # lossless length cut before the set intersection (All-Pairs bound;
+        # already enforced inside the prefix join — kept here so the naive
+        # strategy and any future candidate source verify identically)
+        .filter(_size_compatible(F.col("sz_a"), F.col("sz_b"), threshold))
         .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn(
             "jaccard",
@@ -545,6 +550,21 @@ def _vocab_size_if_small(
     return full_vocab if full_vocab <= cap else None
 
 
+def _size_compatible(sz_a: Column, sz_b: Column, threshold: float) -> Column:
+    """All-Pairs/SSJoin length filter: ``jaccard(A,B) <= min(|A|,|B|) /
+    max(|A|,|B|)`` (the intersection is at most the smaller set), so a
+    pair whose token-count ratio is below the threshold cannot reach the
+    output — a LOSSLESS pre-filter evaluated inside the prefix join, two
+    integer comparisons per candidate, pruning before the distinct and
+    the array/bitset verification (r12 verdict item: the pair family's
+    remaining headroom).  The 1e-4 slack covers the 4-dp output rounding:
+    the final filter is on round4(jaccard) >= t, which admits raw jaccard
+    down to t - 5e-5."""
+    return F.least(sz_a, sz_b) >= (
+        F.lit(threshold) - F.lit(1e-4)
+    ) * F.greatest(sz_a, sz_b)
+
+
 def _jaccard_prefix_blockmask(
     docsets: DataFrame, threshold: float, vocab_n: int
 ) -> DataFrame:
@@ -576,14 +596,15 @@ def _jaccard_prefix_blockmask(
         .filter(
             F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
-        .select("doc_id", "pos")
+        .select("doc_id", "pos", "sz")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _size_compatible(F.col("a.sz"), F.col("b.sz"), threshold),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -930,6 +951,8 @@ def _verify_candidates(
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        # lossless length cut before the set intersection (All-Pairs bound)
+        .filter(_size_compatible(F.col("sz_a"), F.col("sz_b"), threshold))
         .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn(
             "jaccard",
