@@ -65,10 +65,18 @@ def main() -> None:
 
     import gc
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # r13 (r12 verdict item 8): 5 timed runs per query.  The LEGACY metric
+    # ("value"/"queries") stays the median of the FIRST 3 — byte-compatible
+    # with every BENCH_r{N}.json since round 6 — while the new "trend"
+    # block records the median of all 5, the lower-variance number
+    # round-over-round comparisons should use (3 of the last 5 rounds
+    # adjudicated headline deltas as box noise at the 3-run protocol).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    legacy_n = min(3, n_runs)
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
+    trend: dict[str, float] = {}
     for name in HEADLINE:
         # release prior queries' plan objects (and their GC-tied caches)
         # before timing — accumulated session state showed up as occasional
@@ -96,12 +104,14 @@ def main() -> None:
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+        timings[name] = round(statistics.median(runs[:legacy_n]), 3)
+        trend[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     ext_timings: dict[str, float] = {}
     ext_spread: dict[str, list[float]] = {}
     ext_cold: dict[str, float] = {}
+    ext_trend: dict[str, float] = {}
     for name in EXTENDED:
         gc.collect()
         fn = QUERIES[name].fn
@@ -118,7 +128,8 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        ext_timings[name] = round(statistics.median(runs), 3)
+        ext_timings[name] = round(statistics.median(runs[:legacy_n]), 3)
+        ext_trend[name] = round(statistics.median(runs), 3)
         ext_spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
@@ -135,6 +146,13 @@ def main() -> None:
                 "extended_spread": ext_spread,
                 "extended_cold": ext_cold,
                 "extended_total_sec": round(sum(ext_timings.values()), 3),
+                "trend": {
+                    "protocol": f"median-of-{n_runs} exec-only, noop sink",
+                    "queries": trend,
+                    "total_sec": round(sum(trend.values()), 3),
+                    "extended": ext_trend,
+                    "extended_total_sec": round(sum(ext_trend.values()), 3),
+                },
                 "runs": n_runs,
                 "sf": float(sf) if sf else None,
             }

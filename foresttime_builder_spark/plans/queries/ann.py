@@ -1,0 +1,287 @@
+"""ann benchmark queries — split from plans/benchmark_queries.py (r13, mechanical
+move; see that module's docstring).  QUERIES contract unchanged."""
+
+from __future__ import annotations
+from dataclasses import dataclass
+from typing import Callable, Optional
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+from foresttime_builder_spark.operators import (
+    expand_grid,
+    fill_gaps,
+    linear_interpolate,
+    step_interpolate,
+)
+from foresttime_builder_spark.operators.cache import carry_cache
+from foresttime_builder_spark.operators.dedup import (
+    derive_candidate_budget,
+    minhash_lsh_pairs,
+    simhash,
+    token_jaccard_pairs,
+)
+from foresttime_builder_spark.sources import load_table
+
+
+
+def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column for a probe subset
+    (similarity-search baseline; the IVF/LSH variants prune the same plan).
+    Executes via the numpy matmul kernel (operators.ann.brute_topk_np): the
+    tiny probe set rides in the task closure, each partition emits only its
+    local top-k, so nothing quadratic crosses Arrow — the JVM
+    higher-order-function formulation evaluates ~3 lambdas per vector
+    element per pair and was measured ~4× slower.
+
+    The probe predicate is FIXED-SIZE by construction: ``vec_id % 25 == 0
+    AND vec_id < 25 * 512`` selects at most 512 probes regardless of corpus
+    size, so the operator's MAX_BRUTE_PROBES guard can never fire as the
+    scale factor grows (at sf<=0.1 every vec_id is < 12800, so results are
+    identical to the previous %25-only sample)."""
+    from foresttime_builder_spark.operators.ann import brute_topk_np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    )
+    probes = base.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25 * 512)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec"))
+    out = brute_topk_np(base, probes, k=5)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "cosine_e6"
+        ),
+        "rank",
+    )
+
+ORACLE_Q17 = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(p.vec, b.vec)
+               / (sqrt(list_dot_product(p.vec, p.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM base p JOIN base b ON p.vec_id != b.vec_id
+  WHERE p.vec_id % 25 = 0 AND p.vec_id < 25 * 512
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT probe_id, neighbor_id,
+       CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6, rank
+FROM ranked WHERE rank <= 5
+"""
+
+def q37_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN with exact in-bucket re-ranking — the
+    sub-quadratic similarity-search path (similarity family)."""
+    from foresttime_builder_spark.operators.ann import lsh_topk
+
+    out = lsh_topk(load_table(spark, sf_dir, "embeddings"))
+    # fixed-point gate emission of the (already 6-rounded) cosine;
+    # carry_cache is a no-op today (lsh_topk persists nothing) but keeps the
+    # wrapper safe if the operator ever gains a cached intermediate
+    return carry_cache(
+        out.select(
+            "probe_id",
+            "neighbor_id",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "cosine_e6"
+            ),
+            "rank",
+        ),
+        out,
+    )
+
+def q40_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates +
+    exact cosine verification (dedup family)."""
+    from foresttime_builder_spark.operators.ann import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    return carry_cache(
+        out.select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "cosine_e6"
+            ),
+        ),
+        out,
+    )
+
+def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic mini k-means inverted lists + nprobe-limited
+    exact re-ranking — the centroid-based scale path for similarity search
+    (complements the LSH path, q37).
+
+    nprobe defaults to 'auto' (recall-targeted ceil(11k/(4·lg k)) — r13,
+    measured curves in RECALL_IVF_r13.json; history: nprobe=2 at recall
+    1/3 in r9, flat ceil(0.4k) in r12 whose candidate volume saturated
+    the budget at sf10 and silently degraded recall to 0.35).  Since the
+    r13 cogroup re-rank the candidate scan runs as per-list Arrow
+    kernels — candidates never materialize as rows — so the budget guard
+    bounds the (probe,list) pair stream instead; it never binds at any
+    measured SF (sf10: 633 s budget-saturated → 29.6 s un-degraded,
+    recall 0.896)."""
+    from foresttime_builder_spark.operators.ann import ivf_topk
+
+    out = ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        candidate_budget=derive_candidate_budget(spark),
+        on_budget="degrade",
+    )
+    return carry_cache(
+        out.select(
+            "probe_id",
+            "neighbor_id",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "cosine_e6"
+            ),
+            "rank",
+        ),
+        out,
+    )
+
+def _neardup_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import embedding_neardup_oracle_sql
+
+    return (
+        "SELECT id_a, id_b, "
+        "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6 "
+        f"FROM ({embedding_neardup_oracle_sql()}) z"
+    )
+
+def _ann_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import lsh_topk_oracle_sql
+
+    return (
+        "SELECT probe_id, neighbor_id, "
+        "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6, rank "
+        f"FROM ({lsh_topk_oracle_sql()}) z"
+    )
+
+def _ivf_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import ivf_topk_oracle_sql
+
+    return (
+        "SELECT probe_id, neighbor_id, "
+        "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6, rank "
+        f"FROM ({ivf_topk_oracle_sql()}) z"
+    )
+
+def q95_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-matrix dimensionality reduction
+    (`operators/ann.random_projection`): 64 -> 8 dims via a
+    deterministic md5-parity +-1 matrix, e9-quantized int64 Arrow
+    matmul — zero shuffles, exact cross-engine."""
+    from foresttime_builder_spark.operators.ann import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, "vec_id", "embedding", out_dims=8)
+
+def _random_projection_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import (
+        random_projection_oracle_sql,
+    )
+
+    return random_projection_oracle_sql(
+        "embeddings", "vec_id", "embedding", out_dims=8
+    )
+
+def q101_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the IVF index (q42's operator)
+    against brute-force ground truth (q17's kernel) on the shared
+    bounded probe set — the eval harness that tells a pipeline whether
+    its nprobe/k_clusters are good enough before committing to the
+    approximate path.  Both sides are deterministic (6-dp rounding +
+    neighbor-id tie-break), so recall itself is engine-exact.  History:
+    the old nprobe=2 default measured mean recall@3 = 1/3 at sf0.01
+    (round 9); the r12 ceil(0.4·k) rule hit the bar at gate SFs but
+    budget-degraded to recall 0.35 at sf10; the r13 recall-targeted
+    ceil(11k/(4·lg k)) (adaptive_nprobe, curves in RECALL_IVF_r13.json)
+    measures 0.90 / 0.854 / 0.896 at sf0.01 / sf1 / sf10 with the budget
+    never binding — the harness drove both fixes, and now guards them.
+    Budget-degrade rides along exactly as in q42."""
+    from foresttime_builder_spark.operators.ann import brute_topk_np, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cap = 25 * 512  # bounded probe subset, q17's convention
+    ivf = ivf_topk(
+        e,
+        candidate_budget=derive_candidate_budget(spark),
+        on_budget="degrade",
+    ).filter(F.col("probe_id") < cap)
+    base = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    probes = base.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < cap)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("probe_vec"))
+    exact = brute_topk_np(base, probes, k=3).select(
+        F.col("probe_id").alias("e_probe"),
+        F.col("neighbor_id").alias("e_neighbor"),
+    )
+    matched = ivf.join(
+        exact,
+        (F.col("probe_id") == F.col("e_probe"))
+        & (F.col("neighbor_id") == F.col("e_neighbor")),
+        "left",
+    )
+    return matched.groupBy("probe_id").agg(
+        F.sum(F.when(F.col("e_probe").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.floor(
+            F.sum(F.when(F.col("e_probe").isNotNull(), 1).otherwise(0))
+            * 1_000_000
+            / 3
+        )
+        .cast("long")
+        .alias("recall_e6"),
+    )
+
+def _ann_recall_oracle() -> str:
+    from foresttime_builder_spark.operators.ann import ivf_topk_oracle_sql
+
+    return f"""
+WITH ivf AS (
+  SELECT probe_id, neighbor_id FROM ({ivf_topk_oracle_sql()}) z
+  WHERE probe_id < 25 * 512
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(p.vec, b.vec)
+               / (sqrt(list_dot_product(p.vec, p.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM base p JOIN base b ON p.vec_id != b.vec_id
+  WHERE p.vec_id % 25 = 0 AND p.vec_id < 25 * 512
+),
+exact AS (
+  SELECT probe_id AS e_probe, neighbor_id AS e_neighbor
+  FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+  ) WHERE rank <= 3
+)
+SELECT i.probe_id,
+       CAST(sum(CASE WHEN e.e_probe IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(floor(sum(CASE WHEN e.e_probe IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000 / 3) AS BIGINT) AS recall_e6
+FROM ivf i LEFT JOIN exact e
+  ON i.probe_id = e.e_probe AND i.neighbor_id = e.e_neighbor
+GROUP BY i.probe_id
+"""
