@@ -77,6 +77,7 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     trend: dict[str, float] = {}
+    trend_spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         # release prior queries' plan objects (and their GC-tied caches)
         # before timing — accumulated session state showed up as occasional
@@ -106,12 +107,18 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs[:legacy_n]), 3)
         trend[name] = round(statistics.median(runs), 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        # spread stays a FIRST-3 envelope so it remains comparable with
+        # every pre-r13 BENCH artifact; the 5-run envelope lives in trend
+        spread[name] = [
+            round(min(runs[:legacy_n]), 3), round(max(runs[:legacy_n]), 3)
+        ]
+        trend_spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     ext_timings: dict[str, float] = {}
     ext_spread: dict[str, list[float]] = {}
     ext_cold: dict[str, float] = {}
     ext_trend: dict[str, float] = {}
+    ext_trend_spread: dict[str, list[float]] = {}
     for name in EXTENDED:
         gc.collect()
         fn = QUERIES[name].fn
@@ -130,7 +137,10 @@ def main() -> None:
             runs.append(time.time() - t0)
         ext_timings[name] = round(statistics.median(runs[:legacy_n]), 3)
         ext_trend[name] = round(statistics.median(runs), 3)
-        ext_spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        ext_spread[name] = [
+            round(min(runs[:legacy_n]), 3), round(max(runs[:legacy_n]), 3)
+        ]
+        ext_trend_spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -149,8 +159,10 @@ def main() -> None:
                 "trend": {
                     "protocol": f"median-of-{n_runs} exec-only, noop sink",
                     "queries": trend,
+                    "spread": trend_spread,
                     "total_sec": round(sum(trend.values()), 3),
                     "extended": ext_trend,
+                    "extended_spread": ext_trend_spread,
                     "extended_total_sec": round(sum(ext_trend.values()), 3),
                 },
                 "runs": n_runs,

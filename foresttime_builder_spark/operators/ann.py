@@ -143,8 +143,8 @@ def brute_topk_np(
 
     # junk guard: a NULL vector crashes np.stack mid-task, a NULL id
     # cannot be reported (shared contract — see _valid)
-    base = _valid(base, id_col, vec_col)
-    probes = _valid(probes, "probe_id", "probe_vec")
+    base = _valid(base, id_col, vec_col, cosine=True)
+    probes = _valid(probes, "probe_id", "probe_vec", cosine=True)
 
     # bounded collect: fetch at most cap+1 rows so even a huge probe side
     # never materializes past the cap before the error fires
@@ -242,24 +242,50 @@ def cosine_unrolled(
 
 
 
-def _valid(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _valid(
+    emb: DataFrame, id_col: str, vec_col: str, cosine: bool = False
+) -> DataFrame:
     """Rows with a usable identity and vector.  Every ANN entry point
     filters through this, and every oracle twin applies the identical
     WHERE (:func:`_valid_sql`): a NULL vector crashes the Arrow kernels
     ("all input arrays must have the same shape") and DuckDB's
     list_dot_product alike, and a NULL id cannot be ranked/reported —
     both are junk a 100 TB corpus WILL contain, so the contract is
-    "excluded identically", not "undefined behavior"."""
-    return emb.filter(
-        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    )
+    "excluded identically", not "undefined behavior".
+
+    ``cosine=True`` (the cosine-ranking family: brute/lsh/ivf/neardup)
+    additionally requires a DEFINED cosine: no NULL components (DuckDB's
+    list_dot_product raises on them) and at least one non-zero component
+    — a zero-norm vector's cosine is 0/0, which the engines disagree on
+    (IEEE NaN in Spark, NULL in DuckDB's division) so it cannot be
+    ranked identically (r13 degenerate-vector parity test).  NaN
+    components stay IN: both engines propagate them to a NaN cosine and
+    rank NaN first under DESC.  The per-row HOFs run once per corpus
+    row on the scan, not per pair."""
+    cond = F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    if cosine:
+        v = F.col(vec_col)
+        cond = (
+            cond
+            & F.forall(v, lambda x: x.isNotNull())
+            & F.exists(v, lambda x: x != 0)
+        )
+    return emb.filter(cond)
 
 
-def _valid_sql(table: str, id_col: str, vec_col: str) -> str:
+def _valid_sql(
+    table: str, id_col: str, vec_col: str, cosine: bool = False
+) -> str:
     """DuckDB twin of :func:`_valid` as a filtered relation."""
+    extra = ""
+    if cosine:
+        extra = (
+            f" AND len(list_filter({vec_col}, x -> x IS NULL)) = 0"
+            f" AND len(list_filter({vec_col}, x -> x <> 0)) > 0"
+        )
     return (
         f"(SELECT * FROM {table} "
-        f"WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL)"
+        f"WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL{extra})"
     )
 
 
@@ -291,7 +317,7 @@ def lsh_topk(
     hyperplanes); verification always uses the vector's full width, probed
     once at plan time so the unrolled codegen'd cosine covers every
     component exactly like the array-fold form it replaced."""
-    emb = _valid(emb, id_col, vec_col)
+    emb = _valid(emb, id_col, vec_col, cosine=True)
     vdims = _probe_width(emb, vec_col)
     if n_bits == "auto":
         n_bits = adaptive_bits(emb.count(), target_occupancy)
@@ -379,7 +405,7 @@ def lsh_topk_oracle_sql(
     return f"""
 WITH base AS (
   SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec
-  FROM {_valid_sql(table, id_col, vec_col)}
+  FROM {_valid_sql(table, id_col, vec_col, cosine=True)}
 ),
 {_sigs_cte("base", dims, n_bits, target_occupancy)},
 pairs AS (
@@ -410,6 +436,11 @@ def _with_self_dot(df: DataFrame, vec_col: str, out: str, dims: int) -> DataFram
 
 IVF_MIN_K, IVF_MAX_K = 8, 4096
 
+#: per-task memory bound for one inverted list materialized by the
+#: cogrouped re-rank (vectors + pandas framing); a collapsed quantizer
+#: exceeding this raises at plan time in guarded mode — see ivf_topk
+IVF_MAX_LIST_BYTES = 1 << 30
+
 
 def adaptive_k_clusters(n: int, lo: int = IVF_MIN_K, hi: int = IVF_MAX_K) -> int:
     """Smallest power-of-two k in [lo, hi] with ``k^2 >= n`` — the classic
@@ -439,7 +470,10 @@ def adaptive_nprobe(k_clusters: int) -> int:
     - sf10   (N=200k, k=512): 0.8 at nprobe≈96 (fraction 0.19)
 
     ``ceil(11k/(4·lg k))`` tracks that decay from above — it derives 18
-    (recall 0.90), 88 (0.84) and 157 (0.90) at those three points — while
+    (recall 0.900), 88 (0.854) and 157 (0.896) at those three points,
+    each measured directly at the rule's operating point (curve rows
+    18/88/157 in the artifact, confirmed by real-operator q101 runs) —
+    while
     shrinking the probed fraction as k grows (0.34 at k=256, 0.23 at
     k=4096) instead of the r12 rule's flat ``0.4k``, which probed 40% of
     the corpus forever.  History: nprobe=2 (round 9) measured recall 1/3;
@@ -452,10 +486,12 @@ def adaptive_nprobe(k_clusters: int) -> int:
     return max(2, min(k_clusters, (11 * k_clusters + 4 * lg - 1) // (4 * lg)))
 
 
-def _floor_log2_sql(kk_expr: str, hi_bits: int = 20) -> str:
+def _floor_log2_sql(kk_expr: str, hi_bits: int = 31) -> str:
     """``max(1, floor(log2(k)))`` as an integer CASE ladder — exact on any
-    engine for k < 2^hi_bits (the auto path caps k at 4096; the ladder
-    leaves headroom for pinned values)."""
+    engine for k < 2^hi_bits = 2^31, i.e. the whole positive-int32 range
+    (the auto path caps k at 4096; the ladder covers any sane pinned
+    value, and the r13 review flagged the old 2^20 ceiling as a silent
+    Python/SQL divergence for absurd pinned k)."""
     arms = "\n    ".join(
         f"WHEN {kk_expr} < {1 << (b + 1)} THEN {max(1, b)}"
         for b in range(1, hi_bits)
@@ -520,11 +556,17 @@ def _assign_arrow(
             for j in range(dims):  # index order == the SQL fold
                 acc += M[:, j : j + 1] * C[:, j][None, :]
             dist = np.floor((VV[:, None] - 2.0 * acc + CC[None, :]) * 1e6 + 0.5) / 1e6
+            # NaN distances (NaN-component vectors, or centroids whose
+            # Lloyd mean went NaN) must sort LAST like the oracle's
+            # ORDER BY dist (NaN greatest) — numpy's argmin/argsort
+            # PREFER NaN, which silently diverges the assignment (found
+            # by the r13 degenerate-vector parity test)
+            dkey = np.where(np.isnan(dist), np.inf, dist)
             take = min(top, dist.shape[1])
             if take == 1:
-                best = np.argmin(dist, axis=1)[:, None]  # first min = min cid
+                best = np.argmin(dkey, axis=1)[:, None]  # first min = min cid
             else:
-                best = np.argsort(dist, axis=1, kind="stable")[:, :take]
+                best = np.argsort(dkey, axis=1, kind="stable")[:, :take]
             yield pd.DataFrame(
                 {
                     "vid": np.repeat(pdf["vid"].to_numpy(), take),
@@ -547,7 +589,7 @@ def ivf_topk(
     probe_mod: int = 25,
     candidate_budget: int | None = None,
     on_budget: str = "error",
-    margin: int = 16,
+    margin: int = 32,
 ) -> DataFrame:
     """IVF approximate top-``k``: deterministic mini k-means (md5-seeded
     init, ``iters`` fixed Lloyd iterations, centroids rounded at 6 dp for
@@ -600,7 +642,7 @@ def ivf_topk(
     and the oracle twin stays bit-exact."""
     if on_budget not in ("error", "degrade"):
         raise ValueError(f"bad on_budget {on_budget!r}")
-    emb = _valid(emb, id_col, vec_col)
+    emb = _valid(emb, id_col, vec_col, cosine=True)
     vdims = _probe_width(emb, vec_col)
     if dims is None:
         dims = vdims
@@ -707,6 +749,29 @@ def ivf_topk(
     cent_rows = cent.collect()
     lists = base.join(_assign_arrow(base, cent_rows, dims), on="vid")
 
+    if candidate_budget is not None:
+        # skew guard (r13 review): a collapsed quantizer can put most of
+        # the corpus in ONE inverted list, and cogroup materializes a
+        # whole list per task — the pair-stream budget cannot see that.
+        # One count pass over the final assignment (cent_rows is already
+        # collected, so this re-runs a single Arrow map, not the k-means)
+        # bounds the largest list's task footprint.  No degrade exists:
+        # nprobe cannot shrink a single list, so both postures raise.
+        row = (
+            _assign_arrow(base, cent_rows, dims)
+            .groupBy("cid").count().agg(F.max("count").alias("mx")).collect()
+        )
+        biggest = row[0]["mx"] or 0
+        if biggest * (dims * 8 + 32) > IVF_MAX_LIST_BYTES:
+            raise ValueError(
+                f"ivf_topk: largest inverted list holds {biggest:,} vectors "
+                f"(~{biggest * (dims * 8 + 32) / 2**30:.1f} GiB as one "
+                f"cogroup task) — the quantizer collapsed on this corpus. "
+                f"Raise k_clusters (smaller lists) or deduplicate the "
+                f"embedding column first; nprobe degrade cannot shrink a "
+                f"single list."
+            )
+
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("probe_id"),
         F.col("vec").alias("pvec"),
@@ -726,30 +791,48 @@ def ivf_topk(
         probe_assign, on="probe_id"
     )
 
-    # Re-rank: per-list BLAS kernel instead of the relational candidate
+    # Re-rank: per-list Arrow kernel instead of the relational candidate
     # join.  The r12 form joined probe_lists x lists on cid and evaluated
     # a codegen'd 64-term cosine PER CANDIDATE ROW — at sf10 that is a
     # ~50-500M-row shuffle where every row carries BOTH vectors (~1 KB),
     # i.e. hundreds of GB of exchange for what is arithmetically a handful
     # of small matmuls.  The cogroup form shuffles each side ONCE on cid
     # (corpus ~dims*8 B/row + the probe-pair stream the budget guard
-    # bounds), computes the full probe-x-member cosine block per list in
-    # numpy with the INDEX-ORDER fold (`_assign_arrow`'s convention — the
-    # j-loop of vectorized adds is the same left-associated chain as
-    # DuckDB's list_dot_product and dot_unrolled, so the raw cosine is
+    # bounds), computes the per-list cosine blocks in numpy with the
+    # INDEX-ORDER fold (`_assign_arrow`'s convention — the j-loop of
+    # vectorized adds is the same left-associated chain as DuckDB's
+    # list_dot_product and dot_unrolled, so the raw cosine is
     # bit-identical to the oracle's; a GEMM would re-associate), rounds
     # JVM-side with F.round exactly as before, and emits only the local
     # top (k+margin) per (probe, list) — the global window then takes the
-    # exact top-k.  `margin` absorbs rounding-boundary displacement
-    # exactly as in brute_topk_np: a candidate can only pass another
-    # after 6-dp rounding if their raw cosines are within 5e-7, and local
-    # ties keep the smallest neighbor_id (lexsort), matching the global
-    # tie-break.
+    # exact top-k.
+    #
+    # Ordering parity with the engines (r13 review fixes):
+    # - NaN cosines (zero-norm or NaN-component vectors — _valid only
+    #   excludes NULLs) rank FIRST, exactly as Spark's and DuckDB's
+    #   `ORDER BY cosine DESC` treat NaN as greatest: the sort key maps
+    #   NaN -> -inf so they survive the local cut and reach the global
+    #   window, which applies the engines' own NaN semantics.
+    # - Exact raw-cosine ties are id-resolved even at the argpartition
+    #   boundary: rows where an excluded candidate ties the kept
+    #   boundary value fall back to a full sort of that row, so the
+    #   smallest neighbor_ids of a tie group are always the ones kept
+    #   (mass-duplicate lists are the near-dup corpus's normal shape).
+    # - `margin` absorbs ROUNDED near-tie displacement exactly as in
+    #   brute_topk_np (same 32 default): a candidate can only pass
+    #   another after 6-dp rounding if their raw cosines are within
+    #   5e-7.
+    # Members are processed in bounded chunks (a skew-collapsed list
+    # never materializes an S matrix beyond block x memb_chunk), with a
+    # running per-probe pool merged tie-safely across chunks: a dropped
+    # id always has >= take smaller ids at the same key in its own
+    # chunk, so the merged global top-take is exact.
     import numpy as np
     import pandas as pd
 
     take = k + margin
-    block = 256  # probe rows per block: bounds S at block x |list|
+    block = 256  # probe rows per block
+    memb_chunk = 16384  # member rows per scoring chunk
 
     def _fold_dots(A, B):
         # (n x d) x (m x d) -> n x m inner products, accumulated in index
@@ -765,38 +848,81 @@ def ivf_topk(
             acc += A[:, j] * A[:, j]
         return acc
 
+    def _top_block(cos, key, ids2d, selfm, width):
+        """Tie-safe top-``width`` per row by (key asc, id asc); returns
+        (cos, key, ids, selfmask) column-pruned arrays."""
+        m = key.shape[1]
+        if m > 4 * width:
+            part = np.argpartition(key, 4 * width - 1, axis=1)[:, : 4 * width]
+            keyp = np.take_along_axis(key, part, axis=1)
+            # boundary-tie detection: an EXCLUDED candidate tying the
+            # largest kept key means the partition chose an arbitrary
+            # subset of a tie group — resolve those rows by full sort
+            kth = keyp.max(axis=1, keepdims=True)
+            bad = (key == kth).sum(axis=1) > (keyp == kth).sum(axis=1)
+            for r in np.where(bad)[0]:
+                full = np.lexsort((ids2d[r], key[r]))[: 4 * width]
+                part[r] = full
+                keyp[r] = key[r][full]
+            cosp = np.take_along_axis(cos, part, axis=1)
+            idp = np.take_along_axis(ids2d, part, axis=1)
+            selfp = np.take_along_axis(selfm, part, axis=1)
+        else:
+            cosp, keyp, idp, selfp = cos, key, ids2d, selfm
+        order = np.lexsort((idp, keyp), axis=1)[:, :width]
+        return (
+            np.take_along_axis(cosp, order, axis=1),
+            np.take_along_axis(keyp, order, axis=1),
+            np.take_along_axis(idp, order, axis=1),
+            np.take_along_axis(selfp, order, axis=1),
+        )
+
     def _score(probes_pdf, members_pdf):
         if not len(probes_pdf) or not len(members_pdf):
             return pd.DataFrame(
-                {"probe_id": [], "neighbor_id": [], "cosine_raw": []}
+                {"probe_id": [], "neighbor_id": [], "cosine_raw": [],
+                 "is_nan": []}
             ).astype({"probe_id": "int64", "neighbor_id": "int64",
-                      "cosine_raw": "float64"})
-        M = np.stack(members_pdf["vec"].to_numpy()).astype("float64")
-        ids = members_pdf["vid"].to_numpy()
-        mnorm = np.sqrt(_fold_self(M))
+                      "cosine_raw": "float64", "is_nan": "bool"})
         out = []
         for lo in range(0, len(probes_pdf), block):
             chunk = probes_pdf.iloc[lo : lo + block]
             P = np.stack(chunk["pvec"].to_numpy()).astype("float64")
             pids = chunk["probe_id"].to_numpy()
             pnorm = np.sqrt(_fold_self(P))
-            S = _fold_dots(P, M) / (pnorm[:, None] * mnorm[None, :])
-            S[ids[None, :] == pids[:, None]] = -np.inf  # exclude self
-            m = S.shape[1]
-            if m > 4 * take:
-                part = np.argpartition(-S, 4 * take - 1, axis=1)[:, : 4 * take]
-                Sp = np.take_along_axis(S, part, axis=1)
-                idp = ids[part]
-            else:
-                Sp, idp = S, np.broadcast_to(ids, S.shape)
-            order = np.lexsort((idp, -Sp), axis=1)[:, :take]
-            cos = np.take_along_axis(Sp, order, axis=1)
-            nid = np.take_along_axis(idp, order, axis=1)
-            keep = np.isfinite(cos)
+            pool = None  # (cos, key, ids, selfmask) running top-take
+            for mlo in range(0, len(members_pdf), memb_chunk):
+                msl = members_pdf.iloc[mlo : mlo + memb_chunk]
+                M = np.stack(msl["vec"].to_numpy()).astype("float64")
+                ids = msl["vid"].to_numpy()
+                mnorm = np.sqrt(_fold_self(M))
+                S = _fold_dots(P, M) / (pnorm[:, None] * mnorm[None, :])
+                selfm = ids[None, :] == pids[:, None]
+                # sort key: cosine desc with NaN FIRST (engine semantics);
+                # self rows keyed last and dropped after selection
+                key = np.where(np.isnan(S), -np.inf, -S)
+                key[selfm] = np.inf
+                ids2d = np.broadcast_to(ids, S.shape)
+                top = _top_block(S, key, ids2d, selfm, take)
+                if pool is None:
+                    pool = top
+                else:
+                    merged = tuple(
+                        np.concatenate([a, b], axis=1)
+                        for a, b in zip(pool, top)
+                    )
+                    pool = _top_block(*merged, take)
+            cosq, keyq, idq, selfq = pool
+            keep = ~selfq
+            # NaN survives as an EXPLICIT flag: the pandas->Arrow output
+            # conversion treats float NaN as null, and Spark sorts NULL
+            # last under DESC where both engines sort NaN FIRST — the
+            # flag lets the JVM side restore a literal NaN (r13 review)
             out.append(pd.DataFrame({
-                "probe_id": np.repeat(pids, order.shape[1])[keep.ravel()],
-                "neighbor_id": nid.ravel()[keep.ravel()],
-                "cosine_raw": cos.ravel()[keep.ravel()],
+                "probe_id": np.repeat(pids, cosq.shape[1])[keep.ravel()],
+                "neighbor_id": idq.ravel()[keep.ravel()],
+                "cosine_raw": cosq.ravel()[keep.ravel()],
+                "is_nan": np.isnan(cosq.ravel()[keep.ravel()]),
             }))
         return pd.concat(out, ignore_index=True)
 
@@ -804,10 +930,16 @@ def ivf_topk(
         probe_lists.groupBy("cid")
         .cogroup(lists.select("cid", "vid", "vec").groupBy("cid"))
         .applyInPandas(
-            _score, "probe_id long, neighbor_id long, cosine_raw double"
+            _score,
+            "probe_id long, neighbor_id long, cosine_raw double, is_nan boolean",
         )
     )
-    scored = local.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+    scored = local.withColumn(
+        "cosine",
+        F.when(F.col("is_nan"), F.lit(float("nan"))).otherwise(
+            F.round(F.col("cosine_raw"), 6)
+        ),
+    )
     wr = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wr))
@@ -859,7 +991,7 @@ def ivf_topk_oracle_sql(
     ctes = [
         f"""base AS (
   SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec
-  FROM {_valid_sql(table, id_col, vec_col)}
+  FROM {_valid_sql(table, id_col, vec_col, cosine=True)}
 )""",
         (
             "kq AS (SELECT " + adaptive_k_sql("(SELECT count(*) FROM base)")
@@ -942,7 +1074,7 @@ def embedding_neardup_pairs(
     the candidate stream stays linear in corpus size; the dedup default
     targets 2x the top-k occupancy because recall matters more than
     bucket size here.  Pass an int to pin the width."""
-    emb = _valid(emb, id_col, vec_col)
+    emb = _valid(emb, id_col, vec_col, cosine=True)
     vdims = _probe_width(emb, vec_col)
     if n_bits == "auto":
         n_bits = adaptive_bits(emb.count(), target_occupancy)
@@ -984,7 +1116,7 @@ def embedding_neardup_oracle_sql(
     return f"""
 WITH base AS (
   SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS vec
-  FROM {_valid_sql(table, id_col, vec_col)}
+  FROM {_valid_sql(table, id_col, vec_col, cosine=True)}
 ),
 {_sigs_cte("base", dims, n_bits, target_occupancy)}
 SELECT a.vid AS id_a, b.vid AS id_b,

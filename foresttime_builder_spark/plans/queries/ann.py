@@ -2,22 +2,9 @@
 move; see that module's docstring).  QUERIES contract unchanged."""
 
 from __future__ import annotations
-from dataclasses import dataclass
-from typing import Callable, Optional
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
-from foresttime_builder_spark.operators import (
-    expand_grid,
-    fill_gaps,
-    linear_interpolate,
-    step_interpolate,
-)
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from foresttime_builder_spark.operators.cache import carry_cache
-from foresttime_builder_spark.operators.dedup import (
-    derive_candidate_budget,
-    minhash_lsh_pairs,
-    simhash,
-    token_jaccard_pairs,
-)
+from foresttime_builder_spark.operators.dedup import derive_candidate_budget
 from foresttime_builder_spark.sources import load_table
 
 
@@ -59,6 +46,8 @@ ORACLE_Q17 = """
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 pairs AS (
   SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,
@@ -259,6 +248,8 @@ WITH ivf AS (
 base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 pairs AS (
   SELECT p.vec_id AS probe_id, b.vec_id AS neighbor_id,

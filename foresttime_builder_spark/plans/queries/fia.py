@@ -2,22 +2,7 @@
 move; see that module's docstring).  QUERIES contract unchanged."""
 
 from __future__ import annotations
-from dataclasses import dataclass
-from typing import Callable, Optional
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
-from foresttime_builder_spark.operators import (
-    expand_grid,
-    fill_gaps,
-    linear_interpolate,
-    step_interpolate,
-)
-from foresttime_builder_spark.operators.cache import carry_cache
-from foresttime_builder_spark.operators.dedup import (
-    derive_candidate_budget,
-    minhash_lsh_pairs,
-    simhash,
-    token_jaccard_pairs,
-)
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from foresttime_builder_spark.sources import load_table
 
 from foresttime_builder_spark.plans.queries._shared import (  # noqa: F401

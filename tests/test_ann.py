@@ -183,3 +183,93 @@ def test_ivf_no_fit_raises_in_both_postures(spark):
     for posture in ("error", "degrade"):
         with _pytest.raises(ValueError, match="even nprobe=1"):
             ivf_topk(emb, candidate_budget=1, on_budget=posture)
+
+
+def _ivf_vs_oracle(spark, rows, dims):
+    """Run ivf_topk AND its DuckDB twin on the same tiny corpus; both
+    result sets must match row-for-row (probe, neighbor, 6-dp cosine,
+    rank) — NaN cosines compare as equal-NaN."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+
+    from foresttime_builder_spark.operators.ann import (
+        ivf_topk,
+        ivf_topk_oracle_sql,
+    )
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["probe_id"], r["neighbor_id"], r["rank"],
+         None if r["cosine"] is None or math.isnan(r["cosine"])
+         else round(r["cosine"], 6))
+        for r in ivf_topk(emb).collect()
+    )
+    con = duckdb.connect()
+    # pyarrow, NOT pandas: pandas registration converts in-list NaN to
+    # NULL, which list_dot_product rejects; parquet (the real oracle
+    # input) preserves NaN as a float value, so the test must too
+    con.register(
+        "embeddings",
+        pa.table({
+            "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], type=pa.list_(pa.float64())
+            ),
+        }),
+    )
+    want = sorted(
+        (p, n, rk, None if c is None or (isinstance(c, float) and math.isnan(c))
+         else round(c, 6))
+        for p, n, c, rk in con.execute(ivf_topk_oracle_sql()).fetchall()
+    )
+    assert got == want, (got[:10], want[:10])
+
+
+def test_ivf_degenerate_vectors_match_oracle(spark):
+    """r13 review fix: zero-norm and NaN-component vectors pass _valid
+    (NULL-only filter) and produce NaN cosines; both engines rank NaN as
+    greatest, so the kernel must KEEP them (the first cogroup kernel
+    silently dropped non-finite cosines — an engine-parity break)."""
+    dims = 4
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dims)])
+        for i in range(60)
+    ]
+    rows[10] = (250, [0.0] * dims)            # zero-norm member
+    rows[20] = (500, [1.0, float("nan"), 0.5, 2.0])  # NaN component, probe id
+    _ivf_vs_oracle(spark, rows, dims)
+
+
+def test_ivf_mass_duplicate_ties_match_oracle(spark):
+    """r13 review fix: a list full of IDENTICAL vectors produces exact
+    raw-cosine ties wider than the local selection pool; the kernel's
+    boundary-tie fallback must keep the smallest neighbor_ids, matching
+    the oracle's ORDER BY cosine DESC, neighbor_id."""
+    dims = 4
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(180)]
+    rows += [
+        (200 + i, [float((i * 5 + j) % 7 - 3) for j in range(dims)])
+        for i in range(40)
+    ]
+    _ivf_vs_oracle(spark, rows, dims)
+
+
+def test_ivf_collapsed_list_guard(spark, monkeypatch):
+    """r13 review fix: the pair-stream budget cannot see a skew-collapsed
+    quantizer (one giant inverted list = one giant cogroup task), so
+    guarded mode bounds the largest list's bytes and raises with advice
+    — degrade cannot shrink a single list, so both postures raise."""
+    import pytest as _pytest
+
+    from foresttime_builder_spark.operators import ann
+
+    vecs = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    monkeypatch.setattr(ann, "IVF_MAX_LIST_BYTES", 64)
+    for posture in ("error", "degrade"):
+        with _pytest.raises(ValueError, match="largest inverted list"):
+            ann.ivf_topk(emb, candidate_budget=10_000_000, on_budget=posture)
+    # unguarded mode (no budget) keeps the check off: tests/tiny corpora
+    assert ann.ivf_topk(emb).count() > 0
