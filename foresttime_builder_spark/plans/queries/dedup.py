@@ -415,12 +415,20 @@ def q76_jaccard_budget_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk-derived figure — instead of inheriting the demo budget: the
     banded stream completes wherever it physically fits (349 s / 72.8M
     pairs at sf10) and raises the designed feasibility error where even
-    it would not."""
+    it would not.
+
+    The explicit degrade budget is denominated at the BANDED row weight
+    (``bytes_per_candidate=16``: two 8-byte ids framed), not the 64 B
+    exact-verification default — the same regime re-denomination the
+    r12 sweep-refresh regression taught for the inherited-budget path
+    (an unrescaled figure spuriously raised at sf10 on a box with ~74 GB
+    free where the 452.8M-pair banded stream is only ~7 GB — caught by
+    the r13 sweep)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = token_jaccard_pairs(
         d, "doc_id", "text", threshold=0.8, strategy="prefix",
         candidate_budget=1, on_budget="degrade",
-        degrade_budget=derive_candidate_budget(spark),
+        degrade_budget=derive_candidate_budget(spark, bytes_per_candidate=16),
     )
     return pairs.select(
         "doc_a",
