@@ -590,6 +590,7 @@ def ivf_topk(
     candidate_budget: int | None = None,
     on_budget: str = "error",
     margin: int = 32,
+    probe_filter=None,
 ) -> DataFrame:
     """IVF approximate top-``k``: deterministic mini k-means (md5-seeded
     init, ``iters`` fixed Lloyd iterations, centroids rounded at 6 dp for
@@ -772,7 +773,20 @@ def ivf_topk(
                 f"single list."
             )
 
-    probes = base.filter(F.col("vid") % probe_mod == 0).select(
+    # probe_filter (a Column-predicate callable over the probe id) thins
+    # the probe side BEFORE the assignment kernel and the pair-stream
+    # shuffle — a caller-side filter on the OUTPUT cannot push through
+    # applyInPandas, so an evaluation harness probing a bounded id range
+    # (q101's cap) would otherwise pay the full production probe set.
+    # Value-safe: filtering by probe_id commutes with everything
+    # downstream (each probe's rows are computed independently), so the
+    # result equals post-filtering the unfiltered output.  The budget
+    # guard's n_probes projection deliberately stays the UNFILTERED
+    # upper bound.
+    pf = F.col("vid") % probe_mod == 0
+    if probe_filter is not None:
+        pf = pf & probe_filter(F.col("vid"))
+    probes = base.filter(pf).select(
         F.col("vid").alias("probe_id"),
         F.col("vec").alias("pvec"),
         F.col("vv").alias("pvv"),

@@ -202,10 +202,17 @@ def q101_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     cap = 25 * 512  # bounded probe subset, q17's convention
+    # probe_filter thins the probe side INSIDE the operator (a filter on
+    # the applyInPandas output cannot push through it — at sf10 the
+    # harness otherwise scores all 8000 production probes for an 80-probe
+    # evaluation); the post-filter stays as the documented contract.
+    # Value-identical: probe_id filtering commutes with the per-probe
+    # ranking (r13; the oracle keeps filtering after its ivf CTE).
     ivf = ivf_topk(
         e,
         candidate_budget=derive_candidate_budget(spark),
         on_budget="degrade",
+        probe_filter=lambda vid: vid < cap,
     ).filter(F.col("probe_id") < cap)
     base = e.select(
         "vec_id",

@@ -273,3 +273,24 @@ def test_ivf_collapsed_list_guard(spark, monkeypatch):
             ann.ivf_topk(emb, candidate_budget=10_000_000, on_budget=posture)
     # unguarded mode (no budget) keeps the check off: tests/tiny corpora
     assert ann.ivf_topk(emb).count() > 0
+
+
+def test_ivf_probe_filter_commutes(spark):
+    """probe_filter must be value-identical to post-filtering the
+    unfiltered output (it thins the probe side inside the operator,
+    where an output filter cannot push through applyInPandas)."""
+    from pyspark.sql import functions as F
+
+    from foresttime_builder_spark.operators.ann import ivf_topk
+
+    vecs = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    full = sorted(
+        tuple(r)
+        for r in ivf_topk(emb).filter(F.col("probe_id") < 100).collect()
+    )
+    thinned = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, probe_filter=lambda v: v < 100).collect()
+    )
+    assert full == thinned and len(full) > 0
