@@ -577,6 +577,47 @@ def _assign_arrow(
     return base.mapInPandas(fn, "vid long, cid int")
 
 
+def _kmeans_build(
+    base: DataFrame, dims: int, k_clusters: int, iters: int
+) -> tuple[list, DataFrame]:
+    """The deterministic mini k-means shared by :func:`ivf_topk` and
+    :func:`kmeans_coverage_sample`: md5-seeded init (min_by over an
+    md5+zero-padded-id key — deterministic total order even under an
+    astronomically unlikely md5 collision), ``iters`` driver-coordinated
+    Lloyd rounds (each collects the k ~ sqrt(N) centroid rows — a few
+    hundred KB — and bakes them into the next assignment's task closure,
+    so every iteration's plan is base -> one Arrow map -> one groupBy:
+    no plan chaining, no recomputation of earlier rounds), centroids
+    rounded at 6 dp.  Returns (cent_rows, lists) where lists carries
+    (vid, vec, vv, cid)."""
+    vid_md5 = F.md5(F.col("vid").cast("string"))
+    seed_key = F.concat(vid_md5, F.lpad(F.col("vid").cast("string"), 20, "0"))
+    cent = (
+        base.withColumn(
+            "cid", F.pmod(_hash60(vid_md5), F.lit(k_clusters)).cast("int")
+        )
+        .groupBy("cid")
+        .agg(F.min_by("vec", seed_key).alias("cvec"))
+    )
+    cent = _with_self_dot(cent, "cvec", "cc", dims)
+    for _ in range(iters):
+        assigned = base.join(
+            _assign_arrow(base, cent.collect(), dims), on="vid"
+        )
+        cent = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("vec").getItem(j)).alias(f"m{j}") for j in range(dims)])
+            .select(
+                "cid",
+                F.array(*[_pround6(F.col(f"m{j}")) for j in range(dims)]).alias("cvec"),
+            )
+        )
+        cent = _with_self_dot(cent, "cvec", "cc", dims)
+    cent_rows = cent.collect()
+    lists = base.join(_assign_arrow(base, cent_rows, dims), on="vid")
+    return cent_rows, lists
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -715,40 +756,7 @@ def ivf_topk(
         dims,
     )
 
-    vid_md5 = F.md5(F.col("vid").cast("string"))
-    # md5 then zero-padded vid: deterministic total order even under an
-    # (astronomically unlikely) md5 collision between two vids
-    seed_key = F.concat(vid_md5, F.lpad(F.col("vid").cast("string"), 20, "0"))
-    cent = (
-        base.withColumn(
-            "cid", F.pmod(_hash60(vid_md5), F.lit(k_clusters)).cast("int")
-        )
-        .groupBy("cid")
-        .agg(F.min_by("vec", seed_key).alias("cvec"))
-    )
-    cent = _with_self_dot(cent, "cvec", "cc", dims)
-
-    # Lloyd iterations are driver-coordinated (the standard k-means shape):
-    # each round collects the k centroid rows (k ~ sqrt(N), a few hundred
-    # KB) and bakes them into the next assignment's task closure, so every
-    # iteration's plan is base -> one Arrow map -> one groupBy — no plan
-    # chaining, no recomputation of earlier rounds.
-    for _ in range(iters):
-        assigned = base.join(
-            _assign_arrow(base, cent.collect(), dims), on="vid"
-        )
-        cent = (
-            assigned.groupBy("cid")
-            .agg(*[F.avg(F.col("vec").getItem(j)).alias(f"m{j}") for j in range(dims)])
-            .select(
-                "cid",
-                F.array(*[_pround6(F.col(f"m{j}")) for j in range(dims)]).alias("cvec"),
-            )
-        )
-        cent = _with_self_dot(cent, "cvec", "cc", dims)
-
-    cent_rows = cent.collect()
-    lists = base.join(_assign_arrow(base, cent_rows, dims), on="vid")
+    cent_rows, lists = _kmeans_build(base, dims, k_clusters, iters)
 
     if candidate_budget is not None:
         # skew guard (r13 review): a collapsed quantizer can put most of
@@ -962,28 +970,28 @@ def ivf_topk(
     )
 
 
-def ivf_topk_oracle_sql(
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k_clusters: int | str = "auto",
-    iters: int = 2,
-    nprobe: int | str = "auto",
-    k: int = 3,
-    probe_mod: int = 25,
-) -> str:
-    """DuckDB twin of :func:`ivf_topk` — identical init ordering, Lloyd
-    iteration count, centroid/distance rounding, and tie-breaks; in auto
-    mode k is derived from count(*) by the same integer chain
-    (:func:`adaptive_k_sql`) and nprobe by :func:`adaptive_nprobe_sql`
-    (mirroring the Spark default — both sides pure integer)."""
-    dist = (
-        "floor((list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
-        " + list_dot_product({c}, {c})) * 1000000.0 + 0.5) / 1000000.0"
-    )
+#: the oracle-side rounded squared-distance template shared by the
+#: k-means assignment, probe ranking, and the coverage sample's scoring
+_DIST_SQL = (
+    "floor((list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+    " + list_dot_product({c}, {c})) * 1000000.0 + 0.5) / 1000000.0"
+)
+
+
+def _kmeans_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int | str,
+    iters: int,
+) -> list[str]:
+    """The shared oracle CTE prefix (base → kq → cent0 → Lloyd rounds →
+    lists) mirroring :func:`_kmeans_build` — one definition so
+    :func:`ivf_topk_oracle_sql` and :func:`kmeans_coverage_sample_oracle_sql`
+    cannot silently diverge on the quantizer."""
 
     def assign_cte(name: str, cent: str) -> str:
-        d = dist.format(v="b.vec", c="c.cvec")
+        d = _DIST_SQL.format(v="b.vec", c="c.cvec")
         return f"""{name} AS (
   SELECT vid, vec, cid FROM (
     SELECT b.vid, b.vec, c.cid,
@@ -1025,7 +1033,26 @@ def ivf_topk_oracle_sql(
         ctes.append(assign_cte(f"assign{i}", f"cent{i}"))
         ctes.append(cent_cte(f"cent{i + 1}", f"assign{i}"))
     ctes.append(assign_cte("lists", f"cent{iters}"))
-    pd = dist.format(v="p.pvec", c="c.cvec")
+    return ctes
+
+
+def ivf_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int | str = "auto",
+    iters: int = 2,
+    nprobe: int | str = "auto",
+    k: int = 3,
+    probe_mod: int = 25,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` — identical init ordering, Lloyd
+    iteration count, centroid/distance rounding, and tie-breaks; in auto
+    mode k is derived from count(*) by the same integer chain
+    (:func:`adaptive_k_sql`) and nprobe by :func:`adaptive_nprobe_sql`
+    (mirroring the Spark default — both sides pure integer)."""
+    ctes = _kmeans_ctes(table, id_col, vec_col, k_clusters, iters)
+    pd = _DIST_SQL.format(v="p.pvec", c="c.cvec")
     cos = (
         "round(list_dot_product(pc.pvec, a.vec)"
         " / (sqrt(list_dot_product(pc.pvec, pc.pvec))"
@@ -1067,6 +1094,141 @@ def ivf_topk_oracle_sql(
     return (
         f"WITH {body}\n"
         f"SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+def kmeans_coverage_sample(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    k_clusters: int | str = "auto",
+    iters: int = 2,
+    per_cluster: int = 3,
+    order: str = "representative",
+) -> DataFrame:
+    """Diversity-aware subset selection over an embedding column — the
+    coverage-sampling step of a training-data pipeline (pick a bounded,
+    spread-out subset instead of a uniform random one).
+
+    The corpus is partitioned by the same deterministic mini k-means as
+    :func:`ivf_topk` (shared :func:`_kmeans_build` — md5-seeded init,
+    fixed Lloyd rounds, 6-dp rounding, so the quantizer is bit-identical
+    to the oracle's), then each cluster contributes its ``per_cluster``
+    rows by rounded squared-distance to the final centroid:
+
+    - ``order='representative'`` — closest first: cluster cores, the
+      canonical-example posture (per-topic exemplars, dedup-adjacent);
+    - ``order='diverse'`` — farthest first: boundary/outlier picks, the
+      coverage posture (what a uniform sample systematically misses).
+
+    Scale shape: one k-means build (Arrow assignment maps, k ~ sqrt(N)
+    centroid collects), one broadcast join of the k centroid rows, one
+    window over the cid partitioning — every shuffle linear in the
+    corpus, output bounded at ``k_clusters * per_cluster`` rows.
+
+    Ties resolve (dist, id ascending) on both engines; rows whose
+    distance is NaN (NaN-component vectors — zero-norm ones are already
+    excluded by the shared cosine-validity contract) are excluded
+    identically on both sides, since ASC/DESC NaN placement is the one
+    ordering the engines disagree on after the 6-dp rounding.
+
+    Returns ``(vec_id, cid, dist_e6, pick_rank)`` with ``dist_e6`` the
+    rounded distance as an integer (micro-units) so the gate's value
+    hash never rides on float formatting.
+    """
+    if order not in ("representative", "diverse"):
+        raise ValueError(f"bad order {order!r}")
+    emb = _valid(emb, id_col, vec_col, cosine=True)
+    vdims = _probe_width(emb, vec_col)
+    if dims is None:
+        dims = vdims
+    elif dims != vdims:
+        raise ValueError(
+            f"kmeans_coverage_sample: dims={dims} but {vec_col!r} carries "
+            f"{vdims} components; pass dims=None to use the probed width"
+        )
+    if k_clusters == "auto":
+        k_clusters = adaptive_k_clusters(emb.count())
+    base = _with_self_dot(
+        _spread(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
+        ),
+        "vec",
+        "vv",
+        dims,
+    )
+    cent_rows, lists = _kmeans_build(base, dims, k_clusters, iters)
+    sess = emb.sparkSession
+    cdf = sess.createDataFrame(cent_rows)  # (cid, cvec, cc): k ~ sqrt(N) rows
+    scored = lists.join(F.broadcast(cdf), on="cid").withColumn(
+        "dist",
+        F.floor(
+            (
+                F.col("vv")
+                - 2 * dot_unrolled(F.col("vec"), F.col("cvec"), dims)
+                + F.col("cc")
+            )
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        / 1000000.0,
+    ).filter(~F.isnan(F.col("dist")))
+    ordering = (
+        F.col("dist").asc() if order == "representative" else F.col("dist").desc()
+    )
+    w = W.partitionBy("cid").orderBy(ordering, F.col("vid"))
+    return (
+        scored.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= per_cluster)
+        .select(
+            F.col("vid").alias(id_col),
+            "cid",
+            F.floor(F.col("dist") * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("dist_e6"),
+            "pick_rank",
+        )
+    )
+
+
+def kmeans_coverage_sample_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int | str = "auto",
+    iters: int = 2,
+    per_cluster: int = 3,
+    order: str = "representative",
+) -> str:
+    """DuckDB twin of :func:`kmeans_coverage_sample` — the quantizer CTEs
+    come from the same :func:`_kmeans_ctes` builder the IVF oracle uses,
+    then one join to the final centroids + one window."""
+    direction = "ASC" if order == "representative" else "DESC"
+    ctes = _kmeans_ctes(table, id_col, vec_col, k_clusters, iters)
+    d = _DIST_SQL.format(v="a.vec", c="c.cvec")
+    ctes.append(
+        f"""scored AS (
+  SELECT a.vid, a.cid, {d} AS dist
+  FROM lists a JOIN cent{iters} c ON a.cid = c.cid
+)"""
+    )
+    ctes.append(
+        f"""picked AS (
+  SELECT vid, cid, dist, row_number() OVER
+    (PARTITION BY cid ORDER BY dist {direction}, vid) AS pick_rank
+  FROM scored WHERE NOT isnan(dist)
+)"""
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vid AS {id_col}, cid, "
+        f"CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_e6, "
+        f"pick_rank FROM picked WHERE pick_rank <= {per_cluster}"
     )
 
 

@@ -19,6 +19,9 @@ from foresttime_builder_spark.plans.queries._shared import (  # noqa: F401
     _stream_oracle,
 )
 from foresttime_builder_spark.plans.queries.ann import (  # noqa: F401
+    _coverage_sample_oracle,
+    q121_coverage_sample,
+    q122_diversity_sample,
     ORACLE_Q17,
     _ann_oracle,
     _ann_recall_oracle,
@@ -449,4 +452,10 @@ QUERIES: dict[str, QuerySpec] = {
         q119_lsh_representatives, _lsh_representatives_oracle()
     ),
     "q120_cluster_ladder": QuerySpec(q120_cluster_ladder, _cluster_ladder_oracle()),
+    "q121_coverage_sample": QuerySpec(
+        q121_coverage_sample, _coverage_sample_oracle("representative")
+    ),
+    "q122_diversity_sample": QuerySpec(
+        q122_diversity_sample, _coverage_sample_oracle("diverse")
+    ),
 }

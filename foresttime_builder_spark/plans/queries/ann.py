@@ -283,3 +283,41 @@ FROM ivf i LEFT JOIN exact e
   ON i.probe_id = e.e_probe AND i.neighbor_id = e.e_neighbor
 GROUP BY i.probe_id
 """
+
+
+def q121_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subset selection, representative posture: the
+    deterministic k-means quantizer (shared with q42's IVF — one
+    definition, so the two oracles cannot diverge) partitions the
+    embedding corpus and each cluster contributes its 3 centroid-closest
+    rows — per-topic exemplars, the 'keep the canonical example'
+    selection a curation pipeline runs before manual review or as a
+    seed set.  Output bounded at k_clusters*3 ~ 3*sqrt(N) rows at any
+    corpus size; every shuffle linear (r13, SURVEY §2 extension:
+    sampling x ANN)."""
+    from foresttime_builder_spark.operators.ann import kmeans_coverage_sample
+
+    return kmeans_coverage_sample(
+        load_table(spark, sf_dir, "embeddings"), order="representative"
+    )
+
+
+def _coverage_sample_oracle(order: str) -> str:
+    from foresttime_builder_spark.operators.ann import (
+        kmeans_coverage_sample_oracle_sql,
+    )
+
+    return kmeans_coverage_sample_oracle_sql(order=order)
+
+
+def q122_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q121's coverage posture: per cluster take the 3 FARTHEST rows —
+    boundary/outlier picks, exactly what a uniform random sample
+    systematically under-covers (the long-tail-coverage selection for
+    training-data mixing).  Same quantizer, same contract, opposite
+    window direction."""
+    from foresttime_builder_spark.operators.ann import kmeans_coverage_sample
+
+    return kmeans_coverage_sample(
+        load_table(spark, sf_dir, "embeddings"), order="diverse"
+    )

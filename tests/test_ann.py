@@ -294,3 +294,43 @@ def test_ivf_probe_filter_commutes(spark):
         for r in ivf_topk(emb, probe_filter=lambda v: v < 100).collect()
     )
     assert full == thinned and len(full) > 0
+
+
+def test_coverage_sample_invariants(spark):
+    """kmeans_coverage_sample contract: <= per_cluster rows per cluster,
+    pick_rank dense from 1, representative picks are each cluster's
+    distance-minima (diverse: maxima), and the two postures agree on the
+    clustering itself."""
+    from foresttime_builder_spark.operators.ann import kmeans_coverage_sample
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)])
+        for i in range(150)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rep = kmeans_coverage_sample(emb, per_cluster=2).collect()
+    div = kmeans_coverage_sample(emb, per_cluster=2, order="diverse").collect()
+    for out in (rep, div):
+        by_cid: dict[int, list] = {}
+        for r in out:
+            by_cid.setdefault(r["cid"], []).append(r)
+        for cid, rows_ in by_cid.items():
+            assert sorted(x["pick_rank"] for x in rows_) == list(
+                range(1, len(rows_) + 1)
+            )
+            assert len(rows_) <= 2
+    # same quantizer: the set of non-empty clusters matches
+    assert {r["cid"] for r in rep} == {r["cid"] for r in div}
+    # representative rank-1 distance <= diverse rank-1 distance per cluster
+    rep1 = {r["cid"]: r["dist_e6"] for r in rep if r["pick_rank"] == 1}
+    div1 = {r["cid"]: r["dist_e6"] for r in div if r["pick_rank"] == 1}
+    assert all(rep1[c] <= div1[c] for c in rep1)
+
+
+def test_coverage_sample_bad_order():
+    from foresttime_builder_spark.operators.ann import kmeans_coverage_sample
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad order"):
+        kmeans_coverage_sample(None, order="nope")
