@@ -203,7 +203,15 @@ def estimate_lsh_candidates(
     at 176 s — ~7e9 projected candidates vs 74 GB of shuffle disk).
     Bucket sizes scale ~``p`` under uniform doc sampling, so the per-
     bucket pair sums scale by ``1/p^2`` exactly like
-    :func:`estimate_candidate_pairs`."""
+    :func:`estimate_candidate_pairs`.
+
+    Since r14's in-join All-Pairs length cut this is a CONSERVATIVE upper
+    bound (it sums C(n, 2) per bucket without the size-compatibility
+    predicate) — the same posture as the prefix estimator, which also
+    projects its stream without the r13 length cut.  Upper bound is the
+    right direction for a feasibility guard, and on near-dup corpora the
+    cut prunes little anyway (true near-dups are size-compatible by
+    definition), so the bound stays tight where it matters."""
     n_docs = df.count()
     if n_docs == 0:
         return 0
@@ -760,11 +768,15 @@ def minhash_signatures(
     text_col: str,
     n_hashes: int = 16,
     tokenizer: Column | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: n_hashes min-of-seeded-hash columns
     (mh_00 .. mh_NN), engine-portable via md5.  ``tokenizer`` overrides the
     whitespace token set (e.g. ``char_ngrams(text_col)`` for shingle
-    MinHash — the original MinHash use-case)."""
+    MinHash — the original MinHash use-case).  ``with_size`` adds a ``sz``
+    column (token-set size) in the SAME groupBy — zero extra shuffles — so
+    banded joins can apply the All-Pairs length cut (r14; see
+    :func:`_size_compatible`)."""
     tok_col = tokens(text_col) if tokenizer is None else tokenizer
     # _spread: the n_hashes x md5-per-token work is orders of magnitude
     # above the scan bytes, so a small parquet arrives as 1 split and the
@@ -779,6 +791,12 @@ def minhash_signatures(
         F.min(hash60(F.concat(F.lit(f"{i}|"), F.col("token")))).alias(f"mh_{i:02d}")
         for i in range(n_hashes)
     ]
+    if with_size:
+        # count of exploded rows == F.size(tok_col) (explode emits one row
+        # per element, duplicates and NULL elements included), so this sz
+        # EQUALS the ``sz`` _docsets computes for verification — the
+        # equality the length cut's losslessness rests on
+        aggs.append(F.count(F.lit(1)).alias("sz"))
     return tok.groupBy("doc_id").agg(*aggs)
 
 
@@ -790,12 +808,18 @@ def _stacked_bands(
     band_size: int,
     out_id: str = "doc_id",
     tokenizer: Column | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
-    """(out_id, band_key) rows: MinHash signatures banded and exploded —
-    the shared LSH blocking stage of :func:`minhash_lsh_pairs` and
+    """(out_id, band_key[, sz]) rows: MinHash signatures banded and exploded
+    — the shared LSH blocking stage of :func:`minhash_lsh_pairs` and
     :func:`incremental_dedup` (one definition, so the banding scheme
-    cannot silently diverge between the two paths)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, tokenizer)
+    cannot silently diverge between the two paths).  ``with_size`` carries
+    the token-set size (one extra int per band row) so callers can prune
+    size-incompatible candidates INSIDE the band join, before the
+    ``distinct`` shuffle pays for them."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, tokenizer, with_size=with_size
+    )
     n_bands = n_hashes // band_size
     band_cols = [
         F.md5(
@@ -807,8 +831,10 @@ def _stacked_bands(
         ).alias(f"band_{b}")
         for b in range(n_bands)
     ]
-    return sigs.select("doc_id", *band_cols).select(
+    extra = ["sz"] if with_size else []
+    return sigs.select("doc_id", *extra, *band_cols).select(
         F.col("doc_id").alias(out_id),
+        *extra,
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(n_bands)])).alias(
             "band_key"
         ),
@@ -886,14 +912,22 @@ def minhash_lsh_pairs(
                 f"(larger band_size), or shard the corpus."
             )
     stacked = _stacked_bands(
-        df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
+        df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer,
+        with_size=True,
     )
     a, b = stacked.alias("a"), stacked.alias("b")
+    # _size_compatible INSIDE the join condition (r14): a lossless
+    # All-Pairs length cut — any pruned pair has jaccard <= min(sz)/max(sz)
+    # < threshold, so _verify_candidates would drop it anyway — applied
+    # BEFORE the distinct so size-incompatible collisions never enter that
+    # shuffle (the sf10 stream this guards measured 452.8M rows pre-cut;
+    # same move the r13 prefix joins made).
     cand = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _size_compatible(F.col("a.sz"), F.col("b.sz"), threshold),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -1023,16 +1057,30 @@ def lsh_representatives(
     from foresttime_builder_spark.operators.graph import connected_components
 
     stacked = _stacked_bands(
-        df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
+        df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer,
+        with_size=True,
     )
-    # hub = bucket minimum via one window over the band shuffle (min
-    # ignores NULL ids; a NULL doc_id also fails the <> filter, so
-    # NULL-id rows can never mint an edge on either engine)
-    hub = F.min("doc_id").over(Window.partitionBy("band_key"))
+    # hub = bucket minimum via one window over the band shuffle.  The min
+    # is over a NULL-masked (doc_id, sz) struct so the hub's token-set
+    # size rides along for free: struct ordering is by doc_id first
+    # (unique), the mask keeps NULL-id rows out of the min exactly as the
+    # previous plain min("doc_id") did, and a NULL doc_id still fails the
+    # <> filter — NULL-id rows can never mint an edge on either engine.
+    hub = F.min(
+        F.when(F.col("doc_id").isNotNull(), F.struct("doc_id", "sz"))
+    ).over(Window.partitionBy("band_key"))
     edges = (
-        stacked.withColumn("hub", hub)
-        .filter(F.col("doc_id") != F.col("hub"))
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        stacked.withColumn("_hub", hub)
+        .filter(F.col("doc_id") != F.col("_hub.doc_id"))
+        # lossless All-Pairs length cut vs the hub (r14): a pruned edge has
+        # jaccard < threshold and would fail _verify_candidates anyway, so
+        # the verified edge set — the only thing connectivity flows
+        # through — is unchanged; the cut just keeps the edge out of the
+        # distinct shuffle and the verification joins
+        .filter(_size_compatible(F.col("sz"), F.col("_hub.sz"), threshold))
+        .select(
+            F.col("_hub.doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
         .distinct()
     )
     verified = _verify_candidates(
@@ -1279,14 +1327,18 @@ def incremental_dedup(
     )
     batch_keep = b_hash.groupBy("_h").agg(F.min("_bid").alias("batch_keep_id"))
 
+    b_bands = _stacked_bands(
+        batch, id_col, text_col, n_hashes, band_size, "_bid", with_size=True
+    ).withColumnRenamed("sz", "_bsz0")
+    h_bands = _stacked_bands(
+        history, id_col, text_col, n_hashes, band_size, "_hid", with_size=True
+    ).withColumnRenamed("sz", "_hsz0")
     cand = (
-        _stacked_bands(batch, id_col, text_col, n_hashes, band_size, "_bid")
-        .join(
-            _stacked_bands(
-                history, id_col, text_col, n_hashes, band_size, "_hid"
-            ),
-            "band_key",
-        )
+        b_bands.join(h_bands, "band_key")
+        # lossless All-Pairs length cut (r14): a size-incompatible pair has
+        # jaccard < threshold and would fail the near_keep verification —
+        # pruning it here keeps it out of the distinct shuffle
+        .filter(_size_compatible(F.col("_bsz0"), F.col("_hsz0"), threshold))
         .select("_bid", "_hid")
         .distinct()
     )
