@@ -758,14 +758,22 @@ def ivf_topk(
 
     cent_rows, lists = _kmeans_build(base, dims, k_clusters, iters)
 
-    if candidate_budget is not None:
-        # skew guard (r13 review): a collapsed quantizer can put most of
-        # the corpus in ONE inverted list, and cogroup materializes a
-        # whole list per task — the pair-stream budget cannot see that.
-        # One count pass over the final assignment (cent_rows is already
-        # collected, so this re-runs a single Arrow map, not the k-means)
-        # bounds the largest list's task footprint.  No degrade exists:
-        # nprobe cannot shrink a single list, so both postures raise.
+    if n_rows is None:
+        n_rows = emb.count()
+    if n_rows * (dims * 8 + 32) > IVF_MAX_LIST_BYTES:
+        # skew guard (r13 review; decoupled from candidate_budget in r14 —
+        # an UNGUARDED production call could previously still build a
+        # multi-GiB cogroup task from a collapsed quantizer): a collapsed
+        # quantizer can put most of the corpus in ONE inverted list, and
+        # cogroup materializes a whole list per task — the pair-stream
+        # budget cannot see that.  Gated on the corpus-bytes bound (only a
+        # corpus that could PHYSICALLY exceed the cap even when fully
+        # collapsed pays the check, so gate-SF calls skip it), the check
+        # is one count pass over the final assignment — cent_rows is
+        # already collected, so this re-runs a single Arrow map, not the
+        # k-means; counting from `lists` instead would also execute its
+        # join with `base`, which is strictly more work.  No degrade
+        # exists: nprobe cannot shrink a single list, so it always raises.
         row = (
             _assign_arrow(base, cent_rows, dims)
             .groupBy("cid").count().agg(F.max("count").alias("mx")).collect()
@@ -830,8 +838,9 @@ def ivf_topk(
     # exact top-k.
     #
     # Ordering parity with the engines (r13 review fixes):
-    # - NaN cosines (zero-norm or NaN-component vectors — _valid only
-    #   excludes NULLs) rank FIRST, exactly as Spark's and DuckDB's
+    # - NaN cosines (NaN-component vectors — the only NaN source left:
+    #   _valid(cosine=True) already excludes NULL-component AND zero-norm
+    #   vectors) rank FIRST, exactly as Spark's and DuckDB's
     #   `ORDER BY cosine DESC` treat NaN as greatest: the sort key maps
     #   NaN -> -inf so they survive the local cut and reach the global
     #   window, which applies the engines' own NaN semantics.
@@ -1162,6 +1171,17 @@ def kmeans_coverage_sample(
         dims,
     )
     cent_rows, lists = _kmeans_build(base, dims, k_clusters, iters)
+    if not cent_rows:
+        # empty (or fully validity-filtered) corpus: createDataFrame([])
+        # would raise PySpark's opaque "can not infer schema from empty
+        # dataset" — return the empty result with the contract schema
+        # instead (id type preserved from the input)
+        return emb.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("long").alias("dist_e6"),
+            F.lit(None).cast("int").alias("pick_rank"),
+        ).filter(F.lit(False))
     sess = emb.sparkSession
     cdf = sess.createDataFrame(cent_rows)  # (cid, cvec, cc): k ~ sqrt(N) rows
     scored = lists.join(F.broadcast(cdf), on="cid").withColumn(

@@ -70,7 +70,17 @@ def connected_components(
     silently returning wrong component ids; the star path additionally
     certifies its output EXACTLY (every input edge's endpoints share a
     label) so a checksum-based early stop can never smuggle a wrong
-    answer through."""
+    answer through.
+
+    ``small_graph_edges`` (the count threshold below which the star
+    backend switches to its driver-side union-find tier) applies to the
+    "star" backend ONLY — passing it with ``algorithm="minlabel"`` raises
+    rather than silently ignoring the pin."""
+    if algorithm != "star" and small_graph_edges is not None:
+        raise ValueError(
+            "small_graph_edges applies only to the 'star' backend; "
+            f"algorithm={algorithm!r} has no small-graph tier"
+        )
     if algorithm == "star":
         return _cc_star(
             edges, src, dst, STAR_MAX_ITER if max_iter is None else max_iter,

@@ -258,9 +258,12 @@ def test_ivf_mass_duplicate_ties_match_oracle(spark):
 
 def test_ivf_collapsed_list_guard(spark, monkeypatch):
     """r13 review fix: the pair-stream budget cannot see a skew-collapsed
-    quantizer (one giant inverted list = one giant cogroup task), so
-    guarded mode bounds the largest list's bytes and raises with advice
-    — degrade cannot shrink a single list, so both postures raise."""
+    quantizer (one giant inverted list = one giant cogroup task), so the
+    guard bounds the largest list's bytes and raises with advice — degrade
+    cannot shrink a single list, so both postures raise.  Since r14
+    (ADVICE item) the guard no longer depends on candidate_budget: ANY
+    call whose corpus could physically exceed the cap when fully
+    collapsed pays the check, while corpora below the cap skip it."""
     import pytest as _pytest
 
     from foresttime_builder_spark.operators import ann
@@ -271,7 +274,13 @@ def test_ivf_collapsed_list_guard(spark, monkeypatch):
     for posture in ("error", "degrade"):
         with _pytest.raises(ValueError, match="largest inverted list"):
             ann.ivf_topk(emb, candidate_budget=10_000_000, on_budget=posture)
-    # unguarded mode (no budget) keeps the check off: tests/tiny corpora
+    # r14: an UNGUARDED (no-budget) call is protected too once the corpus
+    # could exceed the cap
+    with _pytest.raises(ValueError, match="largest inverted list"):
+        ann.ivf_topk(emb).count()
+    # a corpus whose total bytes fit under the cap skips the check — the
+    # gate-SF fast path (and no list can exceed what the whole corpus is)
+    monkeypatch.setattr(ann, "IVF_MAX_LIST_BYTES", 1 << 30)
     assert ann.ivf_topk(emb).count() > 0
 
 
