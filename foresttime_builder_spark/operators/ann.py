@@ -1149,7 +1149,25 @@ def kmeans_coverage_sample(
     if order not in ("representative", "diverse"):
         raise ValueError(f"bad order {order!r}")
     emb = _valid(emb, id_col, vec_col, cosine=True)
-    vdims = _probe_width(emb, vec_col)
+
+    def _empty():
+        # empty (or fully validity-filtered) corpus: the contract result
+        # is an empty frame with the output schema, id type preserved —
+        # not _probe_width's error, and not createDataFrame([])'s opaque
+        # "can not infer schema from empty dataset" (r13 advice item)
+        return emb.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("long").alias("dist_e6"),
+            F.lit(None).cast("int").alias("pick_rank"),
+        ).filter(F.lit(False))
+
+    try:
+        vdims = _probe_width(emb, vec_col)
+    except ValueError:
+        if emb.isEmpty():
+            return _empty()
+        raise
     if dims is None:
         dims = vdims
     elif dims != vdims:
@@ -1172,16 +1190,7 @@ def kmeans_coverage_sample(
     )
     cent_rows, lists = _kmeans_build(base, dims, k_clusters, iters)
     if not cent_rows:
-        # empty (or fully validity-filtered) corpus: createDataFrame([])
-        # would raise PySpark's opaque "can not infer schema from empty
-        # dataset" — return the empty result with the contract schema
-        # instead (id type preserved from the input)
-        return emb.select(
-            F.col(id_col),
-            F.lit(None).cast("int").alias("cid"),
-            F.lit(None).cast("long").alias("dist_e6"),
-            F.lit(None).cast("int").alias("pick_rank"),
-        ).filter(F.lit(False))
+        return _empty()
     sess = emb.sparkSession
     cdf = sess.createDataFrame(cent_rows)  # (cid, cvec, cc): k ~ sqrt(N) rows
     scored = lists.join(F.broadcast(cdf), on="cid").withColumn(
