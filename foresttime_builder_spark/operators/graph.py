@@ -422,10 +422,19 @@ def cluster_near_dups(
     max_iter: int | None = None,
     algorithm: str = "star",
     degrade_budget: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate clustering end-to-end: token-Jaccard pair detection →
     connected components → ``(doc_id-named id_col, cluster_id,
     cluster_size)``; ``cluster_id`` is the component's minimum doc id.
+
+    Pass ``pairs`` (a verified ``(doc_a, doc_b, ...)`` frame — e.g.
+    :func:`~foresttime_builder_spark.operators.dedup.token_jaccard_pairs`
+    output persisted by an earlier pipeline stage) to cluster from it
+    directly instead of recomputing the pair graph; the similarity/budget
+    parameters are then ignored (r13 verdict item 3: a sweep or production
+    chain that already enumerated+verified the pairs — q16's output —
+    should not pay that stream again for q50/q77).
 
     This is the guarded entry point for the clustering family: the
     ``candidate_budget`` / ``on_budget`` regime guard of
@@ -456,7 +465,9 @@ def cluster_near_dups(
         token_jaccard_pairs,
     )
 
-    if on_budget == "representatives":
+    if pairs is not None:
+        pass  # precomputed verified pairs: skip detection entirely
+    elif on_budget == "representatives":
         try:
             pairs = token_jaccard_pairs(
                 df,
@@ -515,6 +526,7 @@ def dedup_finalize(
     algorithm: str = "star",
     clusters: DataFrame | None = None,
     degrade_budget: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup FINALIZE — keep exactly one representative per near-dup
     cluster (longest document in whitespace tokens, doc id tie-break) and
@@ -531,7 +543,10 @@ def dedup_finalize(
     Pass ``clusters`` (a :func:`cluster_near_dups`-shaped frame — e.g. a
     persisted/materialized one from an earlier pipeline stage) to finalize
     from it directly instead of recomputing the pair graph; the similarity
-    parameters are then ignored.
+    parameters are then ignored.  Or pass ``pairs`` (a verified pair frame,
+    e.g. persisted :func:`~foresttime_builder_spark.operators.dedup.
+    token_jaccard_pairs` output) to skip only the pair detection and still
+    run the components here.
     """
     if clusters is None:
         clusters = cluster_near_dups(
@@ -545,6 +560,7 @@ def dedup_finalize(
             max_iter=max_iter,
             algorithm=algorithm,
             degrade_budget=degrade_budget,
+            pairs=pairs,
         )
     toks = df.select(
         id_col, F.size(F.split(F.col(text_col), " ")).alias("n_tokens")

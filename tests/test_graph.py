@@ -359,3 +359,38 @@ def test_ladder_fallback_equals_filtered_representatives(spark):
         if r.cluster_size > 1
     }
     assert ladder == reps and ladder
+
+
+def test_precomputed_pairs_identical_to_end_to_end(spark):
+    """r13 verdict item 3: a chain that already enumerated+verified the
+    pair stream (q16's output) must be able to feed clustering and
+    finalize WITHOUT recomputing it — and get bit-identical results to
+    the end-to-end path."""
+    from foresttime_builder_spark.operators.dedup import token_jaccard_pairs
+    from foresttime_builder_spark.operators.graph import (
+        cluster_near_dups,
+        dedup_finalize,
+    )
+    from foresttime_builder_spark.sources import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = token_jaccard_pairs(d, "doc_id", "text", threshold=0.8).persist()
+
+    e2e = sorted(
+        tuple(r) for r in cluster_near_dups(d, "doc_id", "text", 0.8).collect()
+    )
+    fed = sorted(
+        tuple(r)
+        for r in cluster_near_dups(d, "doc_id", "text", pairs=pairs).collect()
+    )
+    assert e2e == fed and e2e
+
+    e2e_fin = sorted(
+        tuple(r) for r in dedup_finalize(d, "doc_id", "text", 0.8).collect()
+    )
+    fed_fin = sorted(
+        tuple(r)
+        for r in dedup_finalize(d, "doc_id", "text", pairs=pairs).collect()
+    )
+    assert e2e_fin == fed_fin and e2e_fin
+    pairs.unpersist()
