@@ -164,6 +164,11 @@ def _pin_cn_columns(schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+#: inferred-CSV-schema memo, keyed on every file's (path, mtime_ns, size)
+#: — see the inference note inside :func:`fia_load`
+_SCHEMA_CACHE: dict[tuple, "object"] = {}
+
+
 def fia_load(
     spark: SparkSession,
     states: Sequence[str],
@@ -181,13 +186,22 @@ def fia_load(
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             continue
-        inferred = (
-            spark.read.option("header", True)
-            .option("inferSchema", True)
-            .option("nullValue", "NA")
-            .csv(paths)
-            .schema
-        )
+        # schema inference is a FULL extra scan job per table (9 jobs per
+        # load); the files are immutable between runs of the same
+        # pipeline, so memoize on (path, mtime, size) — same idea as
+        # parquet footer caching.  A touched/replaced file misses the key
+        # and re-infers, so this can never serve a stale schema.
+        key = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in paths)
+        inferred = _SCHEMA_CACHE.get(key)
+        if inferred is None:
+            inferred = (
+                spark.read.option("header", True)
+                .option("inferSchema", True)
+                .option("nullValue", "NA")
+                .csv(paths)
+                .schema
+            )
+            _SCHEMA_CACHE[key] = inferred
         db[table] = (
             spark.read.option("header", True)
             .option("nullValue", "NA")
