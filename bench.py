@@ -183,20 +183,34 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout line still carries the record
+    # compact = a key-projection of detail (no parallel literals to drift)
+    # + the two trend totals
     compact = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "extended": ext_timings,
-        "extended_total_sec": detail["extended_total_sec"],
-        "trend_total_sec": detail["trend"]["total_sec"],
-        "trend_extended_total_sec": detail["trend"]["extended_total_sec"],
-        "runs": n_runs,
-        "sf": float(sf) if sf else None,
+        k: detail[k]
+        for k in ("metric", "value", "unit", "queries", "extended",
+                  "extended_total_sec", "runs", "sf")
     }
+    compact["trend_total_sec"] = detail["trend"]["total_sec"]
+    compact["trend_extended_total_sec"] = detail["trend"]["extended_total_sec"]
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1500, f"bench stdout line {len(line)} chars > driver tail budget"
+    if len(line) >= 1500:
+        # tripwire: the per-query tables outgrew the driver's 2000-char
+        # stdout tail budget.  NEVER die without a record (an assert here
+        # would reproduce the exact parsed:null failure this protocol
+        # fixes) — fall back to the always-fits headline and complain on
+        # stderr so the overflow gets fixed next round.
+        print(
+            f"bench stdout line {len(line)} chars >= 1500 tail budget; "
+            f"emitting reduced line (full detail in {detail_path})",
+            file=sys.stderr,
+        )
+        line = json.dumps(
+            {k: compact[k] for k in (
+                "metric", "value", "unit", "extended_total_sec",
+                "trend_total_sec", "runs", "sf",
+            )},
+            separators=(",", ":"),
+        )
     print(line)
 
 

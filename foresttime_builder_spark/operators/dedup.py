@@ -777,7 +777,18 @@ def minhash_signatures(
     column (token-set size) in the SAME groupBy — zero extra shuffles — so
     banded joins can apply the All-Pairs length cut (r14; see
     :func:`_size_compatible`)."""
-    tok_col = tokens(text_col) if tokenizer is None else tokenizer
+    # a custom tokenizer may emit duplicates; wrap it in array_distinct —
+    # MinHash values are duplicate-INVARIANT (min over repeated tokens is
+    # identical), and ``sz`` must be the DISTINCT token count for the
+    # All-Pairs cut to be lossless under BOTH verification modes: bitmask
+    # jaccard is over distinct sets, and for the arrays mode
+    # n <= d_min and (ms_a + ms_b - d_min) >= ms_max >= d_max give
+    # j <= d_min/d_max, so d-denominated pruning can never drop a pair the
+    # verifier would keep (the r14 review's multiset counterexample:
+    # 'x x x x' vs 'x' — multiset cut pruned a bitmask-jaccard-1.0 pair)
+    tok_col = (
+        tokens(text_col) if tokenizer is None else F.array_distinct(tokenizer)
+    )
     # _spread: the n_hashes x md5-per-token work is orders of magnitude
     # above the scan bytes, so a small parquet arrives as 1 split and the
     # whole signature stage runs single-threaded (q119 sf0.1 measured
@@ -944,10 +955,18 @@ def _docsets(
     :func:`minhash_lsh_pairs` and :func:`lsh_representatives` — one
     definition so the tokenization half of the verification contract
     cannot drift between the two paths (the jaccard half lives in
-    :func:`_verify_candidates`)."""
+    :func:`_verify_candidates`).
+
+    A custom tokenizer is distinct-wrapped: the operator's contract is
+    token-SET jaccard, and before r14 a duplicate-emitting tokenizer made
+    the two verify modes DISAGREE — bitmask computed true set jaccard
+    while the arrays mode divided by multiset sizes ('x x x x' vs 'x':
+    1.0 vs 0.25), so verify='auto' answered differently depending on
+    vocabulary size (r14 review finding)."""
+    tok_col = tokens(text_col) if tokenizer is None else F.array_distinct(tokenizer)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        (tokens(text_col) if tokenizer is None else tokenizer).alias("toks"),
+        tok_col.alias("toks"),
     ).withColumn("sz", F.size("toks"))
 
 
@@ -1053,7 +1072,11 @@ def lsh_representatives(
 
     Pass a dict as ``stats`` to receive ``{"edges_raw": n,
     "edges_verified": n, "edges_exact": n, "clusters": n}`` telemetry
-    (each is a triggered count — scale-harness use, not the hot path)."""
+    (each is a triggered count — scale-harness use, not the hot path).
+    Since r14 ``edges_raw`` counts the hub-edge stream AFTER the lossless
+    All-Pairs length cut (and the distinct) — r13-and-earlier recorded
+    figures are pre-cut, so cross-round edges_raw comparisons straddling
+    r14 partly measure the cut itself."""
     from foresttime_builder_spark.operators.graph import connected_components
 
     stacked = _stacked_bands(

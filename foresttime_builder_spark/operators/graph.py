@@ -546,8 +546,16 @@ def dedup_finalize(
     parameters are then ignored.  Or pass ``pairs`` (a verified pair frame,
     e.g. persisted :func:`~foresttime_builder_spark.operators.dedup.
     token_jaccard_pairs` output) to skip only the pair detection and still
-    run the components here.
+    run the components here.  Passing BOTH raises: silently preferring one
+    would hide a stale-input bug (same posture as the small_graph_edges/
+    minlabel check in :func:`connected_components`).
     """
+    if clusters is not None and pairs is not None:
+        raise ValueError(
+            "dedup_finalize: pass clusters= OR pairs=, not both — "
+            "clusters would silently win and a stale frame could mask "
+            "the freshly computed pairs"
+        )
     if clusters is None:
         clusters = cluster_near_dups(
             df,

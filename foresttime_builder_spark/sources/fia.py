@@ -191,7 +191,8 @@ def fia_load(
         # pipeline, so memoize on (path, mtime, size) — same idea as
         # parquet footer caching.  A touched/replaced file misses the key
         # and re-infers, so this can never serve a stale schema.
-        key = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in paths)
+        stats = [(p, os.stat(p)) for p in paths]  # one stat per file
+        key = tuple((p, s.st_mtime_ns, s.st_size) for p, s in stats)
         inferred = _SCHEMA_CACHE.get(key)
         if inferred is None:
             inferred = (

@@ -365,3 +365,27 @@ def test_lsh_representatives_edges_exactly_verified(spark):
         ).collect()
     }
     assert got[1] == (1, 2) and got[2] == (1, 2) and got[3] == (3, 1)
+
+
+def test_banded_cut_lossless_with_duplicate_emitting_tokenizer(spark):
+    """r14 review counterexample: with a custom tokenizer that emits
+    duplicates, the in-join All-Pairs cut must use DISTINCT sizes or it
+    prunes pairs the verifier keeps ('x x x x' vs 'x': bitmask jaccard
+    1.0, multiset sizes 4 vs 1 fail the 0.5 ratio).  MinHash is
+    duplicate-invariant, so the signature stage distinct-wraps custom
+    tokenizers and the pair must survive."""
+    from pyspark.sql import functions as F
+
+    from foresttime_builder_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "x")], "doc_id int, text string"
+    )
+    out = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5,
+        tokenizer=tokens("text", distinct=False),
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]

@@ -88,9 +88,9 @@ def test_mass_tie_prefix_consistency(spark, n_dups, seeds, order):
         by_cid.setdefault(r["cid"], []).append(r)
     want = []
     for members in by_cid.values():
-        members.sort(key=lambda r: (r["dist_e6"], r["vec_id"]))
-        # NOTE dist_e6 sign: for order='diverse' the window sorts dist
-        # DESC — replay via pick_rank instead of re-deriving the direction
+        # replay the operator's own ranking via pick_rank (for
+        # order='diverse' the window sorts dist DESC, so re-deriving the
+        # direction here would just duplicate the implementation)
         members.sort(key=lambda r: r["pick_rank"])
         want.extend(members[:m])
     assert sorted((r["vec_id"], r["cid"], r["dist_e6"], r["pick_rank"]) for r in picked) == sorted(
