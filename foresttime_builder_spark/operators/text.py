@@ -995,3 +995,145 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter_regex: str = "\\n",
+    max_doc_freq: int = 1,
+    joiner: str = "\n",
+) -> DataFrame:
+    """Cross-document LINE deduplication (the RefinedWeb/Falcon curation
+    step): drop every occurrence of any line whose DOCUMENT frequency
+    exceeds ``max_doc_freq`` — boilerplate headers, navigation chrome,
+    cookie banners — and reassemble each document from its surviving
+    lines in original order.
+
+    Reference parity note: the FIA reference has no text layer; this is
+    part of the SURVEY §2 training-data extension family (exact dedup is
+    document-grained q12; this removes the sub-document duplication that
+    document-grained dedup cannot see).
+
+    Semantics (pinned for engine parity):
+
+    - a "line" is a ``split(text, delimiter_regex)`` fragment — regex
+      split on BOTH engines (DuckDB twin uses ``string_split_regex``);
+      empty fragments are real lines (two docs ending in the delimiter
+      share an empty line);
+    - doc frequency counts DISTINCT documents (a line repeated inside one
+      document is not cross-corpus boilerplate and is kept — all copies);
+    - dropping removes EVERY occurrence corpus-wide (no canonical-copy
+      survivor: boilerplate is noise, not content — this differs from
+      doc-level dedup where one representative survives);
+    - NULL text → NULL ``clean_text`` with zero counts (the doc row
+      itself always survives);
+    - a document whose every line is dropped keeps an EMPTY
+      ``clean_text`` ('' — distinguishable from NULL input).
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)``.
+
+    Scale shape (100 TB): posexplode is linear; the doc-frequency
+    aggregation runs on md5(line) 32-byte keys (two partial-aggregated
+    shuffles for the distinct count); the dup-line relation joined back
+    contains ONLY lines over the threshold — boilerplate vocabulary, a
+    tiny fraction of distinct lines — so Spark can broadcast it when
+    stats allow; reassembly is one groupBy(doc) with an in-group
+    array_sort, no window.  Nothing in the plan is quadratic and no
+    driver-side collection exists.
+    """
+    lines = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), delimiter_regex)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_lh", F.md5(F.col("_line")))
+    # distinct-doc frequency via two partial-aggregated shuffles (a direct
+    # countDistinct would plan an Expand over the full line stream)
+    dup = (
+        lines.select("_lh", "_id").distinct()
+        .groupBy("_lh").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_lh")
+    )
+    flagged = lines.join(dup.withColumn("_dup", F.lit(True)), "_lh", "left")
+    agg = flagged.groupBy("_id").agg(
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias(
+            "n_dropped"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_dup").isNull(),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("_line"),
+            ),
+            joiner,
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "clean_text",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("int").alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
+def line_dedup_oracle_sql(
+    id_col: str,
+    text_col: str,
+    table: str,
+    delimiter_regex: str = "\\n",
+    max_doc_freq: int = 1,
+    joiner: str = "\n",
+) -> str:
+    """DuckDB twin of :func:`line_dedup` — identical split regex, md5 line
+    keys, distinct-doc frequency, order-preserving reassembly."""
+    joiner_sql = joiner.replace("'", "''").replace("\n", "' || chr(10) || '")
+    delim_sql = delimiter_regex.replace("'", "''")
+    return f"""
+WITH lines AS (
+  SELECT {id_col} AS _id,
+         generate_subscripts(string_split_regex({text_col}, '{delim_sql}'), 1)
+           AS _pos,
+         unnest(string_split_regex({text_col}, '{delim_sql}')) AS _line
+  FROM {table}
+), hashed AS (
+  SELECT _id, _pos, _line, md5(_line) AS _lh FROM lines
+), dup AS (
+  SELECT _lh FROM (
+    SELECT _lh, count(*) AS _df
+    FROM (SELECT DISTINCT _lh, _id FROM hashed) GROUP BY 1
+  ) WHERE _df > {max_doc_freq}
+), flagged AS (
+  SELECT h.*, d._lh IS NOT NULL AS _dup
+  FROM hashed h LEFT JOIN dup d USING (_lh)
+), agg AS (
+  SELECT _id,
+         count(*) FILTER (WHERE NOT _dup) AS n_kept,
+         count(*) FILTER (WHERE _dup) AS n_dropped,
+         coalesce(
+           string_agg(CASE WHEN NOT _dup THEN _line END, '{joiner_sql}'
+                      ORDER BY _pos),
+           '') AS clean_text
+  FROM flagged GROUP BY 1
+)
+SELECT t.{id_col},
+       agg.clean_text,
+       CAST(coalesce(agg.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(coalesce(agg.n_dropped, 0) AS INTEGER) AS n_dropped
+FROM {table} t LEFT JOIN agg ON t.{id_col} = agg._id
+"""

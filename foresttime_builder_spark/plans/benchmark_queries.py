@@ -236,7 +236,9 @@ from foresttime_builder_spark.plans.queries.text import (  # noqa: F401
     _quality_gate_oracle,
     _text_oracle,
     _top_ngrams_oracle,
+    _line_dedup_oracle,
     _vocab_overlap_oracle,
+    q123_line_dedup,
     q13_text_quality,
     q14_token_df,
     q15_doc_fingerprint,
@@ -458,4 +460,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q122_diversity_sample": QuerySpec(
         q122_diversity_sample, _coverage_sample_oracle("diverse")
     ),
+    "q123_line_dedup": QuerySpec(q123_line_dedup, _line_dedup_oracle()),
 }

@@ -374,3 +374,32 @@ def _vocab_overlap_oracle() -> str:
     )
 
     return vocabulary_overlap_oracle_sql("source", "text", "documents")
+
+
+def q123_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line deduplication (`operators/text.line_dedup` —
+    the RefinedWeb/Falcon curation step): drop every occurrence of any
+    "line" appearing in more than one document, reassemble documents from
+    surviving lines in order.  The synthetic corpus carries no newlines,
+    so the gate splits on the literal token ' line ' (deterministic,
+    frequent) — the operator's machinery (posexplode, md5 doc-frequency,
+    anti-ish join, in-group ordered reassembly) is delimiter-agnostic."""
+    from foresttime_builder_spark.operators.text import line_dedup
+
+    return line_dedup(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        delimiter_regex=" line ",
+        max_doc_freq=1,
+        joiner=" | ",
+    )
+
+
+def _line_dedup_oracle() -> str:
+    from foresttime_builder_spark.operators.text import line_dedup_oracle_sql
+
+    return line_dedup_oracle_sql(
+        "doc_id", "text", "documents",
+        delimiter_regex=" line ", max_doc_freq=1, joiner=" | ",
+    )
