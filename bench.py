@@ -175,8 +175,17 @@ def main() -> None:
         "runs": n_runs,
         "sf": float(sf) if sf else None,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"
+    # suffix with the sf so concurrent runs against different SF dirs
+    # can't clobber each other's detail record; BENCH_DETAIL_PATH
+    # overrides outright.  The driver's canonical sf0.1 run keeps the
+    # historical un-suffixed name.
+    detail_name = (
+        "BENCH_detail_last.json"
+        if sf in (None, "", "0.1")
+        else f"BENCH_detail_last_sf{sf}.json"
+    )
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     try:
         with open(detail_path, "w") as f:

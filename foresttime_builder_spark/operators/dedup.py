@@ -431,7 +431,7 @@ def token_jaccard_pairs(
                 F.col("rnk")
                 <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
             )
-            .select("doc_id", "token", "sz")
+            .select("doc_id", "token", "sz", "rnk")
         )
         a, b = ranked.alias("a"), ranked.alias("b")
         cand = (
@@ -439,7 +439,11 @@ def token_jaccard_pairs(
                 b,
                 (F.col("a.token") == F.col("b.token"))
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
-                & _size_compatible(F.col("a.sz"), F.col("b.sz"), threshold),
+                & _size_compatible(F.col("a.sz"), F.col("b.sz"), threshold)
+                & _positional_bound_ok(
+                    F.col("a.rnk"), F.col("b.rnk"),
+                    F.col("a.sz"), F.col("b.sz"), threshold,
+                ),
             )
             .select(
                 F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -573,6 +577,41 @@ def _size_compatible(sz_a: Column, sz_b: Column, threshold: float) -> Column:
     ) * F.greatest(sz_a, sz_b)
 
 
+def _positional_bound_ok(
+    rnk_a: Column, rnk_b: Column, sz_a: Column, sz_b: Column, threshold: float
+) -> Column:
+    """PPJoin-style positional filter (Xiao et al., "Efficient Similarity
+    Joins for Near Duplicate Detection" — the same public-literature family
+    as the All-Pairs length cut above), evaluated per matched prefix token
+    INSIDE the candidate join, before the ``distinct`` shuffle and the
+    array/bitset verification.
+
+    For a candidate generated by a shared token at per-document ranks
+    ``(i, j)`` under one consistent global order (rarest-first ``(df,
+    token)`` — so any common token sits on the same side of the match in
+    BOTH documents), the overlap decomposes into common-before plus
+    common-from-the-match-on::
+
+        overlap <= min(i-1, j-1)  +  1 + min(sz_a - i, sz_b - j)
+
+    Jaccard >= t requires ``overlap >= t/(1+t) * (sz_a + sz_b)``; a row
+    whose bound cannot reach that is discarded.  LOSSLESS per row (not
+    just per pair): a truly-similar pair satisfies the bound at EVERY
+    shared token, so each of its join rows survives and the pair cannot
+    be lost — no ordering or first-match bookkeeping needed, which is
+    what makes the filter expressible as a pure join predicate Catalyst
+    evaluates before the exchange.  The threshold carries the same 1e-4
+    rounding slack as :func:`_size_compatible` (final filter admits raw
+    jaccard down to ``t - 5e-5``) plus 1e-9 float headroom, so boundary
+    pairs are kept, never dropped."""
+    t = threshold - 1e-4
+    ubound = (
+        F.least(rnk_a, rnk_b)
+        + F.least(sz_a - rnk_a, sz_b - rnk_b)
+    )
+    return ubound >= F.lit(t / (1.0 + t)) * (sz_a + sz_b) - F.lit(1e-9)
+
+
 def _jaccard_prefix_blockmask(
     docsets: DataFrame, threshold: float, vocab_n: int
 ) -> DataFrame:
@@ -604,7 +643,7 @@ def _jaccard_prefix_blockmask(
         .filter(
             F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
-        .select("doc_id", "pos", "sz")
+        .select("doc_id", "pos", "sz", "rnk")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
@@ -612,7 +651,14 @@ def _jaccard_prefix_blockmask(
             b,
             (F.col("a.pos") == F.col("b.pos"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & _size_compatible(F.col("a.sz"), F.col("b.sz"), threshold),
+            & _size_compatible(F.col("a.sz"), F.col("b.sz"), threshold)
+            # the (df, pos) ranking orders identically to the string path's
+            # (df, token) — positions are assigned in token order — so the
+            # positional bound is the same lossless predicate here
+            & _positional_bound_ok(
+                F.col("a.rnk"), F.col("b.rnk"),
+                F.col("a.sz"), F.col("b.sz"), threshold,
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

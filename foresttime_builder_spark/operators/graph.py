@@ -76,6 +76,10 @@ def connected_components(
     backend switches to its driver-side union-find tier) applies to the
     "star" backend ONLY — passing it with ``algorithm="minlabel"`` raises
     rather than silently ignoring the pin."""
+    if algorithm not in ("star", "minlabel"):
+        # validated FIRST so a typo'd backend gets the 'unknown algorithm'
+        # error, not a misleading small_graph_edges-incompatibility message
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm != "star" and small_graph_edges is not None:
         raise ValueError(
             "small_graph_edges applies only to the 'star' backend; "
@@ -89,8 +93,6 @@ def connected_components(
                 SMALL_CC_EDGES if small_graph_edges is None else small_graph_edges
             ),
         )
-    if algorithm != "minlabel":
-        raise ValueError(f"unknown algorithm {algorithm!r}")
     return _cc_minlabel(
         edges, src, dst, MAX_ITER_DEFAULT if max_iter is None else max_iter
     )

@@ -1101,7 +1101,35 @@ def line_dedup_oracle_sql(
     joiner: str = "\n",
 ) -> str:
     """DuckDB twin of :func:`line_dedup` — identical split regex, md5 line
-    keys, distinct-doc frequency, order-preserving reassembly."""
+    keys, distinct-doc frequency, order-preserving reassembly.
+
+    Supported parameter character sets (the twin splices these into SQL
+    text, escaping only what the registered callers need):
+
+    - ``joiner``: printable characters, single quotes, and newlines.
+      Backslashes are NOT supported — DuckDB string literals would need
+      their own escaping pass and no caller uses them.
+    - ``delimiter_regex``: a regex meaning the same thing to Java's
+      ``java.util.regex`` (Spark ``split``) and DuckDB's RE2.  Stay
+      within the shared common subset: literal chars, ``\\n``, ``\\t``,
+      simple classes like ``[ \\t]+``.  Constructs the engines interpret
+      differently (backreferences, lookbehind, ``\\R``, possessive
+      quantifiers) silently diverge rather than fail.
+
+    Both constraints are asserted below so an out-of-contract caller
+    fails loudly at twin-construction time, not with a hash mismatch.
+    """
+    if "\\" in joiner:
+        raise ValueError(
+            "line_dedup_oracle_sql: backslash in joiner is outside the "
+            "supported character set (see docstring)"
+        )
+    for bad in ("(?<", "\\R", "\\G"):
+        if bad in delimiter_regex:
+            raise ValueError(
+                f"line_dedup_oracle_sql: {bad!r} in delimiter_regex is not "
+                "portable between Java regex and DuckDB RE2 (see docstring)"
+            )
     joiner_sql = joiner.replace("'", "''").replace("\n", "' || chr(10) || '")
     delim_sql = delimiter_regex.replace("'", "''")
     return f"""

@@ -164,8 +164,17 @@ def _pin_cn_columns(schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
-#: inferred-CSV-schema memo, keyed on every file's (path, mtime_ns, size)
-#: — see the inference note inside :func:`fia_load`
+#: the reader options the schema inference runs under — part of the memo
+#: key below, so a future change to these (or a per-call override) can
+#: never serve a schema inferred under different settings
+_CSV_READ_OPTS: tuple[tuple[str, str], ...] = (
+    ("header", "true"),
+    ("nullValue", "NA"),
+)
+
+#: inferred-CSV-schema memo, keyed on the reader options plus every
+#: file's (path, mtime_ns, size) — see the inference note inside
+#: :func:`fia_load`
 _SCHEMA_CACHE: dict[tuple, "object"] = {}
 
 
@@ -192,20 +201,20 @@ def fia_load(
         # parquet footer caching.  A touched/replaced file misses the key
         # and re-infers, so this can never serve a stale schema.
         stats = [(p, os.stat(p)) for p in paths]  # one stat per file
-        key = tuple((p, s.st_mtime_ns, s.st_size) for p, s in stats)
+        key = (_CSV_READ_OPTS,) + tuple(
+            (p, s.st_mtime_ns, s.st_size) for p, s in stats
+        )
         inferred = _SCHEMA_CACHE.get(key)
         if inferred is None:
             inferred = (
-                spark.read.option("header", True)
+                spark.read.options(**dict(_CSV_READ_OPTS))
                 .option("inferSchema", True)
-                .option("nullValue", "NA")
                 .csv(paths)
                 .schema
             )
             _SCHEMA_CACHE[key] = inferred
         db[table] = (
-            spark.read.option("header", True)
-            .option("nullValue", "NA")
+            spark.read.options(**dict(_CSV_READ_OPTS))
             .schema(_pin_cn_columns(inferred))
             .csv(paths)
         )

@@ -29,12 +29,25 @@ TABLES = (
 ).split()
 
 
-def fresh_con(sf_dir: str):
+def fresh_con(sf_dir: str, mem: str | None = None, threads: int | None = None):
     c = duckdb.connect()
     spill = os.path.join(tempfile.gettempdir(), "ftb_duckdb_spill")
     os.makedirs(spill, exist_ok=True)
     c.execute(f"SET temp_directory='{spill}'")
-    c.execute(f"SET memory_limit='{os.environ.get('FTB_DUCKDB_MEM', '64GB')}'")
+    c.execute(
+        f"SET memory_limit="
+        f"'{mem or os.environ.get('FTB_DUCKDB_MEM', '64GB')}'"
+    )
+    # threads are PINNED (default 8, override FTB_DUCKDB_THREADS): at this
+    # box's default of 32, per-thread working-set over-allocation kills the
+    # 110 KB NSVB CTE chain (q26's twin) with 'bad allocation' at EVERY
+    # memory_limit tried (64/32/24 GB, reproduced 4x in the r14 judge
+    # session), while threads=8 completes it in ~6 s.  8 also matches the
+    # single-process comparator framing — the oracle column measures an
+    # engine, not a 32-way box race.
+    c.execute(
+        f"SET threads={threads or int(os.environ.get('FTB_DUCKDB_THREADS', '8'))}"
+    )
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -105,8 +118,25 @@ def main() -> None:
         samples = []
         for _ in range(args.runs):
             t0 = time.time()
-            with contextlib.closing(fresh_con(args.sf)) as con:
-                n_rows = _run_oracle(con, name, oracles[name])
+            try:
+                with contextlib.closing(fresh_con(args.sf)) as con:
+                    n_rows = _run_oracle(con, name, oracles[name])
+            except Exception as ex:
+                if "emory" not in str(ex) and "allocation" not in str(ex):
+                    raise
+                # check_correctness's capped-retry, adapted: a fresh
+                # attempt under a tighter cap + fewer threads (spill
+                # instead of over-allocate).  The retry attempt is what
+                # gets timed — a comparator column with a hole in it is
+                # worse than one honest slower sample.
+                import gc as _gc
+
+                _gc.collect()
+                t0 = time.time()
+                with contextlib.closing(
+                    fresh_con(args.sf, mem="48GB", threads=4)
+                ) as con:
+                    n_rows = _run_oracle(con, name, oracles[name])
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]

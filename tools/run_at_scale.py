@@ -38,6 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from foresttime_builder_spark.session import get_spark
 
+#: per-query wall cap for fresh-JVM subprocess re-runs (--isolate /
+#: --retry-fresh).  The slowest legitimate sf10 query on record is q77 at
+#: ~400 s plus ~60 s of JVM startup; 30 min leaves 3x headroom while
+#: still unblocking a sweep whose retry JVM wedges (the exact regime
+#: --retry-fresh exists for).
+_RETRY_PER_QUERY_CAP_S = 1800
+
 
 def _isolate_main(args) -> None:
     """--isolate driver: one subprocess (fresh JVM) per query, merged report."""
@@ -57,10 +64,20 @@ def _isolate_main(args) -> None:
             "--sf-dir", args.sf_dir, "--only", name,
             "--runs", str(args.runs),
         ]
-        proc = subprocess.run(cmd, capture_output=True, text=True)
         try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=max(1, args.runs) * _RETRY_PER_QUERY_CAP_S,
+            )
             sub = json.loads(proc.stdout.strip().splitlines()[-1])
             report[name] = sub["queries"][name]
+        except subprocess.TimeoutExpired:
+            report[name] = {
+                "sec": None,
+                "rows": None,
+                "err": f"subprocess timeout after "
+                       f"{max(1, args.runs) * _RETRY_PER_QUERY_CAP_S}s",
+            }
         except Exception:
             report[name] = {
                 "sec": None,
@@ -215,7 +232,18 @@ def main() -> None:
                 "--sf-dir", args.sf_dir, "--only", name,
                 "--runs", str(args.runs),
             ]
-            proc = subprocess.run(cmd, capture_output=True, text=True)
+            try:
+                # the regime this retry targets (deep-sweep OOM / stuck
+                # JVM) can hang the subprocess too — cap it so one wedged
+                # retry can't block the whole sweep; a timeout keeps the
+                # original shared-session error
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=max(1, args.runs) * _RETRY_PER_QUERY_CAP_S,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"retry-fresh: {name} timed out", file=sys.stderr)
+                continue
             try:
                 sub = json.loads(proc.stdout.strip().splitlines()[-1])
                 fresh = sub["queries"][name]
