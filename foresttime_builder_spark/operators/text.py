@@ -997,6 +997,19 @@ WHERE rank <= {k}
 """
 
 
+def _line_key(line: Column, normalize: bool) -> Column:
+    """Match key for one line: identity, or (collapse ``[ \\t\\r]+`` →
+    one space, trim, lower).  The whitespace class is EXPLICIT — Java
+    regex and DuckDB's RE2 disagree on ``\\s`` (vertical tab is in
+    Java's, not RE2's), and after splitting on the line delimiter these
+    three are the intra-line whitespace that actually occurs.  Idempotent
+    by construction (collapsed text has no runs left to collapse; trim
+    and lower are idempotent)."""
+    if not normalize:
+        return line
+    return F.lower(F.trim(F.regexp_replace(line, "[ \t\r]+", " ")))
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,
@@ -1004,6 +1017,7 @@ def line_dedup(
     delimiter_regex: str = "\\n",
     max_doc_freq: int = 1,
     joiner: str = "\n",
+    normalize: bool = False,
 ) -> DataFrame:
     """Cross-document LINE deduplication (the RefinedWeb/Falcon curation
     step): drop every occurrence of any line whose DOCUMENT frequency
@@ -1030,9 +1044,24 @@ def line_dedup(
     - NULL text → NULL ``clean_text`` with zero counts (the doc row
       itself always survives);
     - a document whose every line is dropped keeps an EMPTY
-      ``clean_text`` ('' — distinguishable from NULL input).
+      ``clean_text`` ('' — distinguishable from NULL input);
+    - ``normalize=True`` matches lines on a normalized KEY — collapse
+      runs of ``[ \\t\\r]`` to one space (an explicit class: Java and
+      RE2 disagree on ``\\s`` membership, e.g. vertical tab), trim,
+      case-fold — while reassembly keeps each surviving line's ORIGINAL
+      text (RefinedWeb-style pipelines normalize before matching so
+      near-identical chrome collapses; the content itself is never
+      rewritten).  The key function is idempotent, so re-running
+      line_dedup over its own output with the same settings is a no-op
+      on already-clean docs.
 
-    Returns ``(id_col, clean_text, n_kept, n_dropped)``.
+    Returns ``(id_col, clean_text, n_kept, n_dropped, dup_frac_e6)``
+    where ``dup_frac_e6`` = round(n_dropped / (n_kept + n_dropped) *
+    1e6) — the per-document duplicate-line fraction production pipelines
+    threshold on (drop whole docs whose boilerplate fraction is too
+    high).  Scaled-integer (e6) so engine comparison is exact; NULL for
+    NULL-text docs (0/0 — Spark would yield NaN, DuckDB NULL; pinned to
+    NULL on both engines).
 
     Scale shape (100 TB): posexplode is linear; the doc-frequency
     aggregation runs on md5(line) 32-byte keys (two partial-aggregated
@@ -1048,7 +1077,7 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), delimiter_regex)).alias(
             "_pos", "_line"
         ),
-    ).withColumn("_lh", F.md5(F.col("_line")))
+    ).withColumn("_lh", F.md5(_line_key(F.col("_line"), normalize)))
     # distinct-doc frequency via two partial-aggregated shuffles (a direct
     # countDistinct would plan an Expand over the full line stream)
     dup = (
@@ -1078,7 +1107,7 @@ def line_dedup(
             joiner,
         ).alias("clean_text"),
     )
-    return (
+    out = (
         df.select(F.col(id_col))
         .join(agg.withColumnRenamed("_id", id_col), id_col, "left")
         .select(
@@ -1090,6 +1119,19 @@ def line_dedup(
             ),
         )
     )
+    total = F.col("n_kept") + F.col("n_dropped")
+    # double multiply BEFORE the int counts can overflow int32 (a
+    # >2147-line doc would wrap n_dropped * 1e6 in integer arithmetic);
+    # identical IEEE double ops on both engines -> exact e6 parity
+    return out.withColumn(
+        "dup_frac_e6",
+        F.when(
+            total > 0,
+            F.floor(
+                F.col("n_dropped").cast("double") * 1.0e6 / total + F.lit(0.5)
+            ),
+        ).cast("long"),  # NULL-text docs: total 0 -> NULL (never NaN)
+    )
 
 
 def line_dedup_oracle_sql(
@@ -1099,6 +1141,7 @@ def line_dedup_oracle_sql(
     delimiter_regex: str = "\\n",
     max_doc_freq: int = 1,
     joiner: str = "\n",
+    normalize: bool = False,
 ) -> str:
     """DuckDB twin of :func:`line_dedup` — identical split regex, md5 line
     keys, distinct-doc frequency, order-preserving reassembly.
@@ -1132,6 +1175,15 @@ def line_dedup_oracle_sql(
             )
     joiner_sql = joiner.replace("'", "''").replace("\n", "' || chr(10) || '")
     delim_sql = delimiter_regex.replace("'", "''")
+    # the normalized KEY mirrors _line_key exactly: explicit [ \t\r]
+    # class (portable between Java regex and RE2 — see _line_key), 'g'
+    # flag because DuckDB regexp_replace is first-match-only by default
+    # where Spark's is global
+    key_sql = (
+        "lower(trim(regexp_replace(_line, '[ \t\r]+', ' ', 'g')))"
+        if normalize
+        else "_line"
+    )
     return f"""
 WITH lines AS (
   SELECT {id_col} AS _id,
@@ -1140,7 +1192,7 @@ WITH lines AS (
          unnest(string_split_regex({text_col}, '{delim_sql}')) AS _line
   FROM {table}
 ), hashed AS (
-  SELECT _id, _pos, _line, md5(_line) AS _lh FROM lines
+  SELECT _id, _pos, _line, md5({key_sql}) AS _lh FROM lines
 ), dup AS (
   SELECT _lh FROM (
     SELECT _lh, count(*) AS _df
@@ -1162,6 +1214,10 @@ WITH lines AS (
 SELECT t.{id_col},
        agg.clean_text,
        CAST(coalesce(agg.n_kept, 0) AS INTEGER) AS n_kept,
-       CAST(coalesce(agg.n_dropped, 0) AS INTEGER) AS n_dropped
+       CAST(coalesce(agg.n_dropped, 0) AS INTEGER) AS n_dropped,
+       CASE WHEN coalesce(agg.n_kept, 0) + coalesce(agg.n_dropped, 0) > 0
+            THEN CAST(floor(CAST(agg.n_dropped AS DOUBLE) * 1000000.0
+                            / (agg.n_kept + agg.n_dropped) + 0.5) AS BIGINT)
+       END AS dup_frac_e6
 FROM {table} t LEFT JOIN agg ON t.{id_col} = agg._id
 """

@@ -237,8 +237,10 @@ from foresttime_builder_spark.plans.queries.text import (  # noqa: F401
     _text_oracle,
     _top_ngrams_oracle,
     _line_dedup_oracle,
+    _line_dedup_normalized_oracle,
     _vocab_overlap_oracle,
     q123_line_dedup,
+    q124_line_dedup_normalized,
     q13_text_quality,
     q14_token_df,
     q15_doc_fingerprint,
@@ -461,4 +463,7 @@ QUERIES: dict[str, QuerySpec] = {
         q122_diversity_sample, _coverage_sample_oracle("diverse")
     ),
     "q123_line_dedup": QuerySpec(q123_line_dedup, _line_dedup_oracle()),
+    "q124_line_dedup_normalized": QuerySpec(
+        q124_line_dedup_normalized, _line_dedup_normalized_oracle()
+    ),
 }

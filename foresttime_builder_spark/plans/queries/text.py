@@ -403,3 +403,52 @@ def _line_dedup_oracle() -> str:
         "doc_id", "text", "documents",
         delimiter_regex=" line ", max_doc_freq=1, joiner=" | ",
     )
+
+
+#: deterministic case/whitespace mangling shared by q124's Spark and
+#: DuckDB sides: the synthetic corpus is uniformly lowercase and
+#: single-spaced, so WITHOUT this the normalize=True path would be
+#: vacuously green (keys identical to raw lines).  Docs ≡0 mod 3 are
+#: uppercased, ≡1 mod 3 get doubled spaces — cross-doc boilerplate lines
+#: then differ textually but collide under the normalized key, which is
+#: exactly the behavior the query gates.
+_Q124_MANGLE = (
+    "CASE WHEN doc_id % 3 = 0 THEN upper(text) "
+    "WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ') "
+    "ELSE text END"
+)
+
+
+def q124_line_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line dedup with RefinedWeb-style production knobs
+    (`operators/text.line_dedup(normalize=True)` + the `dup_frac_e6`
+    thresholding column): lines match on a normalized key (collapse
+    whitespace, trim, case-fold) while reassembly preserves original
+    text, and each doc reports its duplicate-line fraction.  Input text
+    is deterministically case/space-mangled (see `_Q124_MANGLE`) so
+    normalization is load-bearing, not vacuous."""
+    from foresttime_builder_spark.operators.text import line_dedup
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q124_MANGLE).alias("text")
+    )
+    return line_dedup(
+        d,
+        "doc_id",
+        "text",
+        delimiter_regex=" line ",
+        max_doc_freq=1,
+        joiner=" | ",
+        normalize=True,
+    )
+
+
+def _line_dedup_normalized_oracle() -> str:
+    from foresttime_builder_spark.operators.text import line_dedup_oracle_sql
+
+    mangled = f"(SELECT doc_id, {_Q124_MANGLE} AS text FROM documents)"
+    return line_dedup_oracle_sql(
+        "doc_id", "text", mangled,
+        delimiter_regex=" line ", max_doc_freq=1, joiner=" | ",
+        normalize=True,
+    )
