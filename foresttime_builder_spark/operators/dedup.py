@@ -663,24 +663,7 @@ def _jaccard_prefix_blockmask(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # per-doc bitset: one conditional sum per 64-bit word (sum == OR for
-    # the distinct positions of one document's token set)
-    word_aggs = [
-        F.sum(
-            F.when(
-                (F.col("pos") >= 64 * w) & (F.col("pos") < 64 * (w + 1)),
-                F.expr("shiftleft(CAST(1 AS BIGINT), pos % 64)"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias(f"_w{w}")
-        for w in range(n_words)
-    ]
-    masks = (
-        tokp.groupBy("doc_id", "sz")
-        .agg(*word_aggs)
-        .select(
-            "doc_id", "sz", F.array(*[f"_w{w}" for w in range(n_words)]).alias("mask")
-        )
-    )
+    masks = _blockmasks_from_tokp(tokp, n_words)
     ma = masks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
@@ -710,6 +693,33 @@ def _jaccard_prefix_blockmask(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _blockmasks_from_tokp(tokp: DataFrame, n_words: int) -> DataFrame:
+    """``(doc_id, sz, mask)`` multi-word bitsets from a ``(doc_id, sz,
+    pos)`` token-position relation — the shared mask-building stage of
+    :func:`_jaccard_prefix_blockmask` and the blockmask verification tier
+    of :func:`_verify_candidates` (one definition, so the bit layout
+    cannot diverge between candidate sources).  Per-doc bitset: one
+    conditional sum per 64-bit word (sum == OR for the distinct positions
+    of one document's token set)."""
+    word_aggs = [
+        F.sum(
+            F.when(
+                (F.col("pos") >= 64 * w) & (F.col("pos") < 64 * (w + 1)),
+                F.expr("shiftleft(CAST(1 AS BIGINT), pos % 64)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"_w{w}")
+        for w in range(n_words)
+    ]
+    return (
+        tokp.groupBy("doc_id", "sz")
+        .agg(*word_aggs)
+        .select(
+            "doc_id", "sz",
+            F.array(*[f"_w{w}" for w in range(n_words)]).alias("mask"),
+        )
     )
 
 
@@ -1017,16 +1027,107 @@ def _docsets(
 
 
 def _verify_candidates(
-    cand: DataFrame, docsets: DataFrame, verify: str, threshold: float
+    cand: DataFrame,
+    docsets: DataFrame,
+    verify: str,
+    threshold: float,
+    dense_candidates: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification of a ``(doc_a, doc_b)`` candidate frame
     against a ``(doc_id, toks, sz)`` docsets frame — the shared final stage
     of :func:`minhash_lsh_pairs` and :func:`lsh_representatives` (one
     definition, so the two paths cannot silently diverge on the jaccard
     fixed-point/rounding contract).  Returns ``(doc_a, doc_b, n_common,
-    jaccard)`` with ``jaccard`` already 4-rounded and thresholded."""
+    jaccard)`` with ``jaccard`` already 4-rounded and thresholded.
+
+    Verification tiers (all exact — explicit bit positions, no hashing):
+    'bitmask' (vocab <= 64: one long, popcount), 'blockmask' (r15, vocab
+    <= :data:`_BLOCKMASK_VOCAB_CAP`: multi-word bitsets — the same tier
+    the prefix path has used since r13, now shared with EVERY candidate
+    source including banded LSH; popcount over ~vocab/64 longs beats
+    ``array_intersect``'s per-pair string hash-set both in CPU and in
+    join-shuffle bytes), 'arrays' (general vocabularies).  'auto' probes
+    vocabulary size through the same bounded-sample ladder the pair
+    strategies use.
+
+    ``dense_candidates`` steers 'auto' between blockmask and arrays: the
+    mask build is an O(corpus) fixed cost (vocab probe + position join +
+    per-doc bitset groupBy) that amortizes only over a candidate stream
+    much larger than the corpus.  Pair ENUMERATION is that regime
+    (measured sf1 in-session A/B: q76's 28.2M banded candidates verify in
+    20.5 s blockmask vs 47.2 s arrays, −57%); the representatives path's
+    hub-edge stream is LINEAR in the corpus and the same A/B went the
+    other way (q119: 14.1 s arrays vs 20.6 s blockmask — the fixed cost
+    never amortizes), so :func:`lsh_representatives` passes False.
+    Explicit 'blockmask'/'arrays' pins are always honored."""
+    if verify not in ("auto", "bitmask", "blockmask", "arrays"):
+        raise ValueError(f"bad verify {verify!r}")
+    vocab_n: int | None = None
     if verify == "auto":
-        verify = "bitmask" if _vocab_fits_mask(docsets) else "arrays"
+        if _vocab_fits_mask(docsets):
+            verify = "bitmask"
+        else:
+            vocab_n = (
+                _vocab_size_if_small(docsets, _BLOCKMASK_VOCAB_CAP)
+                if dense_candidates
+                else None
+            )
+            verify = "blockmask" if vocab_n else "arrays"
+    if verify == "blockmask":
+        if vocab_n is None:  # explicitly pinned: validate at plan time
+            vocab_n = _vocab_size_if_small(docsets, _BLOCKMASK_VOCAB_CAP)
+            if vocab_n is None:
+                raise ValueError(
+                    "verify='blockmask' requires vocabulary <= "
+                    f"{_BLOCKMASK_VOCAB_CAP} distinct tokens; use "
+                    "verify='arrays' or 'auto'"
+                )
+        n_words = (max(vocab_n, 1) + 63) // 64
+        vocab = _vocab_positions(
+            docsets,
+            _BLOCKMASK_VOCAB_CAP,
+            f"blockmask verification requires vocabulary <= "
+            f"{_BLOCKMASK_VOCAB_CAP} distinct tokens",
+        )
+        tokp = (
+            docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
+            .join(F.broadcast(vocab), "token")
+            .select("doc_id", "sz", "pos")
+        )
+        masks = _blockmasks_from_tokp(tokp, n_words)
+        ma = masks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("mask").alias("mask_a"),
+        )
+        mb = masks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sz").alias("sz_b"),
+            F.col("mask").alias("mask_b"),
+        )
+        inter = F.aggregate(
+            F.zip_with(
+                "mask_a", "mask_b", lambda x, y: F.bit_count(x.bitwiseAND(y))
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            cand.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .filter(_size_compatible(F.col("sz_a"), F.col("sz_b"), threshold))
+            .withColumn("n_common", inter.cast("int"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "jaccard")
+        )
     if verify == "bitmask":
         masks = _doc_masks(docsets)
         va = masks.select(F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"))
@@ -1153,7 +1254,11 @@ def lsh_representatives(
         .distinct()
     )
     verified = _verify_candidates(
-        edges, _docsets(df, id_col, text_col, tokenizer), verify, threshold
+        edges, _docsets(df, id_col, text_col, tokenizer), verify, threshold,
+        # hub-edge stream is linear in the corpus: the blockmask tier's
+        # O(corpus) mask build never amortizes here (measured — see
+        # _verify_candidates docstring), so auto resolves to arrays
+        dense_candidates=False,
     ).select("doc_a", "doc_b")
     # exact-duplicate star tier: hub edges alone cannot GUARANTEE that
     # two identical documents co-cluster — a dissimilar lower-id doc can

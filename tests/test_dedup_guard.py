@@ -389,3 +389,39 @@ def test_banded_cut_lossless_with_duplicate_emitting_tokenizer(spark):
         tokenizer=tokens("text", distinct=False),
     ).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_lsh_verify_blockmask_matches_arrays_and_auto(spark):
+    # r15: the banded path's verification gained the multi-word blockmask
+    # tier (vocab 64..4096).  All three representations must agree
+    # bit-for-bit on a 120-token corpus (above the 64-bit mask, inside
+    # the blockmask cap) — and 'auto' must pick blockmask there.
+    from foresttime_builder_spark.operators.dedup import minhash_lsh_pairs
+
+    wide = _corpus(spark, vocab=120)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in df.collect()
+    )
+    got = {
+        mode: rows(
+            minhash_lsh_pairs(
+                wide, "doc_id", "text",
+                n_hashes=16, band_size=2, threshold=0.5, verify=mode,
+            )
+        )
+        for mode in ("arrays", "blockmask", "auto")
+    }
+    assert got["arrays"] == got["blockmask"] == got["auto"]
+    assert got["arrays"]  # non-vacuous: adjacent docs do collide
+
+
+def test_lsh_verify_blockmask_raises_past_cap(spark, monkeypatch):
+    import foresttime_builder_spark.operators.dedup as dedup
+    from foresttime_builder_spark.operators.dedup import minhash_lsh_pairs
+
+    monkeypatch.setattr(dedup, "_BLOCKMASK_VOCAB_CAP", 8)
+    wide = _corpus(spark, vocab=120)
+    with pytest.raises(Exception, match="requires vocabulary <= 8"):
+        minhash_lsh_pairs(
+            wide, "doc_id", "text", threshold=0.5, verify="blockmask"
+        ).collect()
