@@ -168,10 +168,7 @@ def estimate_candidate_pairs(
                     Window.partitionBy("doc_id").orderBy("df", "token")
                 ),
             )
-            .filter(
-                F.col("rnk")
-                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-            )
+            .filter(_prefix_len_ok(F.col("rnk"), F.col("sz"), threshold))
         )
     row = (
         tok.groupBy("token")
@@ -426,11 +423,8 @@ def token_jaccard_pairs(
                     Window.partitionBy("doc_id").orderBy("df", "token")
                 ),
             )
-            # prefix length L - ceil(t*L) + 1
-            .filter(
-                F.col("rnk")
-                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-            )
+            # prefix length L - ceil(t_eff*L) + 1 (slacked; see helper)
+            .filter(_prefix_len_ok(F.col("rnk"), F.col("sz"), threshold))
             .select("doc_id", "token", "sz", "rnk")
         )
         a, b = ranked.alias("a"), ranked.alias("b")
@@ -498,9 +492,10 @@ def token_jaccard_pairs(
 
 def _vocab_positions(
     docsets: DataFrame, cap: int, err: str
-) -> DataFrame:
-    """(token, pos) with positions assigned lexicographically — the shared
-    vocabulary-numbering step of the bitmask/blockmask paths.
+) -> tuple[DataFrame, int]:
+    """``((token, pos) frame, vocab size)`` with positions assigned
+    lexicographically — the shared vocabulary-numbering step of the
+    bitmask/blockmask paths.
 
     The vocabulary is BOUNDED by construction (callers reach here only
     after :func:`_vocab_size_if_small` proved it <= ``cap``, 64 or 4096),
@@ -509,7 +504,10 @@ def _vocab_positions(
     same result, no single-partition WindowExec (whose expected warning
     drowned real warnings in the gate logs).  A pinned strategy on a
     corpus that outgrew the cap (precondition violated) raises ``err``
-    here, at plan time, instead of mid-execution."""
+    here, at plan time, instead of mid-execution.  The size is returned
+    so a pinned caller needs no separate full-corpus distinct-count job
+    (r15 review catch: pinned blockmask ran three vocabulary jobs where
+    this one bounded collect settles both questions)."""
     rows = (
         docsets.select(F.explode("toks").alias("token"))
         .distinct()
@@ -519,8 +517,11 @@ def _vocab_positions(
     if len(rows) > cap:
         raise ValueError(err)
     vocab = sorted(r["token"] for r in rows)
-    return docsets.sparkSession.createDataFrame(
-        [(t, i) for i, t in enumerate(vocab)], "token string, pos int"
+    return (
+        docsets.sparkSession.createDataFrame(
+            [(t, i) for i, t in enumerate(vocab)], "token string, pos int"
+        ),
+        len(vocab),
     )
 
 
@@ -560,6 +561,20 @@ def _vocab_size_if_small(
         docsets.select(F.explode("toks").alias("token")).distinct().count()
     )
     return full_vocab if full_vocab <= cap else None
+
+
+def _prefix_len_ok(rnk: Column, sz: Column, threshold: float) -> Column:
+    """All-Pairs prefix-membership predicate: token rank within
+    ``L - ceil(t_eff * L) + 1``.  Uses the SLACKED threshold
+    ``t_eff = t - 1e-4`` like every other filter in the family — the
+    final filter admits raw jaccard down to ``t - 5e-5`` (4-dp HALF_UP),
+    so a prefix computed from the exact ``t`` is one token too short
+    precisely when ``t*L`` sits within ``1e-4*L`` above an integer
+    (possible at ~1e4+-token documents), silently dropping a pair the
+    rounding contract admits (r15 review catch — pre-existing since the
+    r13 prefix join).  Cost: prefixes grow by at most one token."""
+    t_eff = threshold - 1e-4
+    return rnk <= sz - F.ceil(F.lit(t_eff) * sz) + 1
 
 
 def _size_compatible(sz_a: Column, sz_b: Column, threshold: float) -> Column:
@@ -626,7 +641,7 @@ def _jaccard_prefix_blockmask(
     Candidates join on int positions (8-byte shuffle keys vs strings)."""
     n_words = (vocab_n + 63) // 64
     tok = docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
-    vocab = _vocab_positions(
+    vocab, _ = _vocab_positions(
         docsets,
         _BLOCKMASK_VOCAB_CAP,
         f"blockmask verification requires vocabulary <= "
@@ -640,9 +655,7 @@ def _jaccard_prefix_blockmask(
             "rnk",
             F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "pos")),
         )
-        .filter(
-            F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
+        .filter(_prefix_len_ok(F.col("rnk"), F.col("sz"), threshold))
         .select("doc_id", "pos", "sz", "rnk")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
@@ -664,6 +677,31 @@ def _jaccard_prefix_blockmask(
         .distinct()
     )
     masks = _blockmasks_from_tokp(tokp, n_words)
+    # size cut already enforced inside the candidate join above
+    return _blockmask_pair_jaccard(
+        cand, masks, threshold, size_cut=False, n_words=n_words
+    )
+
+
+def _blockmask_pair_jaccard(
+    cand: DataFrame, masks: DataFrame, threshold: float, size_cut: bool,
+    n_words: int,
+) -> DataFrame:
+    """Popcount pair verification over ``(doc_id, sz, mask)`` bitsets —
+    the shared final stage of the prefix blockmask path and the blockmask
+    tier of :func:`_verify_candidates` (one definition, so the jaccard
+    fixed-point/rounding contract cannot diverge between candidate
+    sources — the module convention).  ``size_cut`` re-applies the
+    All-Pairs length filter for candidate sources that did not already
+    enforce it inside their join.
+
+    The intersection popcount is UNROLLED into a flat sum over the
+    plan-time-known ``n_words`` — Spark evaluates higher-order functions
+    (``zip_with``/``aggregate``) with an interpreted lambda per element,
+    which at 49 words × ~73M sf10 pairs became the verification
+    bottleneck (measured: the HOF form ran SLOWER than string
+    ``array_intersect`` at sf10 while winning at sf1's 5 words); the
+    unrolled form stays inside whole-stage codegen at every width."""
     ma = masks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
@@ -674,15 +712,22 @@ def _jaccard_prefix_blockmask(
         F.col("sz").alias("sz_b"),
         F.col("mask").alias("mask_b"),
     )
-    inter = F.aggregate(
-        F.zip_with("mask_a", "mask_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    terms = [
+        F.bit_count(
+            F.get(F.col("mask_a"), w).bitwiseAND(F.get(F.col("mask_b"), w))
+        )
+        for w in range(max(n_words, 1))
+    ]
+    inter = terms[0]
+    for t in terms[1:]:
+        inter = inter + t
+    out = cand.join(ma, "doc_a").join(mb, "doc_b")
+    if size_cut:
+        out = out.filter(
+            _size_compatible(F.col("sz_a"), F.col("sz_b"), threshold)
+        )
     return (
-        cand.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .withColumn("n_common", inter.cast("int"))
+        out.withColumn("n_common", inter.cast("int"))
         .withColumn(
             "jaccard",
             F.round(
@@ -733,7 +778,7 @@ def _doc_masks(docsets: DataFrame) -> DataFrame:
     positions are assigned lexicographically for determinism.
     """
     tok = docsets.select("doc_id", F.explode("toks").alias("token"))
-    vocab = _vocab_positions(
+    vocab, _ = _vocab_positions(
         docsets,
         64,
         "bitmask dedup requires vocabulary <= 64 distinct tokens; "
@@ -1074,59 +1119,25 @@ def _verify_candidates(
             )
             verify = "blockmask" if vocab_n else "arrays"
     if verify == "blockmask":
-        if vocab_n is None:  # explicitly pinned: validate at plan time
-            vocab_n = _vocab_size_if_small(docsets, _BLOCKMASK_VOCAB_CAP)
-            if vocab_n is None:
-                raise ValueError(
-                    "verify='blockmask' requires vocabulary <= "
-                    f"{_BLOCKMASK_VOCAB_CAP} distinct tokens; use "
-                    "verify='arrays' or 'auto'"
-                )
-        n_words = (max(vocab_n, 1) + 63) // 64
-        vocab = _vocab_positions(
+        # one bounded limit(cap+1) collect settles BOTH the cap check and
+        # the vocabulary size — a pinned caller needs no separate
+        # distinct-count jobs (r15 review catch)
+        vocab, vocab_n = _vocab_positions(
             docsets,
             _BLOCKMASK_VOCAB_CAP,
             f"blockmask verification requires vocabulary <= "
-            f"{_BLOCKMASK_VOCAB_CAP} distinct tokens",
+            f"{_BLOCKMASK_VOCAB_CAP} distinct tokens; use "
+            "verify='arrays' or 'auto'",
         )
+        n_words = (max(vocab_n, 1) + 63) // 64
         tokp = (
             docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
             .join(F.broadcast(vocab), "token")
             .select("doc_id", "sz", "pos")
         )
         masks = _blockmasks_from_tokp(tokp, n_words)
-        ma = masks.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("sz").alias("sz_a"),
-            F.col("mask").alias("mask_a"),
-        )
-        mb = masks.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("sz").alias("sz_b"),
-            F.col("mask").alias("mask_b"),
-        )
-        inter = F.aggregate(
-            F.zip_with(
-                "mask_a", "mask_b", lambda x, y: F.bit_count(x.bitwiseAND(y))
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            cand.join(ma, "doc_a")
-            .join(mb, "doc_b")
-            .filter(_size_compatible(F.col("sz_a"), F.col("sz_b"), threshold))
-            .withColumn("n_common", inter.cast("int"))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("n_common")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                    4,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "n_common", "jaccard")
+        return _blockmask_pair_jaccard(
+            cand, masks, threshold, size_cut=True, n_words=n_words
         )
     if verify == "bitmask":
         masks = _doc_masks(docsets)

@@ -412,8 +412,13 @@ def _line_dedup_oracle() -> str:
 #: uppercased, ≡1 mod 3 get doubled spaces — cross-doc boilerplate lines
 #: then differ textually but collide under the normalized key, which is
 #: exactly the behavior the query gates.
+#: the upper() arm must RESTORE the delimiter after case-folding — the
+#: split regex ' line ' is case-sensitive, so a fully-uppercased doc
+#: would never split and the case-fold arm would be vacuous (r15 review
+#: catch: a lower()/case-folding divergence between engines would have
+#: passed green)
 _Q124_MANGLE = (
-    "CASE WHEN doc_id % 3 = 0 THEN upper(text) "
+    "CASE WHEN doc_id % 3 = 0 THEN replace(upper(text), ' LINE ', ' line ') "
     "WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ') "
     "ELSE text END"
 )

@@ -425,3 +425,25 @@ def test_lsh_verify_blockmask_raises_past_cap(spark, monkeypatch):
         minhash_lsh_pairs(
             wide, "doc_id", "text", threshold=0.5, verify="blockmask"
         ).collect()
+
+
+def test_prefix_slack_keeps_rounding_boundary_pair(spark):
+    # r15 review catch (pre-existing since the r13 prefix join): the final
+    # filter admits raw jaccard down to t - 5e-5 (4-dp HALF_UP), but the
+    # prefix length used the UNSLACKED t.  Constructed counterexample at
+    # t=0.5: |A|=20000, B subset of A with |B|=9999 -> raw j = 9999/20000
+    # = 0.49995, rounds to 0.5 -> admitted by verification.  The 9999
+    # shared tokens have df=2 (rank last in A, after its 10001 df=1
+    # uniques), so A's unslacked prefix (10001 tokens) contained NO shared
+    # token and the pair was silently lost; the slacked prefix includes 2
+    # shared tokens and finds it.
+    shared = [f"s{i:05d}" for i in range(9999)]
+    uniq = [f"u{i:05d}" for i in range(10001)]
+    rows = [(0, " ".join(uniq + shared)), (1, " ".join(shared))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = token_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, strategy="prefix"
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in got] == [
+        (0, 1, 9999, 0.5)
+    ]

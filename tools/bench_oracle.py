@@ -55,6 +55,19 @@ def fresh_con(sf_dir: str, mem: str | None = None, threads: int | None = None):
     return c
 
 
+def _retry_mem() -> str:
+    """Memory cap for the OOM retry: 48GB, but never ABOVE the operator's
+    configured ceiling — on a small-RAM box with FTB_DUCKDB_MEM=24GB the
+    retry must stay at 24GB and lean on threads=4 + spill, not outbid the
+    limit the operator set (r15 review catch)."""
+    env = os.environ.get("FTB_DUCKDB_MEM", "64GB").strip().upper()
+    try:
+        configured_gb = float(env.removesuffix("GB").removesuffix("GIB"))
+    except ValueError:
+        return "48GB"  # non-GB unit: don't guess, keep the historical cap
+    return f"{min(48.0, configured_gb):g}GB"
+
+
 def _run_oracle(con, name: str, sql: str) -> int:
     """Execute one oracle and return its row count.
 
@@ -134,7 +147,7 @@ def main() -> None:
                 _gc.collect()
                 t0 = time.time()
                 with contextlib.closing(
-                    fresh_con(args.sf, mem="48GB", threads=4)
+                    fresh_con(args.sf, mem=_retry_mem(), threads=4)
                 ) as con:
                     n_rows = _run_oracle(con, name, oracles[name])
             samples.append(time.time() - t0)

@@ -93,7 +93,9 @@ def main() -> None:
     for name, reason in movers:
         print(f"MOVER {name}: {reason}")
     if movers:
-        only = ",".join(sorted({n.split("_")[0] for n, _ in movers}))
+        # full names: run_at_scale --only does PREFIX matching, so a
+        # truncated 'q12' would also re-run q120..q124 (r15 review catch)
+        only = ",".join(sorted({n for n, _ in movers}))
         print(
             f"\n{len(movers)} need adjudication — fresh-JVM isolate:\n"
             f"  python tools/run_at_scale.py --sf-dir {sf_dir} "

@@ -64,6 +64,7 @@ def _isolate_main(args) -> None:
             "--sf-dir", args.sf_dir, "--only", name,
             "--runs", str(args.runs),
         ]
+        proc = None
         try:
             proc = subprocess.run(
                 cmd, capture_output=True, text=True,
@@ -78,13 +79,17 @@ def _isolate_main(args) -> None:
                 "err": f"subprocess timeout after "
                        f"{max(1, args.runs) * _RETRY_PER_QUERY_CAP_S}s",
             }
-        except Exception:
-            report[name] = {
-                "sec": None,
-                "rows": None,
-                "err": f"subprocess rc={proc.returncode}: "
-                       f"{proc.stderr.strip()[-300:]}",
-            }
+        except Exception as exc:
+            # proc stays None when subprocess.run itself raised (fork
+            # ENOMEM etc.) — report that, don't crash the sweep on an
+            # unbound reference inside the handler
+            detail = (
+                f"rc={proc.returncode}: {proc.stderr.strip()[-300:]}"
+                if proc is not None
+                else f"spawn failed: {type(exc).__name__}: {str(exc)[:200]}"
+            )
+            report[name] = {"sec": None, "rows": None,
+                            "err": f"subprocess {detail}"}
         status = (
             report[name]["err"]
             or ("GUARDED: " + report[name]["guarded"][:80]
