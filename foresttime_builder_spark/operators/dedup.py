@@ -1091,9 +1091,9 @@ def _verify_candidates(
     the prefix path has used since r13, now shared with EVERY candidate
     source including banded LSH; popcount over ~vocab/64 longs beats
     ``array_intersect``'s per-pair string hash-set both in CPU and in
-    join-shuffle bytes), 'arrays' (general vocabularies).  'auto' probes
-    vocabulary size through the same bounded-sample ladder the pair
-    strategies use.
+    join-shuffle bytes when the mask is NARROW), 'arrays' (general
+    vocabularies).  'auto' probes vocabulary size through the same
+    bounded-sample ladder the pair strategies use.
 
     ``dense_candidates`` steers 'auto' between blockmask and arrays: the
     mask build is an O(corpus) fixed cost (vocab probe + position join +
@@ -1104,7 +1104,16 @@ def _verify_candidates(
     hub-edge stream is LINEAR in the corpus and the same A/B went the
     other way (q119: 14.1 s arrays vs 20.6 s blockmask — the fixed cost
     never amortizes), so :func:`lsh_representatives` passes False.
-    Explicit 'blockmask'/'arrays' pins are always honored."""
+
+    Even for dense candidates, blockmask only wins while the mask is
+    narrower than the token array it replaces: per pair it does
+    ``n_words`` get+AND+popcount ops against ``array_intersect``'s
+    ~``avg_sz`` string hash-set ops.  Measured both sides of the
+    breakeven in-session (sf1: 5 words vs ~31 tokens → −57%; sf10: 49
+    words vs the same ~31 tokens → +12% SLOWER, 288.6 vs 258.3 s, even
+    with the unrolled codegen sum), so 'auto' requires
+    ``n_words <= sampled avg_sz``.  Explicit 'blockmask'/'arrays' pins
+    are always honored."""
     if verify not in ("auto", "bitmask", "blockmask", "arrays"):
         raise ValueError(f"bad verify {verify!r}")
     vocab_n: int | None = None
@@ -1117,6 +1126,17 @@ def _verify_candidates(
                 if dense_candidates
                 else None
             )
+            if vocab_n:
+                # width gate: one bounded sample agg (same 4096-doc
+                # sample discipline as the vocabulary probes)
+                row = (
+                    docsets.limit(4096)
+                    .agg(F.avg("sz").alias("avg_sz"))
+                    .collect()[0]
+                )
+                avg_sz = float(row["avg_sz"] or 0.0)
+                if (vocab_n + 63) // 64 > avg_sz:
+                    vocab_n = None
             verify = "blockmask" if vocab_n else "arrays"
     if verify == "blockmask":
         # one bounded limit(cap+1) collect settles BOTH the cap check and
