@@ -695,13 +695,17 @@ def _blockmask_pair_jaccard(
     All-Pairs length filter for candidate sources that did not already
     enforce it inside their join.
 
-    The intersection popcount is UNROLLED into a flat sum over the
-    plan-time-known ``n_words`` — Spark evaluates higher-order functions
-    (``zip_with``/``aggregate``) with an interpreted lambda per element,
-    which at 49 words × ~73M sf10 pairs became the verification
-    bottleneck (measured: the HOF form ran SLOWER than string
-    ``array_intersect`` at sf10 while winning at sf1's 5 words); the
-    unrolled form stays inside whole-stage codegen at every width."""
+    The intersection popcount is the ``zip_with``/``aggregate`` HOF fold
+    — measured DECISIVELY faster than a flat plan-time-unrolled
+    ``F.get(mask, w)`` sum, contrary to the interpreted-lambda-overhead
+    hypothesis an r15 experiment tested: q54 sf1 (30 mask words, same
+    JVM, interleaved) ran 36.3 s HOF vs 116.4 s unrolled — N independent
+    ``get`` expressions re-traverse the join-produced arrays where the
+    fold makes one pass, a 3x loss that a fresh-JVM isolate first
+    surfaced as a sweep regression.  ``n_words`` stays in the signature
+    only as documentation of the caller's width-based blockmask-vs-arrays
+    gate (see :func:`_verify_candidates`)."""
+    del n_words  # width decisions happen in the caller
     ma = masks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
@@ -712,15 +716,11 @@ def _blockmask_pair_jaccard(
         F.col("sz").alias("sz_b"),
         F.col("mask").alias("mask_b"),
     )
-    terms = [
-        F.bit_count(
-            F.get(F.col("mask_a"), w).bitwiseAND(F.get(F.col("mask_b"), w))
-        )
-        for w in range(max(n_words, 1))
-    ]
-    inter = terms[0]
-    for t in terms[1:]:
-        inter = inter + t
+    inter = F.aggregate(
+        F.zip_with("mask_a", "mask_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     out = cand.join(ma, "doc_a").join(mb, "doc_b")
     if size_cut:
         out = out.filter(
@@ -1106,14 +1106,14 @@ def _verify_candidates(
     never amortizes), so :func:`lsh_representatives` passes False.
 
     Even for dense candidates, blockmask only wins while the mask is
-    narrower than the token array it replaces: per pair it does
-    ``n_words`` get+AND+popcount ops against ``array_intersect``'s
+    narrower than the token array it replaces: per pair it folds
+    ``n_words`` AND+popcount ops against ``array_intersect``'s
     ~``avg_sz`` string hash-set ops.  Measured both sides of the
     breakeven in-session (sf1: 5 words vs ~31 tokens → −57%; sf10: 49
-    words vs the same ~31 tokens → +12% SLOWER, 288.6 vs 258.3 s, even
-    with the unrolled codegen sum), so 'auto' requires
-    ``n_words <= sampled avg_sz``.  Explicit 'blockmask'/'arrays' pins
-    are always honored."""
+    words vs the same ~31 tokens → both mask forms slower than arrays,
+    284.1 s unrolled / 307.8 s HOF-contended-sample vs 267.9 s), so
+    'auto' requires ``n_words <= sampled avg_sz``.  Explicit
+    'blockmask'/'arrays' pins are always honored."""
     if verify not in ("auto", "bitmask", "blockmask", "arrays"):
         raise ValueError(f"bad verify {verify!r}")
     vocab_n: int | None = None
