@@ -31,19 +31,61 @@ def apply_layers(
     columns in ``exprs`` (SQL text, resolved against the previous layer —
     exactly ``withColumns`` semantics) and then drops the named columns.
 
-    SQL text costs one JVM round trip per column (``F.expr``) where the
-    equivalent Column-object algebra costs one per *operator* — a measured
-    ~2.5× driver-time cut on the ~150-column NSVB DAG.  Layers are applied
-    incrementally on purpose: folding the whole pyramid into a single
-    nested-CTE ``spark.sql`` call was measured *slower* (the analyzer
-    re-expands ``SELECT *`` over ~250 columns at every CTE level, and every
-    later Dataset op re-traverses that one huge tree)."""
+    The pyramid is folded into ONE generated nested-``SELECT`` statement
+    (explicit column lists, no ``*`` re-expansion) executed with a single
+    ``spark.sql(text, __base__=base)`` call.  Classic PySpark analyzes
+    EAGERLY on every Dataset transform, so the former one-``withColumns``-
+    per-layer form re-ran the analyzer over the deepening ~250-column plan
+    once per layer — ~33 ms × 49 layers ≈ 1.6 s of the q26 build, measured
+    with cProfile (r15 optimization round: 2.5 s of a 3.0 s build was py4j
+    ``recv_into``, 49 ``withColumns`` calls = 1.62 s).  One sql() call pays
+    parse + analysis once: q26 build 2.06 → 1.67 s median (interleaved A/B,
+    output checksums identical); exec time unchanged — the analyzed plan
+    optimizes to the same physical plan, layer-per-Project.  An earlier
+    round's nested-CTE attempt measured slower because every CTE level
+    re-expanded ``SELECT *``; explicit column lists avoid that.
+
+    Semantics notes (pinned by the carbon-chain oracle gates): replaced
+    columns keep their position (withColumns convention) and names match
+    case-insensitively, exactly like the session's default resolver; each
+    layer's expressions resolve against the PREVIOUS layer only
+    (simultaneous within a layer)."""
+    cur = list(base.columns)
+    sql = "SELECT * FROM {__base__}"
     for exprs, drops in layers:
         if exprs:
-            base = base.withColumns({k: F.expr(v) for k, v in exprs.items()})
+            lowmap = {c.lower(): c for c in cur}
+            new_names = [k for k in exprs if k.lower() not in lowmap]
+            parts = []
+            nxt = []
+            for c in cur:
+                match = next(
+                    (k for k in exprs if k.lower() == c.lower()), None
+                )
+                if match is not None:
+                    parts.append(f"({exprs[match]}) AS {_bq(match)}")
+                    nxt.append(match)
+                else:
+                    parts.append(_bq(c))
+                    nxt.append(c)
+            for k in new_names:
+                parts.append(f"({exprs[k]}) AS {_bq(k)}")
+                nxt.append(k)
+            sql = "SELECT " + ", ".join(parts) + " FROM (" + sql + ")"
+            cur = nxt
         if drops:
-            base = base.drop(*drops)
-    return base
+            dset = {d.lower() for d in drops}
+            cur = [c for c in cur if c.lower() not in dset]
+            sql = (
+                "SELECT " + ", ".join(_bq(c) for c in cur)
+                + " FROM (" + sql + ")"
+            )
+    return base.sparkSession.sql(sql, __base__=base)
+
+
+def _bq(name: str) -> str:
+    """Backquote an identifier for generated SQL."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def r_if_else(cond: Column, yes, no, missing=None) -> Column:
