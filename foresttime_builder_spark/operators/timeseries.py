@@ -93,26 +93,90 @@ def expand_grid(
     non-group column and ``flag_col = True``; original rows keep their values
     and get ``flag_col = False``.
 
-    Implementation: groupBy min/max → ``explode(sequence(lo, hi, step))`` →
-    left join the original rows back on (group, x). The grid side is tiny
-    relative to the exploded output and both sides hash-partition on the same
-    key, so AQE plans this well at any scale.
+    Implementation (``step == 1``, the hot path): ONE pass — a ``lead``
+    window over (group, x) finds each row's next year, and every row
+    explodes into itself plus the gap years up to that neighbour.  The
+    r15 optimization round replaced the original two-sided form (groupBy
+    min/max → explode → join the input back on (group, x)), which
+    computed the ENTIRE input subtree twice — q26's synthetic panel
+    appeared once on the stream side and once inside a broadcast — and
+    paid a grid-aggregate exchange plus the join itself (guide §2.4:
+    remove shuffles outright / don't compute things twice).  The window
+    needs the same (group) hash partitioning every downstream
+    interpolation window already requires, so the whole chain now rides
+    one exchange.
+
+    Exact join-semantics replication, pinned by the oracle gates:
+
+    - a row whose x is NULL never matched the grid and vanished → filtered;
+    - rows in a group with a NULL group key never matched (SQL NULL
+      equality): their VALUES vanish — every grid year of that group comes
+      back all-NULL with ``flag_col = true``, and duplicate years collapse
+      to the one grid row (``plans/state_on_fixture.py`` empty-plot
+      contract) → only the last row of each distinct x emits, nulled;
+    - duplicate (group, x) rows in a matched group each re-matched their
+      grid year → every original row emits itself.
     """
     out_col = out_col or x_col
-    lo, hi = F.min(x_col).alias("_lo"), F.max(x_col).alias("_hi")
-    grid = (
-        df.groupBy(*_group(group_cols))
-        .agg(lo, hi)
-        .select(
-            *group_cols,
-            F.explode(F.sequence("_lo", "_hi", F.lit(step))).alias(out_col),
+    if step != 1:
+        # step grids keep the two-sided form: original rows off the step
+        # lattice must NOT survive (they never matched a grid row), which
+        # the single-pass form cannot express row-locally
+        lo, hi = F.min(x_col).alias("_lo"), F.max(x_col).alias("_hi")
+        grid = (
+            df.groupBy(*_group(group_cols))
+            .agg(lo, hi)
+            .select(
+                *group_cols,
+                F.explode(F.sequence("_lo", "_hi", F.lit(step))).alias(out_col),
+            )
         )
-    )
-    orig = df.withColumn("_orig", F.lit(True))
+        orig = df.withColumn("_orig", F.lit(True))
+        if out_col != x_col:
+            orig = orig.withColumnRenamed(x_col, out_col)
+        joined = grid.join(orig, on=[*group_cols, out_col], how="left")
+        return joined.withColumn(flag_col, F.col("_orig").isNull()).drop("_orig")
+
+    src = df.filter(F.col(x_col).isNotNull())
     if out_col != x_col:
-        orig = orig.withColumnRenamed(x_col, out_col)
-    joined = grid.join(orig, on=[*group_cols, out_col], how="left")
-    return joined.withColumn(flag_col, F.col("_orig").isNull()).drop("_orig")
+        src = src.withColumnRenamed(x_col, out_col)
+    ycol = "_y"
+    while ycol in src.columns:
+        ycol = "_" + ycol
+    nxtcol = "_nxt"
+    while nxtcol in src.columns:
+        nxtcol = "_" + nxtcol
+    x = F.col(out_col)
+    w = Window.partitionBy(*_group(group_cols)).orderBy(out_col)
+    # materialized: a window expression cannot sit inside a generator
+    src = src.withColumn(nxtcol, F.lead(out_col).over(w))
+    nxt = F.col(nxtcol)
+    matched = F.lit(True)
+    for g in group_cols:
+        matched = matched & F.col(g).isNotNull()
+    # group keys are partition-constant, so `matched` is too; `is_last`
+    # holds for exactly one row per distinct x regardless of tie order
+    is_last = nxt.isNull() | (nxt > x)
+    years = (
+        # self year + every missing year before the next distinct one
+        F.when(is_last, F.sequence(x, F.coalesce(nxt - F.lit(1), x)))
+        # matched duplicates re-emit their year; unmatched ones vanish
+        .when(matched, F.array(x))
+        .otherwise(F.slice(F.array(x), 1, 0))
+    )
+    others = [
+        c
+        for c in src.columns
+        if c not in set(group_cols) | {out_col, nxtcol}
+    ]
+    exploded = src.select(*src.columns, F.explode(years).alias(ycol))
+    orig_row = matched & (F.col(ycol) == x)
+    return exploded.select(
+        *group_cols,
+        F.col(ycol).alias(out_col),
+        *[F.when(orig_row, F.col(c)).alias(c) for c in others],
+        (~orig_row).alias(flag_col),
+    )
 
 
 def linear_interpolate(

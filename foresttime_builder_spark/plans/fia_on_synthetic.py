@@ -38,7 +38,13 @@ _PANEL_SQL = """
              CASE WHEN sum(o_totalprice) IS NULL THEN NULL
                   ELSE least(floor(sum(o_totalprice) * 10000 + 0.5) / 10000,
                              10000000.0) END AS base
-      FROM orders GROUP BY 1, 2
+      -- Spark-only REPARTITION hint (comment to DuckDB): hash by ck
+      -- before the aggregate so HashPartitioning(o_custkey) satisfies the
+      -- (ck, yr) clustering AND the mx window's ck partitioning — the
+      -- whole panel rides ONE exchange instead of two, and the post-agg
+      -- stage keeps a healthy task count (r15 guide §2.4)
+      FROM (SELECT /*+ REPARTITION(o_custkey) */ * FROM orders) orders
+      GROUP BY 1, 2
       HAVING ((o_custkey + year(o_orderdate)) % 3) != 0
     ),
     mx AS (SELECT *, max(yr) OVER (PARTITION BY ck) AS max_yr FROM per)

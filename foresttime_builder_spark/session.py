@@ -86,7 +86,10 @@ def get_spark(
         # partitions — a 3.3x slowdown from idle cores. 16k keeps small
         # CPU-dense stages parallel while still merging true stragglers;
         # at production scale partitions are >= 64 MB and the floor is moot.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("FTB_AQE_MIN_PARTITION_SIZE", "16k"),
+        )
         # Shuffle partition count must scale with DATA, not with cores:
         # with a fixed 32, a billion-row aggregate packs ~40M keys into
         # each task's hash map (measured OOM at sf10 in q16's candidate
