@@ -128,3 +128,66 @@ def test_bisection_sapling_and_missing_null(spark):
         ).alias("h")
     ).collect()
     assert all(r["h"] is None for r in rows)
+
+
+def test_apply_layers_packing_differential(spark):
+    """ASAP level packing must be value- and order-identical to the
+    sequential per-layer form, including replace-in-place, cross-level
+    reads, drops, and case-insensitive name matching (r15)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from foresttime_builder_spark.functions.helpers import (
+        _merge_layers,
+        apply_layers,
+    )
+
+    def sequential(base, layers):
+        for exprs, drops in layers:
+            if exprs:
+                base = base.withColumns(
+                    {k: F.expr(v) for k, v in exprs.items()}
+                )
+            if drops:
+                base = base.drop(*drops)
+        return base
+
+    rng = random.Random(20260817)
+    base = spark.range(50).selectExpr(
+        "id", "id * 2 AS a", "id % 7 AS b", "CAST(id AS DOUBLE) AS C3"
+    )
+    for trial in range(8):
+        cols = ["id", "a", "b", "C3"]
+        layers = []
+        alive = set(cols)
+        for _ in range(rng.randint(2, 7)):
+            exprs = {}
+            for _ in range(rng.randint(0, 3)):
+                src = rng.choice(sorted(alive))
+                name = rng.choice(
+                    [src, src.swapcase(), f"n{rng.randint(0, 5)}"]
+                )
+                if name.lower() in {k.lower() for k in exprs}:
+                    continue
+                exprs[name] = rng.choice(
+                    [f"{src} + 1", f"abs({src})", f"{src} * 0 + 2", "7"]
+                )
+            drops = []
+            if alive - {"id"} and rng.random() < 0.4:
+                d = rng.choice(sorted(alive - {"id"}))
+                drops = [d]
+            for k in exprs:
+                alive.add(k)
+            for d in drops:
+                alive = {c for c in alive if c.lower() != d.lower()}
+            # keep names unique per dict (dict does that) and layers valid
+            layers.append((exprs, drops))
+        got = apply_layers(base, layers)
+        want = sequential(base, layers)
+        assert got.columns == want.columns, (trial, got.columns, want.columns)
+        assert sorted(map(str, got.collect())) == sorted(
+            map(str, want.collect())
+        ), trial
+        # packing must never grow the level count
+        assert len(_merge_layers(layers)) <= len(layers)
