@@ -124,10 +124,19 @@ def apply_layers(
             "SELECT " + ", ".join(_bq(c) for c in expected)
             + " FROM (" + sql + ")"
         )
+    # spark.sql(text, **kwargs) runs the text through PySpark's string
+    # Formatter, where a literal '{'/'}' (e.g. a regex quantifier
+    # '[0-9]{4}' inside a layer expression) would crash or mis-substitute.
+    # Escape every brace the layers contributed, then append the ONE real
+    # placeholder — only it reaches the formatter unescaped.
+    sql = sql.replace("{", "{{").replace("}", "}}").replace(
+        "{{__base__}}", "{__base__}"
+    )
     return base.sparkSession.sql(sql, __base__=base)
 
 
 _IDENT = None  # compiled lazily; helpers imports before re is warm
+_BQTOK = None  # `quoted identifier` extractor (`` = escaped backquote)
 
 
 def _merge_layers(
@@ -144,12 +153,29 @@ def _merge_layers(
     lands on the earliest level for which every later level passes.
     Token scan treats EVERY word in the SQL text as a potential column
     reference (function names, literals included) — false positives only
-    forgo a merge, never change semantics."""
-    global _IDENT
+    forgo a merge, never change semantics.  That conservativeness only
+    holds when every defined/dropped NAME is a plain word token: a name
+    like ``a b`` can only be read via backquotes, which the word scan
+    fragments, so a real dependency could be missed (a FALSE NEGATIVE →
+    unsafe merge).  Guard: backquoted segments are extracted as whole
+    tokens, and if any layer defines or drops a non-word name the packing
+    is skipped outright (layers return unchanged — correct, just
+    unpacked).  All current carbon-DAG names are snake_case, so packing
+    stays active where it matters."""
+    global _IDENT, _BQTOK
     if _IDENT is None:
         import re
 
         _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        _BQTOK = re.compile(r"`((?:[^`]|``)*)`")
+    word_ok = _IDENT.fullmatch
+    for exprs, drops in layers:
+        for n in list(exprs or ()) + list(drops or ()):
+            if not word_ok(n):
+                return [
+                    (dict(e) if e else {}, list(d) if d else [])
+                    for e, d in layers
+                ]
     levels: list[tuple[dict[str, str], list[str], set[str], set[str]]] = []
     for exprs, drops in layers:
         exprs = dict(exprs) if exprs else {}
@@ -159,6 +185,10 @@ def _merge_layers(
             t.lower()
             for e in exprs.values()
             for t in _IDENT.findall(e)
+        } | {
+            m.replace("``", "`").lower()
+            for e in exprs.values()
+            for m in _BQTOK.findall(e)
         }
         place = len(levels)
         for i in range(len(levels) - 1, -1, -1):

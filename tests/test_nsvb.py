@@ -191,3 +191,37 @@ def test_apply_layers_packing_differential(spark):
         ), trial
         # packing must never grow the level count
         assert len(_merge_layers(layers)) <= len(layers)
+
+
+def test_apply_layers_quoted_identifier_dependency(spark):
+    """A read-after-write dependency through a backquoted non-word name
+    must survive packing (r15 advice: the word-token scan fragmented
+    `a b` into a, b and packed the two layers together, silently reading
+    the stale value).  The guard skips packing when any defined name is
+    non-word, so c must see the layer-1 value."""
+    from foresttime_builder_spark.functions.helpers import (
+        _merge_layers,
+        apply_layers,
+    )
+
+    base = spark.range(1).selectExpr("0 AS `a b`")
+    layers = [({"a b": "1"}, []), ({"c": "`a b` + 0"}, [])]
+    # the scan must not re-stratify these into one level
+    assert len(_merge_layers(layers)) == 2
+    row = apply_layers(base, layers).collect()[0]
+    assert row["c"] == 1
+
+
+def test_apply_layers_brace_expression(spark):
+    """Literal braces in a layer expression (regex quantifiers) must not
+    crash or corrupt the generated-SQL path's formatter substitution
+    (r15 advice: spark.sql(text, __base__=...) string-formats the text)."""
+    from foresttime_builder_spark.functions.helpers import apply_layers
+
+    base = spark.range(1).selectExpr("'ab 2026 cd' AS s")
+    layers = [
+        ({"yr": r"regexp_extract(s, '[0-9]{4}', 0)"}, []),
+        ({"yr2": "concat(yr, '!')"}, ["s"]),
+    ]
+    row = apply_layers(base, layers).collect()[0]
+    assert (row["yr"], row["yr2"]) == ("2026", "2026!")
