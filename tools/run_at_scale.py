@@ -46,6 +46,31 @@ from foresttime_builder_spark.session import get_spark
 _RETRY_PER_QUERY_CAP_S = 1800
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(total, steal) jiffies from the /proc/stat aggregate cpu line, or
+    None off-Linux.  Diffed around each query so every sweep entry carries
+    its own measured steal%% — the r15 rounds lost two sf10 timing sessions
+    to host-level CPU steal that was only adjudicated by AFTER-the-fact
+    probes (untouched-control queries swinging 2-4x); recording the steal
+    window alongside each number makes mover adjudication mechanical."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    vals = [int(x) for x in parts[1:]]
+    if not vals:
+        return None
+    return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+
+def _steal_pct(before, after) -> float | None:
+    """Steal ticks as %% of all-CPU capacity over the window, 1 decimal."""
+    if before is None or after is None or after[0] <= before[0]:
+        return None
+    return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 1)
+
+
 def _isolate_main(args) -> None:
     """--isolate driver: one subprocess (fresh JVM) per query, merged report."""
     import subprocess
@@ -165,11 +190,13 @@ def main() -> None:
 
     spark = get_spark(app_name="run_at_scale", data_bytes=dir_bytes(args.sf_dir))
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+    sweep_ticks0 = _cpu_ticks()
 
     report: dict[str, dict] = {}
     for name in names:
         gc.collect()
         t0 = time.time()
+        ticks0 = _cpu_ticks()
         try:
             samples = []
             for _ in range(max(1, args.runs)):
@@ -177,6 +204,7 @@ def main() -> None:
                 df = queries[name](spark, args.sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(round(time.time() - t1, 2))
+            steal = _steal_pct(ticks0, _cpu_ticks())
             # count() re-executes but gives the cardinality the report needs;
             # cache-free on purpose so the noop timing above stays honest.
             rows = df.count()
@@ -185,6 +213,8 @@ def main() -> None:
                 "rows": rows,
                 "err": None,
             }
+            if steal is not None:
+                report[name]["steal_pct"] = steal
             if args.runs > 1:
                 report[name]["spread"] = [min(samples), max(samples)]
         except ValueError as exc:
@@ -265,6 +295,7 @@ def main() -> None:
                 )
         errs = [n for n in report if report[n]["err"]]
     guarded = [n for n in report if report[n].get("guarded")]
+    sweep_steal = _steal_pct(sweep_ticks0, _cpu_ticks())
     line = json.dumps(
         {
             "sf_dir": args.sf_dir,
@@ -272,6 +303,7 @@ def main() -> None:
             "n": len(report),
             "errors": errs,
             "guarded": guarded,
+            **({"steal_pct": sweep_steal} if sweep_steal is not None else {}),
         }
     )
     print(line)
