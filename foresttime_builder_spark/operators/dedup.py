@@ -348,8 +348,20 @@ def token_jaccard_pairs(
         .persist()
     )
 
+    # ONE sample-first vocabulary probe (<= 2 bounded jobs) settles the
+    # auto strategy AND hands the mask/int tiers their position
+    # assignment — the r16 probe collapse (see _vocab_if_small); pinned
+    # strategies probe lazily below so they pay nothing extra.
+    small_vocab: list[str] | None = None
+    vocab_probed = False
     if strategy == "auto":
-        strategy = "bitmask" if _vocab_fits_mask(docsets) else "prefix"
+        small_vocab = _vocab_if_small(docsets, _BLOCKMASK_VOCAB_CAP)
+        vocab_probed = True
+        strategy = (
+            "bitmask"
+            if small_vocab is not None and len(small_vocab) <= 64
+            else "prefix"
+        )
 
     if candidate_budget is not None and strategy in ("prefix", "naive"):
         # the naive inverted-index join has no prefix cut, so its stream is
@@ -396,7 +408,9 @@ def token_jaccard_pairs(
             )
 
     if strategy == "bitmask":
-        return _release_on_gc(_jaccard_bitmask(docsets, threshold), docsets)
+        return _release_on_gc(
+            _jaccard_bitmask(docsets, threshold, vocab=small_vocab), docsets
+        )
 
     if strategy == "prefix":
         # vocabulary-adaptive verification: when the vocabulary fits a
@@ -407,10 +421,12 @@ def token_jaccard_pairs(
         # showed verification dominating the prefix path (48 of 65 s on
         # 122M candidates) precisely in the small-vocabulary regime where
         # this representation applies.
-        vocab_n = _vocab_size_if_small(docsets, _BLOCKMASK_VOCAB_CAP)
-        if vocab_n is not None and vocab_n > 0:
+        if not vocab_probed:
+            small_vocab = _vocab_if_small(docsets, _BLOCKMASK_VOCAB_CAP)
+        if small_vocab:
             return _release_on_gc(
-                _jaccard_prefix_blockmask(docsets, threshold, vocab_n), docsets
+                _jaccard_prefix_blockmask(docsets, threshold, small_vocab),
+                docsets,
             )
         tok = docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
         # rarest-first global order; ties broken by token text for determinism
@@ -490,24 +506,11 @@ def token_jaccard_pairs(
     )
 
 
-def _vocab_positions(
-    docsets: DataFrame, cap: int, err: str
-) -> tuple[DataFrame, int]:
-    """``((token, pos) frame, vocab size)`` with positions assigned
-    lexicographically — the shared vocabulary-numbering step of the
-    bitmask/blockmask paths.
-
-    The vocabulary is BOUNDED by construction (callers reach here only
-    after :func:`_vocab_size_if_small` proved it <= ``cap``, 64 or 4096),
-    so the numbering is done with one bounded ``limit(cap+1)`` driver
-    collect + a Python sort instead of a global ``row_number`` window —
-    same result, no single-partition WindowExec (whose expected warning
-    drowned real warnings in the gate logs).  A pinned strategy on a
-    corpus that outgrew the cap (precondition violated) raises ``err``
-    here, at plan time, instead of mid-execution.  The size is returned
-    so a pinned caller needs no separate full-corpus distinct-count job
-    (r15 review catch: pinned blockmask ran three vocabulary jobs where
-    this one bounded collect settles both questions)."""
+def _full_vocab_if_small(docsets: DataFrame, cap: int) -> list[str] | None:
+    """The full corpus vocabulary, sorted, if <= ``cap`` distinct tokens,
+    else None — ONE bounded ``limit(cap+1)`` collect (no full-corpus
+    distinct-count job; the collected values are the position assignment
+    the mask/int tiers need, so callers run no further vocabulary jobs)."""
     rows = (
         docsets.select(F.explode("toks").alias("token"))
         .distinct()
@@ -515,8 +518,65 @@ def _vocab_positions(
         .collect()
     )
     if len(rows) > cap:
+        return None
+    return sorted(r["token"] for r in rows)
+
+
+def _vocab_if_small(
+    docsets: DataFrame, cap: int, sample_docs: int = 4096
+) -> list[str] | None:
+    """Sample-first vocabulary probe: the sorted vocabulary if <= ``cap``
+    distinct tokens, else None, in at most TWO bounded jobs.
+
+    Stage 1 counts distinct tokens in a bounded ``limit(sample_docs)``
+    sample — on any real text corpus this exceeds the cap within the
+    first few documents and the answer is certain (sample vocabulary is
+    a lower bound on corpus vocabulary), costing a scan of a handful of
+    input splits instead of a full-corpus explode+distinct shuffle.
+    Stage 2 (reached only for genuinely small-vocabulary corpora)
+    confirms with one bounded ``limit(cap+1)`` COLLECT whose values
+    settle every downstream question at once — fits-64?, fits-cap?, and
+    the mask/int position assignment itself.
+
+    r16 probe collapse (guide §2.6 / r15 verdict item 4): the former
+    ladder ran up to FIVE serial bounded jobs ahead of a q16-family
+    query's real work (sample count + full count for the 64-bit mask
+    question, the same pair again for the blockmask cap, then a separate
+    ``_vocab_positions`` limit-collect once a mask tier was chosen);
+    collecting values instead of counting them folds all of those into
+    the same two jobs."""
+    sample_vocab = (
+        docsets.limit(sample_docs)
+        .select(F.explode("toks").alias("token"))
+        .distinct()
+        .limit(cap + 1)
+        .count()
+    )
+    if sample_vocab > cap:
+        return None
+    return _full_vocab_if_small(docsets, cap)
+
+
+def _vocab_positions(
+    docsets: DataFrame, cap: int, err: str, vocab: list[str] | None = None
+) -> tuple[DataFrame, int]:
+    """``((token, pos) frame, vocab size)`` with positions assigned
+    lexicographically — the shared vocabulary-numbering step of the
+    bitmask/blockmask/int-array paths.
+
+    ``vocab`` short-circuits the collect when a caller already probed the
+    vocabulary (r16 probe collapse — the auto strategies pass their probe
+    result through, so the numbering costs ZERO extra jobs).  Without it,
+    one bounded ``limit(cap+1)`` driver collect + a Python sort — same
+    result as a global ``row_number`` window, no single-partition
+    WindowExec (whose expected warning drowned real warnings in the gate
+    logs).  A pinned strategy on a corpus that outgrew the cap
+    (precondition violated) raises ``err`` here, at plan time, instead of
+    mid-execution."""
+    if vocab is None:
+        vocab = _full_vocab_if_small(docsets, cap)
+    if vocab is None or len(vocab) > cap:
         raise ValueError(err)
-    vocab = sorted(r["token"] for r in rows)
     return (
         docsets.sparkSession.createDataFrame(
             [(t, i) for i, t in enumerate(vocab)], "token string, pos int"
@@ -525,42 +585,7 @@ def _vocab_positions(
     )
 
 
-def _vocab_fits_mask(docsets: DataFrame, sample_docs: int = 4096) -> bool:
-    """True iff the corpus vocabulary fits a 64-bit mask, decided cheaply.
-
-    Stage 1 counts distinct tokens in a bounded ``limit(sample_docs)``
-    sample — on any real text corpus this exceeds 64 within the first few
-    documents and the answer is certain (sample vocabulary is a lower bound
-    on corpus vocabulary), costing a scan of a handful of input splits
-    instead of a full-corpus explode+distinct shuffle.  Stage 2 (reached
-    only for genuinely tiny-vocabulary corpora) confirms with the exact
-    count; in that branch the bitmask path rescans the corpus to build the
-    vocabulary anyway, so the confirm is not an extra asymptotic cost.
-    """
-    return _vocab_size_if_small(docsets, 64, sample_docs) is not None
-
-
 _BLOCKMASK_VOCAB_CAP = 4096  # 64 longs of bitset per document
-
-
-def _vocab_size_if_small(
-    docsets: DataFrame, cap: int, sample_docs: int = 4096
-) -> int | None:
-    """Exact vocabulary size if <= ``cap``, else None — decided cheaply
-    (see :func:`_vocab_fits_mask` for the sample-first rationale: a sample
-    vocabulary above the cap already proves the full one is)."""
-    sample_vocab = (
-        docsets.limit(sample_docs)
-        .select(F.explode("toks").alias("token"))
-        .distinct()
-        .count()
-    )
-    if sample_vocab > cap:
-        return None
-    full_vocab = (
-        docsets.select(F.explode("toks").alias("token")).distinct().count()
-    )
-    return full_vocab if full_vocab <= cap else None
 
 
 def _prefix_len_ok(rnk: Column, sz: Column, threshold: float) -> Column:
@@ -628,10 +653,11 @@ def _positional_bound_ok(
 
 
 def _jaccard_prefix_blockmask(
-    docsets: DataFrame, threshold: float, vocab_n: int
+    docsets: DataFrame, threshold: float, vocab: list[str]
 ) -> DataFrame:
     """Prefix-filtered candidates + popcount verification over multi-word
-    bitsets, for vocabularies of up to ``_BLOCKMASK_VOCAB_CAP`` tokens.
+    bitsets, for vocabularies of up to ``_BLOCKMASK_VOCAB_CAP`` tokens
+    (``vocab`` is the caller's probe result — no further vocabulary jobs).
 
     Identical results to the string path: the prefix filter is lossless
     under any consistent token order (here (df, pos), which sorts the same
@@ -639,15 +665,19 @@ def _jaccard_prefix_blockmask(
     bitset intersection counts exactly the common tokens — positions are
     explicit per token, no hashing, so there is nothing to collide.
     Candidates join on int positions (8-byte shuffle keys vs strings)."""
+    vocab_n = len(vocab)
     n_words = (vocab_n + 63) // 64
     tok = docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
-    vocab, _ = _vocab_positions(
+    vocab_df, _ = _vocab_positions(
         docsets,
         _BLOCKMASK_VOCAB_CAP,
         f"blockmask verification requires vocabulary <= "
         f"{_BLOCKMASK_VOCAB_CAP} distinct tokens",
+        vocab=vocab,
     )
-    tokp = tok.join(F.broadcast(vocab), "token").select("doc_id", "sz", "pos")
+    tokp = tok.join(F.broadcast(vocab_df), "token").select(
+        "doc_id", "sz", "pos"
+    )
     dfreq = tokp.groupBy("pos").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         tokp.join(F.broadcast(dfreq), "pos")
@@ -741,6 +771,66 @@ def _blockmask_pair_jaccard(
     )
 
 
+def _intset_pair_jaccard(
+    cand: DataFrame, intsets: DataFrame, threshold: float, size_cut: bool
+) -> DataFrame:
+    """``array_intersect`` pair verification over ``(doc_id, sz, ipos)``
+    int-position sets — the r16 int-array verification tier (the r15
+    BASELINE's named candidate for the wide-vocabulary regime where the
+    blockmask is wider than the token array it replaces).
+
+    Exact like the blockmask: positions are assigned bijectively per
+    distinct token (:func:`_vocab_positions` — explicit, no hashing), so
+    ``|A ∩ B|`` over position arrays equals the token-set intersection
+    count.  Per pair the intersection hashes ``~sz`` 4-byte ints instead
+    of ``~sz`` strings (arrays tier) or folding ``n_words`` longs
+    (blockmask tier) — it costs O(sz) regardless of vocabulary width, so
+    it has no wide-mask failure mode, and the verification joins shuffle
+    int arrays (~4 B/token) instead of token strings (~10+ B/token).
+    Same jaccard fixed-point/rounding contract as every other tier (the
+    module convention)."""
+    ia = intsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("ipos").alias("ipos_a"),
+    )
+    ib = intsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("ipos").alias("ipos_b"),
+    )
+    out = cand.join(ia, "doc_a").join(ib, "doc_b")
+    if size_cut:
+        out = out.filter(
+            _size_compatible(F.col("sz_a"), F.col("sz_b"), threshold)
+        )
+    return (
+        out.withColumn(
+            "n_common", F.size(F.array_intersect("ipos_a", "ipos_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _intsets_from_tokp(tokp: DataFrame) -> DataFrame:
+    """``(doc_id, sz, ipos)`` int-position sets from a ``(doc_id, sz,
+    pos)`` token-position relation — the int-array sibling of
+    :func:`_blockmasks_from_tokp` (same input relation, so a candidate
+    source that already built ``tokp`` can feed either tier)."""
+    return tokp.groupBy("doc_id", "sz").agg(
+        F.collect_list("pos").alias("ipos")
+    )
+
+
 def _blockmasks_from_tokp(tokp: DataFrame, n_words: int) -> DataFrame:
     """``(doc_id, sz, mask)`` multi-word bitsets from a ``(doc_id, sz,
     pos)`` token-position relation — the shared mask-building stage of
@@ -768,24 +858,29 @@ def _blockmasks_from_tokp(tokp: DataFrame, n_words: int) -> DataFrame:
     )
 
 
-def _doc_masks(docsets: DataFrame) -> DataFrame:
+def _doc_masks(
+    docsets: DataFrame, vocab: list[str] | None = None
+) -> DataFrame:
     """(doc_id, mask): each document's token set as one 64-bit bitmask.
 
     Only valid when the corpus vocabulary has <= 64 distinct tokens
     (enforced at plan time by :func:`_vocab_positions` — a pinned bitmask
     strategy on a corpus that outgrew 64 tokens raises rather than letting
     ``shiftleft`` wrap pos & 63 into silently-colliding bit positions);
-    positions are assigned lexicographically for determinism.
+    positions are assigned lexicographically for determinism.  ``vocab``
+    short-circuits the vocabulary collect when the caller already probed
+    it (r16 probe collapse).
     """
     tok = docsets.select("doc_id", F.explode("toks").alias("token"))
-    vocab, _ = _vocab_positions(
+    vocab_df, _ = _vocab_positions(
         docsets,
         64,
         "bitmask dedup requires vocabulary <= 64 distinct tokens; "
         "use strategy=prefix or auto",
+        vocab=vocab,
     )
     return (
-        tok.join(F.broadcast(vocab), "token")
+        tok.join(F.broadcast(vocab_df), "token")
         .groupBy("doc_id")
         # arithmetic sum == bitwise OR for distinct bit positions (the sign
         # bit for pos 63 wraps but stays a valid mask in two's complement)
@@ -793,14 +888,17 @@ def _doc_masks(docsets: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_bitmask(docsets: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_bitmask(
+    docsets: DataFrame, threshold: float, vocab: list[str] | None = None
+) -> DataFrame:
     """Exact Jaccard pairs for vocabularies that fit one 64-bit mask.
 
-    docsets: (doc_id, toks array, sz). See :func:`token_jaccard_pairs`.
+    docsets: (doc_id, toks array, sz). See :func:`token_jaccard_pairs`;
+    ``vocab`` is the auto strategy's probe result (r16 probe collapse).
     """
     # feeds both sides of the identical-set join AND the distinct-set roll-up:
     # persist, or the explode+shuffle mask build runs three times
-    masks = _doc_masks(docsets).persist()
+    masks = _doc_masks(docsets, vocab=vocab).persist()
 
     # identical-set pairs: join on equal mask (Jaccard exactly 1)
     ma, mb = masks.alias("a"), masks.alias("b")
@@ -1114,53 +1212,62 @@ def _verify_candidates(
     284.1 s unrolled / 307.8 s HOF-contended-sample vs 267.9 s), so
     'auto' requires ``n_words <= sampled avg_sz``.  Explicit
     'blockmask'/'arrays' pins are always honored."""
-    if verify not in ("auto", "bitmask", "blockmask", "arrays"):
+    if verify not in ("auto", "bitmask", "blockmask", "intarrays", "arrays"):
         raise ValueError(f"bad verify {verify!r}")
-    vocab_n: int | None = None
+    small_vocab: list[str] | None = None
     if verify == "auto":
-        if _vocab_fits_mask(docsets):
+        # ONE sample-first probe (<= 2 bounded jobs) settles every tier
+        # question — the r16 probe collapse; the sparse-candidates path
+        # only needs the 64-bit-mask answer, so it probes at cap 64 and
+        # keeps its former cost.
+        cap = _BLOCKMASK_VOCAB_CAP if dense_candidates else 64
+        small_vocab = _vocab_if_small(docsets, cap)
+        if small_vocab is not None and len(small_vocab) <= 64:
             verify = "bitmask"
-        else:
-            vocab_n = (
-                _vocab_size_if_small(docsets, _BLOCKMASK_VOCAB_CAP)
-                if dense_candidates
-                else None
+        elif small_vocab:
+            # width gate: one bounded sample agg (same 4096-doc
+            # sample discipline as the vocabulary probes)
+            row = (
+                docsets.limit(4096)
+                .agg(F.avg("sz").alias("avg_sz"))
+                .collect()[0]
             )
-            if vocab_n:
-                # width gate: one bounded sample agg (same 4096-doc
-                # sample discipline as the vocabulary probes)
-                row = (
-                    docsets.limit(4096)
-                    .agg(F.avg("sz").alias("avg_sz"))
-                    .collect()[0]
-                )
-                avg_sz = float(row["avg_sz"] or 0.0)
-                if (vocab_n + 63) // 64 > avg_sz:
-                    vocab_n = None
-            verify = "blockmask" if vocab_n else "arrays"
-    if verify == "blockmask":
+            avg_sz = float(row["avg_sz"] or 0.0)
+            verify = (
+                "blockmask"
+                if (len(small_vocab) + 63) // 64 <= avg_sz
+                else "arrays"
+            )
+        else:
+            verify = "arrays"
+    if verify in ("blockmask", "intarrays"):
         # one bounded limit(cap+1) collect settles BOTH the cap check and
-        # the vocabulary size — a pinned caller needs no separate
-        # distinct-count jobs (r15 review catch)
-        vocab, vocab_n = _vocab_positions(
+        # the vocabulary size (ZERO extra jobs when auto already probed) —
+        # a pinned caller needs no separate distinct-count jobs
+        vocab_df, vocab_n = _vocab_positions(
             docsets,
             _BLOCKMASK_VOCAB_CAP,
-            f"blockmask verification requires vocabulary <= "
+            f"{verify} verification requires vocabulary <= "
             f"{_BLOCKMASK_VOCAB_CAP} distinct tokens; use "
             "verify='arrays' or 'auto'",
+            vocab=small_vocab,
         )
-        n_words = (max(vocab_n, 1) + 63) // 64
         tokp = (
             docsets.select("doc_id", "sz", F.explode("toks").alias("token"))
-            .join(F.broadcast(vocab), "token")
+            .join(F.broadcast(vocab_df), "token")
             .select("doc_id", "sz", "pos")
         )
+        if verify == "intarrays":
+            return _intset_pair_jaccard(
+                cand, _intsets_from_tokp(tokp), threshold, size_cut=True
+            )
+        n_words = (max(vocab_n, 1) + 63) // 64
         masks = _blockmasks_from_tokp(tokp, n_words)
         return _blockmask_pair_jaccard(
             cand, masks, threshold, size_cut=True, n_words=n_words
         )
     if verify == "bitmask":
-        masks = _doc_masks(docsets)
+        masks = _doc_masks(docsets, vocab=small_vocab)
         va = masks.select(F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"))
         vb = masks.select(F.col("doc_id").alias("doc_b"), F.col("mask").alias("mask_b"))
         inter_bits = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))

@@ -869,7 +869,15 @@ def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-expansion panel, not the ~250-column estimate plan: the annualize
     # chain never invents or drops PLT_CNs, so the distinct sets are equal
     # and the dim build costs one scan of the tiny survey snapshot.
-    plt = panel.select("PLT_CN").distinct()
+    # PERSISTED (r16, q52 exchange audit): ``assgn`` is referenced twice —
+    # by the ``stratum`` roll-up and by the estimator's broadcast dim —
+    # and Spark shares no uncached subtree, so the whole orders→panel→
+    # distinct pipeline executed twice (the r15 after-plan shows two
+    # REPARTITION_BY_COL panel exchanges + a third orders scan feeding
+    # the dim side).  Caching the plot-key snapshot (dimension-sized: one
+    # row per plot-survey-year) computes it once; both dims then read the
+    # cache (guide §2.4: stop computing the same subtree twice).
+    plt = panel.select("PLT_CN").distinct().persist()
     # bigint, not int: plot keys are arbitrary-magnitude ids (a scaled
     # corpus overflowed an int32 cast here — caught by run_at_scale at sf1)
     h = (F.split(F.col("PLT_CN"), "_").getItem(0).cast("bigint") % 3).cast("int")
@@ -891,17 +899,23 @@ def population_stratified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = estimate_population_stratified(
         est, stratum, assgn.select("PLT_CN", "STRATUM_CN")
     )
-    return pop.select(
-        "YEAR",
-        F.floor(F.col("total_tons") * 100 + F.lit(0.5)).cast("long").alias(
-            "total_tons_e2"
+    # release_on_gc: the persisted plot-key snapshot must outlive this
+    # returned projection (both broadcast dims read it lazily), then be
+    # freed with it — the q16/q27 carry-cache discipline
+    return release_on_gc(
+        pop.select(
+            "YEAR",
+            F.floor(F.col("total_tons") * 100 + F.lit(0.5)).cast("long").alias(
+                "total_tons_e2"
+            ),
+            F.floor(F.col("total_area") * 100 + F.lit(0.5)).cast("long").alias(
+                "total_area_e2"
+            ),
+            F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)).cast(
+                "long"
+            ).alias("tons_per_acre_e6"),
         ),
-        F.floor(F.col("total_area") * 100 + F.lit(0.5)).cast("long").alias(
-            "total_area_e2"
-        ),
-        F.floor(F.col("tons_per_acre") * 1000000 + F.lit(0.5)).cast("long").alias(
-            "tons_per_acre_e6"
-        ),
+        plt,
     )
 
 

@@ -393,9 +393,11 @@ def test_banded_cut_lossless_with_duplicate_emitting_tokenizer(spark):
 
 def test_lsh_verify_blockmask_matches_arrays_and_auto(spark):
     # r15: the banded path's verification gained the multi-word blockmask
-    # tier (vocab 64..4096).  All three representations must agree
-    # bit-for-bit on a 120-token corpus (above the 64-bit mask, inside
-    # the blockmask cap) — and 'auto' must pick blockmask there.
+    # tier (vocab 64..4096); r16 added the int-array (position-mapped)
+    # tier for the wide-vocabulary regime.  All four representations must
+    # agree bit-for-bit on a 120-token corpus (above the 64-bit mask,
+    # inside the shared vocab cap) — and 'auto' must pick a mask/int tier
+    # there.
     from foresttime_builder_spark.operators.dedup import minhash_lsh_pairs
 
     wide = _corpus(spark, vocab=120)
@@ -409,9 +411,11 @@ def test_lsh_verify_blockmask_matches_arrays_and_auto(spark):
                 n_hashes=16, band_size=2, threshold=0.5, verify=mode,
             )
         )
-        for mode in ("arrays", "blockmask", "auto")
+        for mode in ("arrays", "blockmask", "intarrays", "auto")
     }
-    assert got["arrays"] == got["blockmask"] == got["auto"]
+    assert (
+        got["arrays"] == got["blockmask"] == got["intarrays"] == got["auto"]
+    )
     assert got["arrays"]  # non-vacuous: adjacent docs do collide
 
 
@@ -421,10 +425,11 @@ def test_lsh_verify_blockmask_raises_past_cap(spark, monkeypatch):
 
     monkeypatch.setattr(dedup, "_BLOCKMASK_VOCAB_CAP", 8)
     wide = _corpus(spark, vocab=120)
-    with pytest.raises(Exception, match="requires vocabulary <= 8"):
-        minhash_lsh_pairs(
-            wide, "doc_id", "text", threshold=0.5, verify="blockmask"
-        ).collect()
+    for tier in ("blockmask", "intarrays"):
+        with pytest.raises(Exception, match="requires vocabulary <= 8"):
+            minhash_lsh_pairs(
+                wide, "doc_id", "text", threshold=0.5, verify=tier
+            ).collect()
 
 
 def test_prefix_slack_keeps_rounding_boundary_pair(spark):
