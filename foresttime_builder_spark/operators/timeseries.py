@@ -42,6 +42,44 @@ def _partition_clause(group_cols: Sequence[str]) -> str:
     return "PARTITION BY " + ", ".join(_qident(g) for g in group_cols) + " "
 
 
+def fill_gaps_layers(
+    group_cols: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+    direction: str = "downup",
+) -> list[tuple[dict[str, str], list[str]]]:
+    """The :func:`fill_gaps` projection as ``apply_layers`` layers (SQL
+    text), so a chain caller (``plans/fia.py``) can fuse it with adjacent
+    projections into ONE generated statement — the r16 fold of the FIA
+    chain's remaining per-transform analyzer passes into the apply_layers
+    path (guide §1.2: each eager Dataset transform re-runs the analyzer
+    over the whole deepening plan)."""
+    part = _partition_clause(group_cols)
+    over_down = (
+        f"OVER ({part}ORDER BY {_qident(order_col)} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    over_up = (
+        f"OVER ({part}ORDER BY {_qident(order_col)} "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    )
+    filled = {}
+    for c in cols:
+        down = f"last({_qident(c)}, true) {over_down}"
+        up = f"first({_qident(c)}, true) {over_up}"
+        if direction == "down":
+            filled[c] = down
+        elif direction == "up":
+            filled[c] = up
+        elif direction == "downup":
+            filled[c] = f"coalesce({down}, {up})"
+        elif direction == "updown":
+            filled[c] = f"coalesce({up}, {down})"
+        else:
+            raise ValueError(f"bad direction {direction!r}")
+    return [(filled, [])]
+
+
 def fill_gaps(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -56,25 +94,13 @@ def fill_gaps(
     Reference semantics: ``R/fia_tidy.R:96-98``, ``R/expand_data.R:61-70``,
     ``R/adjust_mortality.R:90``.
     """
-    w = Window.partitionBy(*_group(group_cols)).orderBy(order_col)
-    w_down = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_up = w.rowsBetween(0, Window.unboundedFollowing)
-    filled = {}
-    for c in cols:
-        down = F.last(F.col(c), ignorenulls=True).over(w_down)
-        up = F.first(F.col(c), ignorenulls=True).over(w_up)
-        if direction == "down":
-            filled[c] = down
-        elif direction == "up":
-            filled[c] = up
-        elif direction == "downup":
-            filled[c] = F.coalesce(down, up)
-        elif direction == "updown":
-            filled[c] = F.coalesce(up, down)
-        else:
-            raise ValueError(f"bad direction {direction!r}")
-    # one projection for every column: N analyzer passes -> 1
-    return df.withColumns(filled)
+    from foresttime_builder_spark.functions.helpers import apply_layers
+
+    # one projection for every column (N analyzer passes -> 1), via the
+    # same generated-SQL path the chain fusion uses
+    return apply_layers(
+        df, fill_gaps_layers(group_cols, order_col, cols, direction)
+    )
 
 
 def expand_grid(
@@ -208,35 +234,55 @@ def linear_interpolate(
     backward extrapolation. The reference's own golden tests only pin
     trailing extrapolation and carry-forward, which match exactly.
     """
+    from foresttime_builder_spark.functions.helpers import apply_layers
+
+    return apply_layers(
+        df, linear_interpolate_layers(group_cols, x_col, cols, extrapolate)
+    )
+
+
+def linear_interpolate_layers(
+    group_cols: Sequence[str],
+    x_col: str,
+    cols: Sequence[str],
+    extrapolate: bool = True,
+) -> list[tuple[dict[str, str], list[str]]]:
+    """:func:`linear_interpolate` as ``apply_layers`` layers, so the FIA
+    chain can fuse its whole interpolation stage into ONE generated
+    statement (r16; see :func:`fill_gaps_layers`).
+
+    Expression design notes (unchanged from the r12-r15 forms):
+
+    ONE window function per column: collect the sorted known-point array
+    as a group constant.  An unbounded frame is evaluated once per group
+    (UnboundedWindowFunctionFrame aggregates the partition a single time),
+    and every derived quantity — nearest points either side, boundary
+    lines, known-count — is ordinary codegen'd array algebra over that
+    attribute.  The round-1 shape spent 7 interpreted per-row window
+    evaluations per column across 3 sequential Window passes; this is the
+    dominant-cost fix for the annualize pipeline.  collect_list drops the
+    nulls (unknown rows), and WindowExec's partition sort makes the array
+    x-ascending.  Groups are small (a tree has tens of rows), so the
+    per-row O(k) array filters are cheap and the arrays never approach
+    collect_list's size limits.
+
+    Expressions are assembled as SQL text and analyzed JVM-side in one
+    spark.sql call for the whole layer stack: the equivalent Column-API
+    construction costs ~40 py4j round trips per column, which dominated
+    the q25 wall time (plan construction measured ~2x the execution), and
+    the former one-transform-per-stage form paid a full analyzer pass per
+    transform on an already-deep plan."""
     over = (
         f"OVER ({_partition_clause(group_cols)}ORDER BY {_qident(x_col)} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     )
     x = f"CAST({_qident(x_col)} AS DOUBLE)"
 
-    # ONE window function per column: collect the sorted known-point array
-    # as a group constant.  An unbounded frame is evaluated once per group
-    # (UnboundedWindowFunctionFrame aggregates the partition a single time),
-    # and every derived quantity — nearest points either side, boundary
-    # lines, known-count — is ordinary codegen'd array algebra over that
-    # attribute.  The round-1 shape spent 7 interpreted per-row window
-    # evaluations per column across 3 sequential Window passes; this is the
-    # dominant-cost fix for the annualize pipeline.  collect_list drops the
-    # nulls (unknown rows), and WindowExec's partition sort makes the array
-    # x-ascending.  Groups are small (a tree has tens of rows), so the
-    # per-row O(k) array filters are cheap and the arrays never approach
-    # collect_list's size limits.
-    #
-    # Expressions are assembled as SQL text and parsed JVM-side in one
-    # F.expr call per column: the equivalent Column-API construction costs
-    # ~40 py4j round trips per column, which dominated the q25 wall time
-    # (plan construction measured ~2x the actual execution).
     karrs = {}
     for c in cols:
         y = f"CAST({_qident(c)} AS DOUBLE)"
         kp = f"CASE WHEN {y} IS NOT NULL THEN named_struct('x', {x}, 'y', {y}) END"
-        karrs[f"_li_{c}_k"] = F.expr(f"collect_list({kp}) {over}")
-    out = df.withColumns(karrs)
+        karrs[f"_li_{c}_k"] = f"collect_list({kp}) {over}"
 
     final, drops = {}, []
     for c in cols:
@@ -252,7 +298,7 @@ def linear_interpolate(
         )
 
         if not extrapolate:
-            final[c] = F.expr(
+            final[c] = (
                 f"CASE WHEN {y} IS NOT NULL THEN {y} "
                 f"WHEN size({k}) <= 1 THEN {y} "
                 f"WHEN {prev} IS NOT NULL AND {nxt} IS NOT NULL THEN {interp} "
@@ -271,7 +317,7 @@ def linear_interpolate(
             f"({f1}).y + (({f1}).y - ({f2}).y)"
             f" / (({f1}).x - ({f2}).x) * ({x} - ({f1}).x)"
         )
-        final[c] = F.expr(
+        final[c] = (
             f"CASE WHEN {y} IS NOT NULL THEN {y} "
             f"WHEN size({k}) = 0 THEN CAST(NULL AS DOUBLE) "
             # single known value: carry forward only (leading rows null)
@@ -283,16 +329,7 @@ def linear_interpolate(
             # leading gap: extend line through first two known points
             f"ELSE {bwd} END"
         )
-    # one projection for fill + scratch-column drop (every DataFrame
-    # transform is a full analyzer pass; see the py4j note above)
-    dropset = set(drops)
-    return out.select(
-        *[
-            final[c].alias(c) if c in final else F.col(c)
-            for c in out.columns
-            if c not in dropset
-        ]
-    )
+    return [(karrs, []), (final, drops)]
 
 
 def step_interpolate(
@@ -314,31 +351,43 @@ def step_interpolate(
     Works for any column dtype (the reference applies it to string ``PLT_CN``
     and integer status codes alike).
     """
+    from foresttime_builder_spark.functions.helpers import apply_layers
+
+    return apply_layers(
+        df, step_interpolate_layers(group_cols, order_col, cols)
+    )
+
+
+def step_interpolate_layers(
+    group_cols: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+) -> list[tuple[dict[str, str], list[str]]]:
+    """:func:`step_interpolate` as ``apply_layers`` layers (r16 chain
+    fusion; see :func:`fill_gaps_layers`).
+
+    ONE window function per column (same design as linear_interpolate):
+    the sorted (index, value) known array is a group constant computed
+    once per group; nearest-known lookups either side are codegen'd array
+    filters instead of interpreted per-row window evaluations.  The
+    row_number layer stays separate (cheap, single-function Window node)
+    since the packed struct depends on it — the ASAP packer keeps the
+    dependency order.  SQL-text expressions for the same py4j-chatter
+    reason as linear_interpolate."""
     part = _partition_clause(group_cols)
     over = (
         f"OVER ({part}ORDER BY {_qident(order_col)} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     )
 
-    out = df.withColumn(
-        "_sg_i",
-        F.expr(f"row_number() OVER ({part}ORDER BY {_qident(order_col)})"),
-    )
-    # ONE window function per column (same design as linear_interpolate):
-    # the sorted (index, value) known array is a group constant computed
-    # once per group; nearest-known lookups either side are codegen'd array
-    # filters instead of interpreted per-row window evaluations.  The
-    # row_number pass stays a separate (cheap, single-function) Window node
-    # since the packed struct depends on it.  SQL-text expressions for the
-    # same py4j-chatter reason as linear_interpolate.
+    rn = {"_sg_i": f"row_number() OVER ({part}ORDER BY {_qident(order_col)})"}
     karrs = {}
     for c in cols:
         kp = (
             f"CASE WHEN {_qident(c)} IS NOT NULL"
             f" THEN named_struct('i', _sg_i, 'v', {_qident(c)}) END"
         )
-        karrs[f"_sg_{c}_k"] = F.expr(f"collect_list({kp}) {over}")
-    out = out.withColumns(karrs)
+        karrs[f"_sg_{c}_k"] = f"collect_list({kp}) {over}"
     filled = {}
     drops = ["_sg_i"]
     for c in cols:
@@ -347,18 +396,11 @@ def step_interpolate(
         prev = f"try_element_at(filter({k}, e -> e.i <= _sg_i), -1)"
         nxt = f"try_element_at(filter({k}, e -> e.i >= _sg_i), 1)"
         switch_at = f"({prev}).i + CEIL((({nxt}).i - ({prev}).i) / 2.0D)"
-        filled[c] = F.expr(
+        filled[c] = (
             f"CASE WHEN {_qident(c)} IS NOT NULL THEN {_qident(c)} "
             f"WHEN {prev} IS NULL THEN NULL "  # leading: stay null
             f"WHEN {nxt} IS NULL THEN ({prev}).v "  # trailing: last value
             f"WHEN _sg_i < {switch_at} THEN ({prev}).v "
             f"ELSE ({nxt}).v END"
         )
-    dropset = set(drops)
-    return out.select(
-        *[
-            filled[c].alias(c) if c in filled else F.col(c)
-            for c in out.columns
-            if c not in dropset
-        ]
-    )
+    return [(rn, []), (karrs, []), (filled, drops)]

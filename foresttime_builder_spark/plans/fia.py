@@ -23,12 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from foresttime_builder_spark.functions import r_if_else, r_isin
-from foresttime_builder_spark.operators import (
-    expand_grid,
-    fill_gaps,
-    linear_interpolate,
-    step_interpolate,
+from foresttime_builder_spark.functions.helpers import apply_layers
+from foresttime_builder_spark.operators import expand_grid, fill_gaps
+from foresttime_builder_spark.operators.timeseries import (
+    fill_gaps_layers,
+    linear_interpolate_layers,
+    step_interpolate_layers,
 )
 from foresttime_builder_spark.sources import ref_tables
 
@@ -224,22 +224,37 @@ def interpolate_data(data_expanded: DataFrame) -> DataFrame:
     spark = data_expanded.sparkSession
     cols = set(data_expanded.columns)
 
-    out = linear_interpolate(
-        data_expanded, GROUP, "YEAR", [c for c in LINEAR_COLS if c in cols]
-    )
-    out = step_interpolate(out, GROUP, "YEAR", [c for c in STEP_COLS if c in cols])
-    # one projection: de-sentinel + the CULL-only-when-measurable rule (CULL
-    # is only measured for trees with DIA >= 5; R if_else: unknown DIA →
-    # unknown CULL).  DIA is not a sentinel column, so the rule reads the
-    # same value whether or not it shares the projection with the swaps.
+    # ONE generated statement for the whole interpolation stage (r16,
+    # guide §1.2): linear + step interpolation and the de-sentinel
+    # projection used to be six eager Dataset transforms, each a full
+    # analyzer pass over the already-deep expand plan — the measured
+    # ~0.9 s driver-side residue of the q51/q52 builds.  The layer forms
+    # are the same SQL text the transforms compiled to; apply_layers
+    # analyzes once and the ASAP packer re-stratifies the six layers to
+    # their dependency depth.  De-sentinel layering is unchanged: it
+    # resolves against the step-interpolated values, and the CULL rule
+    # reads the linear-interpolated DIA (CULL is only measured for trees
+    # with DIA >= 5; R if_else: unknown DIA → unknown CULL).
     desentinel = {
-        c: F.when(F.col(c) == 999, None).otherwise(F.col(c))
+        c: f"CASE WHEN {c} = 999 THEN NULL ELSE {c} END"
         for c in SENTINEL_COLS
         if c in cols
     }
     if "CULL" in cols:
-        desentinel["CULL"] = r_if_else(F.col("DIA") < 5, None, F.col("CULL"))
-    out = out.withColumns(desentinel)
+        desentinel["CULL"] = (
+            "CASE WHEN (DIA < 5) IS NULL THEN NULL "
+            "WHEN DIA < 5 THEN NULL ELSE CULL END"
+        )
+    out = apply_layers(
+        data_expanded,
+        linear_interpolate_layers(
+            GROUP, "YEAR", [c for c in LINEAR_COLS if c in cols]
+        )
+        + step_interpolate_layers(
+            GROUP, "YEAR", [c for c in STEP_COLS if c in cols]
+        )
+        + [(desentinel, [])],
+    )
 
     # TPA assignment: DESIGNCD × DIA ∈ [min_DIA, max_DIA) band rules
     rules = ref_tables.tpa_rules(spark)
@@ -288,11 +303,6 @@ def adjust_mortality(
     ``True``/``False`` to skip the probe — the probe executes the whole
     upstream plan once, which matters when this is mid-pipeline."""
     df = data_interpolated
-    # (plot_ID, tree_ID) for the same reason as fia_tidy: value-identical to
-    # the reference's tree_ID grouping (R/adjust_mortality.R:51,93), one
-    # shared exchange with the interpolation windows, no NULL-key skew
-    w_all = Window.partitionBy(*GROUP)
-    w = Window.partitionBy(*GROUP).orderBy("YEAR")
 
     if use_mortyr == "auto":
         # reference warns + downgrades when no MORTYR is recorded at all
@@ -300,65 +310,87 @@ def adjust_mortality(
             df.filter(F.col("MORTYR").isNotNull()).limit(1).count() > 0
         )
 
+    # The whole stage is ONE generated statement (r16, guide §1.2): the
+    # former five eager transforms (MORTYR_eff/first_dead windows,
+    # STATUSCD override, up-fill, scratch drop, applicability masks) each
+    # re-ran the analyzer over the deep chain plan.  Layer text matches
+    # what the Column forms compiled to; the oracle gates pin it.
+    # (plot_ID, tree_ID) partitioning for the same reason as fia_tidy:
+    # value-identical to the reference's tree_ID grouping
+    # (R/adjust_mortality.R:51,93), one shared exchange with the
+    # interpolation windows, no NULL-key skew.
+    layers: list[tuple[dict[str, str], list[str]]] = []
     if use_mortyr:
-        # tree alive in its recorded MORTYR → effective death the year after;
-        # R max() without na.rm poisons the whole tree when any row is NA.
-        # _eff is inlined into both window functions so the stage is one
-        # projection (each DataFrame transform is a full analyzer pass over
-        # an already-deep plan; the chain's wall time is construction-bound
-        # at small SF).
-        year_eq = (F.col("YEAR") == F.col("MORTYR")) & (F.col("STATUSCD") == 1)
-        eff_expr = r_if_else(year_eq, F.col("MORTYR") + 1, F.col("MORTYR"))
-        n_null = F.sum(eff_expr.isNull().cast("int")).over(w_all)
-        df = df.withColumns(
+        over_all = "OVER (PARTITION BY plot_ID, tree_ID)"
+        # tree alive in its recorded MORTYR → effective death the year
+        # after; R max() without na.rm poisons the whole tree when any row
+        # is NA (the n_null window).  _eff is inlined into both window
+        # functions so the stage stays one projection.
+        year_eq = "(YEAR = MORTYR) AND (STATUSCD = 1)"
+        eff = (
+            f"CASE WHEN ({year_eq}) IS NULL THEN NULL "
+            f"WHEN {year_eq} THEN MORTYR + 1 ELSE MORTYR END"
+        )
+        layers.append((
             {
-                "MORTYR_eff": F.when(n_null > 0, None).otherwise(
-                    F.max(eff_expr).over(w_all)
+                "MORTYR_eff": (
+                    f"CASE WHEN sum(CAST(({eff}) IS NULL AS INT)) {over_all}"
+                    f" > 0 THEN NULL ELSE max({eff}) {over_all} END"
                 ),
-                "first_dead": F.min(
-                    F.when(F.col("STATUSCD") == 2, F.col("YEAR"))
-                ).over(w_all),
-            }
+                "first_dead": (
+                    f"min(CASE WHEN STATUSCD = 2 THEN YEAR END) {over_all}"
+                ),
+            },
+            [],
+        ))
+        layers.append((
+            {
+                "STATUSCD": (
+                    "CASE WHEN MORTYR_eff IS NULL THEN STATUSCD "
+                    "WHEN MORTYR_eff = first_dead THEN STATUSCD "
+                    "WHEN (MORTYR_eff < first_dead) AND (YEAR >= MORTYR_eff)"
+                    " AND (YEAR < first_dead) THEN 2 "
+                    "WHEN (MORTYR_eff > first_dead) AND (YEAR < MORTYR_eff)"
+                    " AND (YEAR >= first_dead) THEN 1 "
+                    "ELSE STATUSCD END"
+                )
+            },
+            [],
+        ))
+        # up-fill grouped on the full tree key (value-identical: tree_ID
+        # embeds plot_ID) so the window reuses the chain's one exchange
+        fill_up = fill_gaps_layers(
+            GROUP, "YEAR", ["DECAYCD", "STANDING_DEAD_CD"], direction="up"
         )
-        eff, fd, yr = F.col("MORTYR_eff"), F.col("first_dead"), F.col("YEAR")
-        df = df.withColumn(
-            "STATUSCD",
-            F.when(eff.isNull(), F.col("STATUSCD"))
-            .when(eff == fd, F.col("STATUSCD"))
-            .when((eff < fd) & (yr >= eff) & (yr < fd), 2)
-            .when((eff > fd) & (yr < eff) & (yr >= fd), 1)
-            .otherwise(F.col("STATUSCD")),
-        )
-        # grouped on the full tree key (value-identical: tree_ID embeds
-        # plot_ID) so the up-fill window reuses the chain's one exchange
-        df = fill_gaps(
-            df, GROUP, "YEAR", ["DECAYCD", "STANDING_DEAD_CD"], direction="up"
-        )
-        df = df.drop("first_dead", "MORTYR_eff")
+        layers.append((fill_up[0][0], ["first_dead", "MORTYR_eff"]))
 
-    # One projection for the applicability masks, with the dependency chain
+    # One layer for the applicability masks, with the dependency chain
     # inlined: STANDING_DEAD_CD only applies to dead trees; DECAYCD only to
     # standing dead; fallen trees (new SDC == 0) and trees in non-sampled
-    # conditions have no measurements (when/otherwise(None) matches R
-    # if_else NA-condition → NA; missing = keep).
-    sdc = F.when(F.col("STATUSCD") == 2, F.col("STANDING_DEAD_CD")).otherwise(None)
-    fallen = sdc == 0
+    # conditions have no measurements (CASE WHEN with a NULL condition
+    # falls through to ELSE, matching R if_else NA-condition → NA;
+    # missing = keep).
+    sdc = "CASE WHEN STATUSCD = 2 THEN STANDING_DEAD_CD ELSE NULL END"
+    fallen = f"({sdc}) = 0"
     nonsampled = (
-        (F.col("STATUSCD") == 0) & r_isin(F.col("RECONCILECD"), [5, 6, 9])
-    ) | (F.col("COND_STATUS_CD") != 1)
+        "((STATUSCD = 0) AND coalesce(RECONCILECD IN (5, 6, 9), false))"
+        " OR (COND_STATUS_CD != 1)"
+    )
     masks = {
         "STANDING_DEAD_CD": sdc,
-        "DECAYCD": F.when(sdc == 1, F.col("DECAYCD")).otherwise(None),
+        "DECAYCD": f"CASE WHEN ({sdc}) = 1 THEN DECAYCD ELSE NULL END",
     }
     masks.update(
         {
-            c: F.when(nonsampled, None).otherwise(
-                F.when(fallen, None).otherwise(F.col(c))
+            c: (
+                f"CASE WHEN {nonsampled} THEN NULL "
+                f"ELSE CASE WHEN {fallen} THEN NULL ELSE {c} END END"
             )
             for c in ("DIA", "HT", "ACTUALHT", "CULL", "CR")
         }
     )
-    return df.withColumns(masks)
+    layers.append((masks, []))
+    return apply_layers(df, layers)
 
 
 def fia_annualize(data_tidy: DataFrame, use_mortyr: bool = True) -> DataFrame:

@@ -193,6 +193,51 @@ def test_apply_layers_packing_differential(spark):
         assert len(_merge_layers(layers)) <= len(layers)
 
 
+def test_apply_layers_window_over_layers(spark):
+    """OVER-clause layers (r16: the FIA interpolators now route their
+    window expressions through apply_layers) must match the sequential
+    withColumns form — including a window that reads a column an earlier
+    layer defined, and a later layer reading the window's result."""
+    from pyspark.sql import functions as F
+
+    from foresttime_builder_spark.functions.helpers import apply_layers
+
+    base = spark.range(12).selectExpr(
+        "id % 3 AS g", "id AS t", "CASE WHEN id % 4 = 0 THEN NULL"
+        " ELSE CAST(id AS DOUBLE) END AS v"
+    )
+    layers = [
+        ({"v2": "v * 2"}, []),
+        (
+            {
+                "filled": (
+                    "last(v2, true) OVER (PARTITION BY g ORDER BY t "
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                ),
+                "rk": "row_number() OVER (PARTITION BY g ORDER BY t)",
+            },
+            [],
+        ),
+        ({"out": "coalesce(filled, -1.0D) + rk"}, ["v2"]),
+    ]
+    got = apply_layers(base, layers)
+    want = base.withColumns({"v2": F.expr("v * 2")})
+    want = want.withColumns(
+        {
+            "filled": F.expr(
+                "last(v2, true) OVER (PARTITION BY g ORDER BY t "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+            "rk": F.expr("row_number() OVER (PARTITION BY g ORDER BY t)"),
+        }
+    )
+    want = want.withColumns(
+        {"out": F.expr("coalesce(filled, -1.0D) + rk")}
+    ).drop("v2")
+    assert got.columns == want.columns
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+
+
 def test_apply_layers_quoted_identifier_dependency(spark):
     """A read-after-write dependency through a backquoted non-word name
     must survive packing (r15 advice: the word-token scan fragmented
