@@ -587,6 +587,14 @@ def _vocab_positions(
 
 _BLOCKMASK_VOCAB_CAP = 4096  # 64 longs of bitset per document
 
+#: int-array tier cap (r16): unlike the blockmask, the int tier's per-pair
+#: cost is O(sz) regardless of vocabulary width, so its only bound is the
+#: driver-collect + broadcast of the position dictionary — 64k tokens is a
+#: ~2 MB broadcast.  Real open-vocabulary corpora blow past this within
+#: one sample probe (answer settles with no full-corpus pass); bounded
+#: synthetic/categorical vocabularies stay inside and verify on ints.
+_INTARRAYS_VOCAB_CAP = 65536
+
 
 def _prefix_len_ok(rnk: Column, sz: Column, threshold: float) -> Column:
     """All-Pairs prefix-membership predicate: token rank within
@@ -1094,6 +1102,7 @@ def minhash_lsh_pairs(
     """
     if on_budget not in ("error", "representatives"):
         raise ValueError(f"bad on_budget {on_budget!r}")
+    projected: int | None = None
     if candidate_budget is not None:
         projected = estimate_lsh_candidates(
             df, id_col, text_col, n_hashes, band_size, tokenizer=tokenizer
@@ -1143,7 +1152,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _verify_candidates(
-        cand, _docsets(df, id_col, text_col, tokenizer), verify, threshold
+        cand, _docsets(df, id_col, text_col, tokenizer), verify, threshold,
+        projected_candidates=projected,
     )
 
 
@@ -1175,6 +1185,7 @@ def _verify_candidates(
     verify: str,
     threshold: float,
     dense_candidates: bool = True,
+    projected_candidates: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of a ``(doc_a, doc_b)`` candidate frame
     against a ``(doc_id, toks, sz)`` docsets frame — the shared final stage
@@ -1189,29 +1200,30 @@ def _verify_candidates(
     the prefix path has used since r13, now shared with EVERY candidate
     source including banded LSH; popcount over ~vocab/64 longs beats
     ``array_intersect``'s per-pair string hash-set both in CPU and in
-    join-shuffle bytes when the mask is NARROW), 'arrays' (general
-    vocabularies).  'auto' probes vocabulary size through the same
-    bounded-sample ladder the pair strategies use.
+    join-shuffle bytes when the mask is NARROW), 'intarrays' (r16, vocab
+    <= :data:`_INTARRAYS_VOCAB_CAP`: ``array_intersect`` over
+    dictionary-encoded int positions — O(sz) per pair regardless of
+    vocabulary width, int hashing and ~4 B/token shuffle rows instead of
+    strings), 'arrays' (general vocabularies).  'auto' probes vocabulary
+    size through the same bounded-sample ladder the pair strategies use.
 
-    ``dense_candidates`` steers 'auto' between blockmask and arrays: the
-    mask build is an O(corpus) fixed cost (vocab probe + position join +
-    per-doc bitset groupBy) that amortizes only over a candidate stream
-    much larger than the corpus.  Pair ENUMERATION is that regime
-    (measured sf1 in-session A/B: q76's 28.2M banded candidates verify in
-    20.5 s blockmask vs 47.2 s arrays, −57%); the representatives path's
-    hub-edge stream is LINEAR in the corpus and the same A/B went the
-    other way (q119: 14.1 s arrays vs 20.6 s blockmask — the fixed cost
-    never amortizes), so :func:`lsh_representatives` passes False.
+    ``dense_candidates`` steers 'auto' between the encoded tiers and
+    arrays: the dictionary build is an O(corpus) fixed cost (vocab probe
+    + position join + per-doc groupBy) that amortizes only over a
+    candidate stream much larger than the corpus.  Pair ENUMERATION is
+    that regime; the representatives path's hub-edge stream is LINEAR in
+    the corpus and measured the other way (r15: q119 14.1 s arrays vs
+    20.6 s blockmask — the fixed cost never amortizes), so
+    :func:`lsh_representatives` passes False.
 
-    Even for dense candidates, blockmask only wins while the mask is
-    narrower than the token array it replaces: per pair it folds
-    ``n_words`` AND+popcount ops against ``array_intersect``'s
-    ~``avg_sz`` string hash-set ops.  Measured both sides of the
-    breakeven in-session (sf1: 5 words vs ~31 tokens → −57%; sf10: 49
-    words vs the same ~31 tokens → both mask forms slower than arrays,
-    284.1 s unrolled / 307.8 s HOF-contended-sample vs 267.9 s), so
-    'auto' requires ``n_words <= sampled avg_sz``.  Explicit
-    'blockmask'/'arrays' pins are always honored."""
+    Dense-auto ladder, all boundaries measured with interleaved same-JVM
+    A/Bs and identical output checksums: vocab <= 64 → bitmask; <= 4096
+    AND mask narrower than the token array (``n_words <= sampled
+    avg_sz``) → blockmask (sf1, 5 words vs ~31 tokens: 9.0 s vs 15.5 s
+    intarrays vs 36.4 s arrays); wider-or-larger up to 65536 →
+    intarrays (r16 sf10, vocab 5246, 72.8M pairs: 226.6 s vs 293.7 s
+    arrays, −23%); past the int cap → arrays.  Explicit pins are always
+    honored."""
     if verify not in ("auto", "bitmask", "blockmask", "intarrays", "arrays"):
         raise ValueError(f"bad verify {verify!r}")
     small_vocab: list[str] | None = None
@@ -1219,36 +1231,74 @@ def _verify_candidates(
         # ONE sample-first probe (<= 2 bounded jobs) settles every tier
         # question — the r16 probe collapse; the sparse-candidates path
         # only needs the 64-bit-mask answer, so it probes at cap 64 and
-        # keeps its former cost.
-        cap = _BLOCKMASK_VOCAB_CAP if dense_candidates else 64
+        # keeps its former cost.  Dense streams probe at the int-tier cap:
+        # when the blockmask is too wide (or the vocabulary exceeds its
+        # 4096 cap outright) the fallback is now the int-array tier, not
+        # strings — measured on the 72.8M-pair sf10 stream, interleaved
+        # same-JVM with identical checksums: arrays 293.7 s median vs
+        # intarrays 226.6 s (−23%; r16).  An open-vocabulary corpus whose
+        # SAMPLE stays under the cap pays one bounded full-corpus distinct
+        # collect before settling on arrays — linear, and small against
+        # the dense verification join this path exists to serve.
+        cap = _INTARRAYS_VOCAB_CAP if dense_candidates else 64
         small_vocab = _vocab_if_small(docsets, cap)
         if small_vocab is not None and len(small_vocab) <= 64:
             verify = "bitmask"
         elif small_vocab:
-            # width gate: one bounded sample agg (same 4096-doc
-            # sample discipline as the vocabulary probes)
+            # one bounded sample agg (same 4096-doc sample discipline as
+            # the vocabulary probes) feeds both sub-gates below
             row = (
                 docsets.limit(4096)
                 .agg(F.avg("sz").alias("avg_sz"))
                 .collect()[0]
             )
             avg_sz = float(row["avg_sz"] or 0.0)
-            verify = (
-                "blockmask"
-                if (len(small_vocab) + 63) // 64 <= avg_sz
-                else "arrays"
-            )
+            if (
+                len(small_vocab) <= _BLOCKMASK_VOCAB_CAP
+                and (len(small_vocab) + 63) // 64 <= avg_sz
+            ):
+                # width gate: narrow masks beat int arrays decisively
+                # (sf1: blockmask 9.0 s vs intarrays 15.5 s vs 36.4 s
+                # arrays)
+                verify = "blockmask"
+            elif projected_candidates is not None and avg_sz > 0:
+                # amortization gate for the int tier: its dictionary
+                # build (explode + position join + per-doc groupBy) is an
+                # O(corpus-tokens) fixed cost the arrays tier never pays,
+                # so it must be amortized by a candidate stream well past
+                # the token relation.  Both sides measured at sf10,
+                # interleaved, identical checksums: the token family's
+                # ~453M-projected / 15.5M-token stream (ratio ~29) ran
+                # 226.6 s intarrays vs 293.7 s arrays (−23%), while
+                # q54's shingle degrade at 12.5M projected / ~30M trigram
+                # rows (ratio 0.4) ran 189 s intarrays vs 84 s arrays —
+                # the build never paid for itself.  2x the token relation
+                # splits the two regimes with >5x margin on each side.
+                # Unbudgeted callers (no projection) keep arrays — the
+                # conservative status quo.
+                token_rows = docsets.count() * avg_sz
+                verify = (
+                    "intarrays"
+                    if projected_candidates >= 2 * token_rows
+                    else "arrays"
+                )
+            else:
+                verify = "arrays"
         else:
             verify = "arrays"
     if verify in ("blockmask", "intarrays"):
         # one bounded limit(cap+1) collect settles BOTH the cap check and
         # the vocabulary size (ZERO extra jobs when auto already probed) —
         # a pinned caller needs no separate distinct-count jobs
+        cap = (
+            _INTARRAYS_VOCAB_CAP if verify == "intarrays"
+            else _BLOCKMASK_VOCAB_CAP
+        )
         vocab_df, vocab_n = _vocab_positions(
             docsets,
-            _BLOCKMASK_VOCAB_CAP,
+            cap,
             f"{verify} verification requires vocabulary <= "
-            f"{_BLOCKMASK_VOCAB_CAP} distinct tokens; use "
+            f"{cap} distinct tokens; use "
             "verify='arrays' or 'auto'",
             vocab=small_vocab,
         )

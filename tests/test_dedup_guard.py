@@ -424,6 +424,7 @@ def test_lsh_verify_blockmask_raises_past_cap(spark, monkeypatch):
     from foresttime_builder_spark.operators.dedup import minhash_lsh_pairs
 
     monkeypatch.setattr(dedup, "_BLOCKMASK_VOCAB_CAP", 8)
+    monkeypatch.setattr(dedup, "_INTARRAYS_VOCAB_CAP", 8)
     wide = _corpus(spark, vocab=120)
     for tier in ("blockmask", "intarrays"):
         with pytest.raises(Exception, match="requires vocabulary <= 8"):
