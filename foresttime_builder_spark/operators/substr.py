@@ -63,6 +63,13 @@ def duplicated_span_coverage(
     # so the window inventory doesn't run on 1-2 input splits
     from foresttime_builder_spark.operators.spread import spread
 
+    # PERSISTED (r16): the inventory feeds BOTH the duplicated-hash
+    # aggregate and the span join-back, and Spark shares no uncached
+    # subtree — so the posexplode + per-window md5 pass (the operator's
+    # dominant map cost) executed twice.  Caching the narrow (id, pos, h)
+    # relation computes it once; measured interleaved with identical
+    # checksums: sf10 25.6 → 17.2 s (−33%), sf1 5.4 → 4.3 s, vs ~+0.2 s
+    # of cache overhead at sf0.1 where the inventory is trivial.
     wins = (
         spread(df.select(F.col(id_col), toks.alias("_toks")))
         .select(
@@ -72,6 +79,7 @@ def duplicated_span_coverage(
             ),
         )
         .select(F.col(id_col), "pos", _hash60(F.col("gram")).alias("h"))
+        .persist()
     )
 
     dup_h = (
@@ -124,7 +132,10 @@ def duplicated_span_coverage(
             + F.lit(0.5)
         ).cast("long").alias("dup_cov_frac_e4"),
     )
-    return out
+    from foresttime_builder_spark.operators.cache import release_on_gc
+
+    # tie the cached inventory's lifetime to the returned frame
+    return release_on_gc(out, wins)
 
 
 def duplicated_span_coverage_oracle_sql(
